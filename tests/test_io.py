@@ -1,0 +1,183 @@
+"""IO-layer tests: snappy codec, sequence codec, prep_targets golden parity.
+
+Golden inputs/outputs come from the reference repo's test data
+(/root/reference/tests/data/prep_targets/00-07, manifest tests/tests.toml).
+"""
+
+import gzip
+import os
+import random
+import shutil
+
+import numpy as np
+import pytest
+
+from muscato_tpu.io import reads, seqcodec, sz, targets
+
+REF = "/root/reference/tests/data/prep_targets"
+
+
+# ------------------------------------------------------------------ snappy ---
+
+
+def test_crc32c_known_vectors():
+    # Standard CRC-32C test vectors.
+    assert sz.crc32c(b"") == 0
+    assert sz.crc32c(b"123456789") == 0xE3069283
+    assert sz.crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_snappy_roundtrip_random():
+    rng = random.Random(0)
+    for n in [0, 1, 3, 100, 65536, 65537, 200000]:
+        # Mix of compressible and incompressible content.
+        data = bytes(rng.randrange(4) for _ in range(n // 2)) + bytes(
+            rng.randrange(256) for _ in range(n - n // 2)
+        )
+        assert sz.decompress(sz.compress(data)) == data
+        assert sz.decompress(sz.compress(data, level=0)) == data
+
+
+def test_snappy_block_roundtrip():
+    for data in [b"", b"a", b"abcabcabcabcabcabcabc" * 100, bytes(range(256)) * 10]:
+        assert sz.block_decompress(sz.block_compress(data)) == data
+
+
+def test_snappy_reads_reference_file():
+    # Real golang/snappy-compressed file from the reference test data.
+    raw = sz.read_bytes(os.path.join(REF, "06", "genes.txt.sz"))
+    assert raw.split(b"\n")[0].startswith(b"gene1\t")
+
+
+# ---------------------------------------------------------------- seqcodec ---
+
+
+def test_codec_roundtrip_and_subx():
+    assert seqcodec.subx_bytes(b"ACGTnN z") == b"ACGTXXXX"
+    assert seqcodec.decode(seqcodec.encode(b"ACGTX")) == b"ACGTX"
+
+
+def test_revcomp():
+    assert seqcodec.revcomp_bytes(b"AACGTX") == b"XACGTT"
+    assert seqcodec.revcomp_bytes(b"ATACGATCTACGATCA") == b"TGATCGTAGATCGTAT"
+
+
+def test_dinuc_count():
+    # "AAAA" -> only dinuc AA -> 1.  "ACGT" -> AC,CG,GT -> 3.
+    assert seqcodec.dinucleotide_count(seqcodec.encode(b"AAAA")) == 1
+    assert seqcodec.dinucleotide_count(seqcodec.encode(b"ACGT")) == 3
+    assert seqcodec.dinucleotide_count(seqcodec.encode(b"A")) == 0
+
+
+# ------------------------------------------------------------ prep_targets ---
+
+# (case, input file, rev) mirroring tests/tests.toml:1-68
+PREP_CASES = [
+    ("00", "genes.fasta", False),
+    ("01", "genes.fasta", True),
+    ("02", "genes.txt", False),
+    ("03", "genes.txt", True),
+    ("04", "genes.txt.gz", False),
+    ("05", "genes.txt.gz", True),
+    ("06", "genes.txt.sz", True),
+    ("07", "genes.txt.sz", True),
+]
+
+
+@pytest.mark.parametrize("case,fname,rev", PREP_CASES)
+def test_prep_targets_golden(case, fname, rev, tmp_path):
+    src = os.path.join(REF, case, fname)
+    dst = tmp_path / fname
+    shutil.copy(src, dst)
+
+    seq_path, ids_path = targets.prep_targets(str(dst), rev=rev)
+
+    with open(os.path.join(REF, case, "expected_sequences.txt"), "rb") as f:
+        exp_seq = f.read()
+    with open(os.path.join(REF, case, "expected_ids.txt"), "rb") as f:
+        exp_ids = f.read()
+
+    assert sz.read_bytes(seq_path) == exp_seq
+    assert sz.read_bytes(ids_path) == exp_ids
+
+
+def test_prepared_names():
+    assert targets.prepared_names("a/genes.fasta") == (
+        "a/musc_genes.fasta.sz",
+        "a/musc_ids_genes.fasta.sz",
+    )
+    assert targets.prepared_names("genes.txt.gz") == (
+        "musc_genes.txt.sz",
+        "musc_ids_genes.txt.sz",
+    )
+    assert targets.prepared_names("genes.txt.sz") == (
+        "musc_genes.txt.sz",
+        "musc_ids_genes.txt.sz",
+    )
+
+
+def test_load_targets(tmp_path):
+    src = os.path.join(REF, "02", "genes.txt")
+    dst = tmp_path / "genes.txt"
+    shutil.copy(src, dst)
+    seq_path, ids_path = targets.prep_targets(str(dst))
+    ts = targets.load_targets(seq_path, ids_path)
+    assert ts.num_genes == 3
+    assert ts.names == [b"gene1", b"gene2", b"gene3"]
+    assert list(ts.lengths) == [16, 12, 8]
+    assert seqcodec.decode(ts.tcat[: ts.gene_start[1]]) == b"ATACGATCTACGATCA"
+
+
+# ------------------------------------------------------------------- reads ---
+
+
+def _fastq(records):
+    out = b""
+    for name, seq in records:
+        out += name + b"\n" + seq + b"\n+\n" + b"!" * len(seq) + b"\n"
+    return out
+
+
+def test_build_readset_dedup_and_order(tmp_path):
+    fq = _fastq(
+        [
+            (b">r2", b"GGGG"),
+            (b">r1", b"ACGT"),
+            (b">r3", b"ACGT"),
+            (b">r4", b"AC"),  # shorter than MinReadLength
+            (b">r5", b"ACGTACGTACGT"),  # truncated at 8
+        ]
+    )
+    p = tmp_path / "reads.fastq"
+    p.write_bytes(fq)
+    rs = reads.build_readset(str(p), min_read_length=3, max_read_length=8)
+    assert rs.seqs == [b"ACGT", b"ACGTACGT", b"GGGG"]
+    assert list(rs.counts) == [2, 1, 1]
+    assert rs.names == [b">r1;>r3", b">r5", b">r2"]
+    assert rs.num_total == 4
+    assert list(rs.lengths) == [4, 8, 4]
+    np.testing.assert_array_equal(
+        rs.codes[0], np.array([0, 1, 2, 3, 0, 0, 0, 0], dtype=np.uint8)
+    )
+
+
+def test_name_truncation(tmp_path):
+    longname = b"@" + b"n" * 1200
+    fq = _fastq([(longname, b"ACGT")])
+    p = tmp_path / "reads.fastq"
+    p.write_bytes(fq)
+    rs = reads.build_readset(str(p), 0, 10)
+    # prep_reads truncation: name[:995] + "..."  (998 bytes)
+    assert rs.names[0] == longname[:995] + b"..."
+    assert len(rs.names[0]) == 998
+
+
+def test_joined_name_truncation(tmp_path):
+    recs = [(b"@name_%04d" % i, b"ACGT") for i in range(200)]
+    p = tmp_path / "reads.fastq"
+    p.write_bytes(_fastq(recs))
+    rs = reads.build_readset(str(p), 0, 10)
+    assert len(rs.seqs) == 1
+    assert rs.counts[0] == 200
+    joined = b";".join(sorted(n for n, _ in recs))
+    assert rs.names[0] == joined[:996] + b"..."
