@@ -3,15 +3,24 @@
 Tests run JAX on CPU with 8 virtual devices so the multi-chip sharding path
 is exercised without TPU hardware (the driver separately dry-runs the mesh
 path; see __graft_entry__.py).
+
+Note: this machine's site hook (sitecustomize) imports jax and pins
+JAX_PLATFORMS=axon before pytest starts, so plain env defaulting is too
+late; override through jax.config instead, and set XLA_FLAGS before the
+first backend initialization (it is read lazily).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_DATA = "/root/reference/tests/data"

@@ -1,0 +1,185 @@
+"""Device-op unit tests and engine-vs-oracle fuzzing."""
+
+import random
+
+import numpy as np
+import pytest
+
+from muscato_tpu.config import Config
+from muscato_tpu.engine import pipeline
+from muscato_tpu.engine.index import build_target_index
+from muscato_tpu.io import seqcodec
+from muscato_tpu.io.reads import ReadSet
+from muscato_tpu.io.targets import TargetSet
+from muscato_tpu.ops import verify as vops
+from muscato_tpu.ops import windows as winops
+
+from oracle import oracle_match
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------- packing ---
+
+
+def test_window_keys_exact_width():
+    # width <= 13: the key is the exact base-5 packing.
+    codes, _ = seqcodec.encode_rows([b"ACGTX"], 5)
+    key = np.asarray(winops.window_keys_at(jnp.asarray(codes), 0, 5))[0]
+    assert key == ((((0 * 5 + 1) * 5 + 2) * 5 + 3) * 5 + 4)
+
+
+def test_sliding_vs_rowwise_keys():
+    rng = np.random.default_rng(0)
+    t = rng.integers(0, 5, size=100).astype(np.uint8)
+    for width in [4, 13, 20]:
+        skeys = np.asarray(winops.sliding_window_keys(jnp.asarray(t), width))
+        for p in range(0, 100 - width + 1):
+            row = jnp.asarray(t[p : p + width][None, :])
+            rk = np.asarray(winops.window_keys_at(row, 0, width))[0]
+            assert skeys[p] == rk, (p, width)
+
+
+def test_dinucleotide_counts_matches_scalar():
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 5, size=(50, 12)).astype(np.uint8)
+    got = np.asarray(winops.dinucleotide_counts(jnp.asarray(codes), 2, 8))
+    for i in range(50):
+        assert got[i] == seqcodec.dinucleotide_count(codes[i, 2:10])
+
+
+def test_mismatch_budget_truncation():
+    # Same float64 dance as Go: (1-0.96)*100 = 4.000000000000004 -> 4
+    tab = vops.mismatch_budget_table(0.96, 200)
+    assert tab[100] == 4
+    assert tab[0] == 0
+    assert tab[25] == 1  # 0.04*25 = 1.0000000000000009 -> 1
+    tab1 = vops.mismatch_budget_table(1.0, 50)
+    assert tab1.max() == 0
+
+
+# ------------------------------------------------------------------- fuzz ---
+
+
+def _mk_readset(reads):
+    lmax = max((len(r) for r in reads), default=1)
+    codes, lengths = seqcodec.encode_rows([r.encode() for r in reads], lmax)
+    return ReadSet(
+        codes=codes,
+        lengths=lengths,
+        counts=np.ones(len(reads), dtype=np.int64),
+        names=[b"r%d" % i for i in range(len(reads))],
+        seqs=[r.encode() for r in reads],
+        num_total=len(reads),
+    ), lmax
+
+
+def _mk_targetset(genes):
+    gene_start = np.zeros(len(genes) + 1, dtype=np.int64)
+    for i, g in enumerate(genes):
+        gene_start[i + 1] = gene_start[i] + len(g)
+    if genes:
+        tcat = np.concatenate([seqcodec.encode(g.encode()) for g in genes])
+    else:
+        tcat = np.zeros(0, np.uint8)
+    return TargetSet(
+        tcat=tcat.astype(np.uint8),
+        gene_start=gene_start,
+        names=[b"g%d" % i for i in range(len(genes))],
+        lengths=np.diff(gene_start),
+    )
+
+
+def _run_engine(reads, genes, windows, width, pmatch, min_dinuc, max_rl, mmtol):
+    rs, lmax = _mk_readset(reads)
+    # Engine pads reads to MaxReadLength; emulate prep by re-padding.
+    codes = np.zeros((len(reads), max_rl), dtype=np.uint8)
+    codes[:, :lmax] = rs.codes[:, :lmax]
+    rs.codes = codes
+    ts = _mk_targetset(genes)
+    cfg = Config(
+        Windows=list(windows), WindowWidth=width, PMatch=pmatch,
+        MinDinuc=min_dinuc, MaxReadLength=max_rl, MMTol=mmtol,
+        MaxMatches=10**6, MatchMode="best",
+    )
+    mr = pipeline.run_matching(cfg, rs, ts)
+    return {
+        (int(r), int(g), int(s), int(nx))
+        for r, g, s, nx in zip(mr.read_row, mr.gene, mr.start, mr.nmiss)
+    }
+
+
+ALPHA = "ACGT"
+ALPHAX = "ACGTX"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_engine_matches_oracle(seed):
+    rng = random.Random(seed)
+    width = rng.choice([3, 4, 5, 8, 14, 16])  # incl. hashed-key widths > 13
+    nwin = rng.randint(1, 3)
+    windows = sorted(rng.sample(range(0, 12), nwin))
+    max_rl = rng.choice([20, 30, 120])
+    pmatch = rng.choice([1.0, 0.9, 0.8, 0.5])
+    min_dinuc = rng.choice([0, 1, 2])
+    mmtol = rng.choice([0, 1, 3])
+    alpha = ALPHAX if rng.random() < 0.4 else ALPHA
+
+    # Build genes, then derive some reads from gene fragments (guaranteeing
+    # near-matches), plus random reads.
+    genes = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(width, 60)))
+        for _ in range(rng.randint(1, 8))
+    ]
+    reads = []
+    for _ in range(rng.randint(1, 12)):
+        if rng.random() < 0.7 and genes:
+            g = rng.choice(genes)
+            if len(g) >= width + 1:
+                a = rng.randrange(0, len(g) - width)
+                b = rng.randrange(a + width, min(len(g), a + max_rl) + 1)
+                frag = list(g[a:b])
+                for _ in range(rng.randint(0, 2)):  # sprinkle mismatches
+                    frag[rng.randrange(len(frag))] = rng.choice(alpha)
+                reads.append("".join(frag))
+                continue
+        reads.append("".join(rng.choice(alpha) for _ in range(rng.randint(width, 25))))
+    reads = [r[:max_rl] for r in reads]
+
+    exp = oracle_match(reads, genes, windows, width, pmatch, min_dinuc, max_rl, mmtol)
+
+    # The engine aborts when a window seeds no reads (reference behavior);
+    # the oracle has no such abort — skip those draws.
+    q2max = max(windows) + width
+    for q1 in windows:
+        if not any(
+            len(r) >= q1 + width
+            and __import__("oracle").dinuc_count(r[q1 : q1 + width]) >= min_dinuc
+            for r in reads
+        ):
+            pytest.skip("window seeds no reads; engine aborts by contract")
+
+    got = _run_engine(reads, genes, windows, width, pmatch, min_dinuc, max_rl, mmtol)
+    assert got == exp, (
+        f"seed={seed} width={width} windows={windows} pmatch={pmatch} "
+        f"min_dinuc={min_dinuc} mmtol={mmtol}\nonly_engine={got-exp}\nonly_oracle={exp-got}"
+    )
+
+
+def test_pos0_quirk_long_read():
+    """A read longer than 100 matching at target position 0 via window
+    offset 0 is dropped (the reference's hard-coded jz=100-q2 right-tail
+    cap, cmd/muscato_screen/main.go:305), but found at position > 0."""
+    width = 8
+    read = "".join("ACGT"[(i * 7 + 3) % 4] for i in range(120))
+    gene_hit_at_0 = read + "ACGTACGT" * 5  # read at p_local 0
+    gene_hit_at_2 = "GG" + read + "ACGTACGT" * 5  # read at p_local 2
+    got = _run_engine(
+        [read], [gene_hit_at_0, gene_hit_at_2], [0], width, 1.0, 0, 200, 0
+    )
+    exp = oracle_match(
+        [read], [gene_hit_at_0, gene_hit_at_2], [0], width, 1.0, 0, 200, 0
+    )
+    assert got == exp
+    assert (0, 1, 2, 0) in got  # found at offset 2
+    assert (0, 0, 0, 0) not in got  # suppressed by the pos-0 cap
