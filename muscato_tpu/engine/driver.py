@@ -62,7 +62,27 @@ def _setup_logging(cfg: Config) -> logging.Logger:
     return logger
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeated runs skip recompiles.
+
+    Opt-in via MUSCATO_COMPILE_CACHE=<dir>: helpful on standard TPU hosts,
+    but must stay off by default — remote-compile relay backends (axon)
+    stall when executable serialization is requested.
+    """
+    cache_dir = os.environ.get("MUSCATO_COMPILE_CACHE", "")
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:  # cache is an optimization; never fail a run over it
+        pass
+
+
 def run(cfg: Config) -> None:
+    _enable_compile_cache()
     make_run_dirs(cfg)
     logger = _setup_logging(cfg)
     cfg.save(os.path.join(cfg.LogDir, "config.json"))
