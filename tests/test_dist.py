@@ -1,0 +1,121 @@
+"""Sharded-path tests: N-device output must equal the single-device output.
+
+Runs on 8 virtual CPU devices (conftest sets
+--xla_force_host_platform_device_count=8).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from muscato_tpu.config import Config
+from muscato_tpu.engine import pipeline
+from muscato_tpu.io import seqcodec
+from muscato_tpu.io.reads import ReadSet
+from muscato_tpu.io.targets import TargetSet
+from muscato_tpu.parallel import mesh as pmesh
+
+
+def _mk_sets(rng, n_reads, n_genes, width, max_rl):
+    genes = [
+        "".join(rng.choice(list("ACGT"), size=rng.integers(width, 80)))
+        for _ in range(n_genes)
+    ]
+    reads = []
+    for _ in range(n_reads):
+        g = genes[rng.integers(len(genes))]
+        if len(g) > width + 2 and rng.random() < 0.8:
+            a = int(rng.integers(0, len(g) - width))
+            b = int(rng.integers(a + width, min(len(g), a + max_rl) + 1))
+            frag = list(g[a:b])
+            for _ in range(int(rng.integers(0, 3))):
+                frag[int(rng.integers(len(frag)))] = "ACGT"[int(rng.integers(4))]
+            reads.append("".join(frag))
+        else:
+            reads.append("".join(rng.choice(list("ACGT"), size=width + 5)))
+
+    codes, lengths = seqcodec.encode_rows([r.encode() for r in reads], max_rl)
+    rs = ReadSet(
+        codes=codes, lengths=lengths,
+        counts=np.ones(len(reads), np.int64),
+        names=[b"r%d" % i for i in range(len(reads))],
+        seqs=[r.encode() for r in reads], num_total=len(reads),
+    )
+    gene_start = np.zeros(len(genes) + 1, np.int64)
+    for i, g in enumerate(genes):
+        gene_start[i + 1] = gene_start[i] + len(g)
+    ts = TargetSet(
+        tcat=np.concatenate([seqcodec.encode(g.encode()) for g in genes]),
+        gene_start=gene_start,
+        names=[b"g%d" % i for i in range(len(genes))],
+        lengths=np.diff(gene_start),
+    )
+    return rs, ts
+
+
+@pytest.mark.parametrize("dp,mp", [(1, 8), (2, 4), (8, 1), (4, 2)])
+def test_sharded_equals_single(dp, mp):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    rng = np.random.default_rng(dp * 31 + mp)
+    width = 6
+    max_rl = 40
+    cfg = Config(
+        Windows=[0, 4], WindowWidth=width, PMatch=0.9, MinDinuc=1,
+        MaxReadLength=max_rl, MMTol=1, MaxMatches=10**6, MatchMode="best",
+    )
+    rs, ts = _mk_sets(rng, n_reads=40, n_genes=12, width=width, max_rl=max_rl)
+
+    single = pipeline.run_matching(cfg, rs, ts)
+    expected = set(
+        zip(single.read_row.tolist(), single.gene.tolist(),
+            single.start.tolist(), single.nmiss.tolist())
+    )
+
+    mesh = pmesh.make_mesh(dp, mp)
+    sidx = pmesh.shard_targets(ts, width, mp)
+    r, g, s, nx, k = pmesh.sharded_match_arrays(
+        cfg, rs.codes, rs.lengths, sidx, mesh, pair_cap=1 << 12, surv_cap=1 << 10
+    )
+    mr = pipeline._dedup_and_rank(cfg, r, g, s, nx)
+    got = set(
+        zip(mr.read_row.tolist(), mr.gene.tolist(),
+            mr.start.tolist(), mr.nmiss.tolist())
+    )
+    assert got == expected
+
+
+def test_shard_targets_partition():
+    rng = np.random.default_rng(7)
+    _, ts = _mk_sets(rng, 1, 10, 5, 20)
+    sidx = pmesh.shard_targets(ts, 5, 4)
+    # Every gene appears in exactly one shard; bases are contiguous.
+    bases = np.asarray(sidx.gene_base)
+    assert bases[0] == 0
+    assert np.all(np.diff(bases) >= 0)
+
+
+def test_overflow_detection():
+    rng = np.random.default_rng(3)
+    cfg = Config(
+        Windows=[0], WindowWidth=4, PMatch=1.0, MinDinuc=0,
+        MaxReadLength=20, MMTol=0, MaxMatches=10**6, MatchMode="best",
+    )
+    # Low-entropy data: every window matches everywhere -> pair blowup.
+    reads = ["AAAAAAAA"] * 8
+    genes = ["A" * 60] * 4
+    codes, lengths = seqcodec.encode_rows([r.encode() for r in reads], 20)
+    gene_start = np.zeros(5, np.int64)
+    for i, g in enumerate(genes):
+        gene_start[i + 1] = gene_start[i] + len(g)
+    ts = TargetSet(
+        tcat=np.concatenate([seqcodec.encode(g.encode()) for g in genes]),
+        gene_start=gene_start, names=[b"g%d" % i for i in range(4)],
+        lengths=np.diff(gene_start),
+    )
+    mesh = pmesh.make_mesh(1, 2)
+    sidx = pmesh.shard_targets(ts, 4, 2)
+    with pytest.raises(ValueError, match="capacity exceeded"):
+        pmesh.sharded_match_arrays(
+            cfg, codes, lengths, sidx, mesh, pair_cap=16, surv_cap=8
+        )
