@@ -1,0 +1,103 @@
+"""Synthetic benchmark data generator.
+
+Replicates the semantics of muscato_gendat
+(/root/reference/cmd/muscato_gendat/main.go): NumRead random reads of
+ReadLen; in the first half of the NumGene genes, gene i carries an exact
+copy of read i%10 starting at offset i%10, the rest random; the second half
+is fully random.  Outputs reads.fastq (name lines "read_<i>", quality
+'!'*len) and genes.txt.sz ("gene_<i>\\tseq" text, snappy framed).
+
+The RNG is numpy (seeded) rather than Go's math/rand; the workload shape —
+not the exact bytes — is the contract here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..io import sz
+
+_BASES = np.frombuffer(b"ATGC", dtype=np.uint8)
+
+
+def generate(
+    num_read: int,
+    read_len: int,
+    num_gene: int,
+    gene_len: int,
+    out_dir: str = ".",
+    seed: int = 0,
+) -> tuple[str, str]:
+    if num_read < 10:
+        raise ValueError("num_read must be at least 10")
+    rng = np.random.default_rng(seed)
+
+    read_mat = _BASES[rng.integers(0, 4, size=(num_read, read_len))]
+    reads_path = os.path.join(out_dir, "reads.fastq")
+    qual = b"!" * read_len
+    with open(reads_path, "wb") as f:
+        for i in range(num_read):
+            f.write(b"read_%d\n%s\n+\n%s\n" % (i, read_mat[i].tobytes(), qual))
+
+    genes_path = os.path.join(out_dir, "genes.txt.sz")
+    out = bytearray()
+    planted = read_mat[:10]
+    for i in range(num_gene):
+        seq = _BASES[rng.integers(0, 4, size=gene_len)]
+        if i < num_gene // 2:
+            j = i % 10
+            end = min(gene_len, j + read_len)
+            seq[j:end] = planted[j][: end - j]
+        out += b"gene_%d\t" % i + seq.tobytes() + b"\n"
+    sz.write_bytes(genes_path, bytes(out))
+    return reads_path, genes_path
+
+
+def generate_arrays(
+    num_read: int,
+    read_len: int,
+    num_gene: int,
+    gene_len: int,
+    seed: int = 0,
+):
+    """In-memory variant for benchmarking: returns (ReadSet, TargetSet)
+    without touching disk."""
+    from ..io.reads import ReadSet
+    from ..io.seqcodec import _B2C, decode
+    from ..io.targets import TargetSet
+
+    rng = np.random.default_rng(seed)
+    read_bytes = _BASES[rng.integers(0, 4, size=(num_read, read_len))]
+    codes = _B2C[read_bytes]
+
+    # Dedup like prep does (byte sort over fixed-width rows).
+    view = read_bytes.view([("s", f"S{read_len}")]).ravel()
+    uniq, inv, counts = np.unique(view, return_inverse=True, return_counts=True)
+    ucodes = _B2C[np.frombuffer(uniq.tobytes(), dtype=np.uint8).reshape(-1, read_len)]
+    rs = ReadSet(
+        codes=ucodes,
+        lengths=np.full(len(uniq), read_len, np.int32),
+        counts=counts.astype(np.int64),
+        names=[b"read_u%d" % i for i in range(len(uniq))],
+        seqs=[bytes(u[0]) for u in uniq],
+        num_total=num_read,
+    )
+
+    genes = _B2C[_BASES[rng.integers(0, 4, size=(num_gene, gene_len))]]
+    half = num_gene // 2
+    for i in range(min(half, 10 * ((half + 9) // 10))):
+        if i >= half:
+            break
+        j = i % 10
+        end = min(gene_len, j + read_len)
+        genes[i, j:end] = codes[j][: end - j]
+    gene_start = np.arange(num_gene + 1, dtype=np.int64) * gene_len
+    ts = TargetSet(
+        tcat=genes.reshape(-1),
+        gene_start=gene_start,
+        names=[b"gene_%d" % i for i in range(num_gene)],
+        lengths=np.diff(gene_start),
+    )
+    return rs, ts

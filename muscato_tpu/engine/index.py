@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.targets import TargetSet
+from ..ops import search as sops
 from ..ops import windows as winops
 
 INVALID_KEY = np.uint32(0xFFFFFFFF)
@@ -44,11 +45,16 @@ INVALID_KEY = np.uint32(0xFFFFFFFF)
 @dataclass
 class TargetIndex:
     tcat: jnp.ndarray
+    tpacked: jnp.ndarray  # nibble-packed stream for the SWAR verify kernel
     gene_of: jnp.ndarray
     gene_start: jnp.ndarray
     gene_len: jnp.ndarray
     skeys: jnp.ndarray
+    skeys2: jnp.ndarray  # second hash word (zeros for width <= 13)
     spos: jnp.ndarray
+    srun: jnp.ndarray  # run length of the (key1,key2) group starting here
+    sbucket: jnp.ndarray  # (2**16+1,) int32 per-bucket search bounds
+    probe_steps: int  # binary-search steps covering the largest bucket
     width: int
     num_valid: int
 
@@ -61,6 +67,11 @@ class TargetIndex:
 def _index_arrays(tcat, gene_of, width):
     s = tcat.shape[0]
     keys = winops.sliding_window_keys(tcat, width)
+    if winops.uses_second_key(width):
+        keys2 = winops.sliding_window_keys(tcat, width, winops.HASH_MULT2)
+    else:
+        # Exact single-word keys: the second word is unused ballast.
+        keys2 = jnp.zeros(s, dtype=jnp.uint32)
     pos = jnp.arange(s, dtype=jnp.int32)
     # Window must end inside the same gene.
     end = jnp.minimum(pos + width - 1, s - 1)
@@ -68,21 +79,74 @@ def _index_arrays(tcat, gene_of, width):
     # Invalid slots sort to the top with an all-ones key; the valid prefix
     # is a contiguous sorted run.
     sort_keys = jnp.where(valid, keys, jnp.uint32(INVALID_KEY))
+    sort_keys2 = jnp.where(valid, keys2, jnp.uint32(INVALID_KEY))
     # A real key may equal INVALID_KEY only for hashed (wide) windows; the
     # verify-side window equality check makes a dropped/extra candidate at
-    # that single key value impossible to observe for exact widths and
-    # vanishingly unlikely otherwise; we additionally keep validity as a
-    # sort operand so no valid entry is lost (invalid entries carry pos=-1).
+    # that key value impossible to observe for exact widths and vanishingly
+    # unlikely otherwise; invalid entries carry pos=-1 which the verify
+    # kernel rejects.
     spos = jnp.where(valid, pos, jnp.int32(-1))
     invalid_rank = (~valid).astype(jnp.int32)
-    skeys, rank, spos = jax.lax.sort(
-        (sort_keys, invalid_rank, spos), num_keys=3, dimension=0
+    skeys, skeys2, rank, spos = jax.lax.sort(
+        (sort_keys, sort_keys2, invalid_rank, spos), num_keys=4, dimension=0
     )
+    srun = _run_lengths(skeys, skeys2)
     nvalid = jnp.sum(valid.astype(jnp.int32))
-    return skeys, spos, nvalid
+    return skeys, skeys2, spos, srun, nvalid
 
 
-def build_target_index(ts: TargetSet, width: int) -> TargetIndex:
+def _run_lengths(skeys, skeys2):
+    """srun[i] = length of the equal-(key1,key2) run starting at i (only
+    meaningful at run starts, which is all a 'left' search can return)."""
+    n = skeys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new_run = jnp.concatenate(
+        [jnp.ones(1, bool), (skeys[1:] != skeys[:-1]) | (skeys2[1:] != skeys2[:-1])]
+    )
+    run_start = jax.lax.cummax(jnp.where(new_run, idx, 0))
+    is_end = jnp.concatenate([new_run[1:], jnp.ones(1, bool)])
+    run_end = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(is_end, idx, n - 1))))
+    return (run_end - run_start + 1).astype(jnp.int32)
+
+
+def _host_index_arrays(tcat: np.ndarray, gene_of: np.ndarray, width: int):
+    """NumPy twin of _index_arrays — identical results, no XLA compile.
+
+    The device path exists for very large shards where the sort should run
+    in HBM; for everything else the host build is faster end-to-end because
+    it avoids a large one-time compilation.
+    """
+    s = len(tcat)
+    mult = np.uint32(winops.key_multiplier(width))
+    padded = np.concatenate([tcat.astype(np.uint32), np.zeros(width - 1, np.uint32)])
+    with np.errstate(over="ignore"):
+        keys = np.zeros(s, np.uint32)
+        for i in range(width):
+            keys = keys * mult + padded[i : i + s]
+        if winops.uses_second_key(width):
+            keys2 = np.zeros(s, np.uint32)
+            m2 = np.uint32(winops.HASH_MULT2)
+            for i in range(width):
+                keys2 = keys2 * m2 + padded[i : i + s]
+        else:
+            keys2 = np.zeros(s, np.uint32)
+    pos = np.arange(s, dtype=np.int32)
+    end = np.minimum(pos + width - 1, s - 1)
+    valid = (pos + width - 1 < s) & (gene_of[end] == gene_of)
+    k1 = np.where(valid, keys, INVALID_KEY)
+    k2 = np.where(valid, keys2, INVALID_KEY)
+    rank = (~valid).astype(np.int32)
+    spos = np.where(valid, pos, np.int32(-1))
+    order = np.lexsort((spos, rank, k2, k1))
+    k1, k2, spos = k1[order], k2[order], spos[order]
+    new_run = np.concatenate([[True], (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])])
+    run_id = np.cumsum(new_run) - 1
+    counts = np.bincount(run_id)
+    srun = counts[run_id].astype(np.int32)
+    return k1, k2, spos, srun, int(valid.sum())
+
+
+def build_target_index(ts: TargetSet, width: int, device_build: bool = False) -> TargetIndex:
     """Compile a TargetSet into a device-resident TargetIndex."""
     s = int(ts.gene_start[-1])
     gene_start = np.asarray(ts.gene_start, dtype=np.int64)
@@ -95,15 +159,47 @@ def build_target_index(ts: TargetSet, width: int) -> TargetIndex:
         np.arange(len(ts.names), dtype=np.int32), np.diff(gene_start)
     )
     tcat = jnp.asarray(ts.tcat)
-    gene_of = jnp.asarray(gene_of_np)
-    skeys, spos, nvalid = _index_arrays(tcat, gene_of, width)
+    upshift = sops.bucket_shift(width)
+    if device_build:
+        gene_of = jnp.asarray(gene_of_np)
+        skeys, skeys2, spos, srun, nvalid = _index_arrays(tcat, gene_of, width)
+        nvalid = int(nvalid)
+        # Drop the invalid tail: it would pile into the last bucket and
+        # inflate the probe's worst-case search depth.
+        nkeep = max(1, nvalid)
+        skeys, skeys2 = skeys[:nkeep], skeys2[:nkeep]
+        spos, srun = spos[:nkeep], srun[:nkeep]
+        scaled = (skeys << jnp.uint32(upshift)) >> jnp.uint32(16)
+        bucket = jnp.searchsorted(
+            scaled, jnp.arange(sops.NUM_BUCKETS + 1, dtype=jnp.uint32)
+        ).astype(jnp.int32)
+        probe_steps = max(1, int(jnp.max(jnp.diff(bucket))).bit_length())
+    else:
+        skeys, skeys2, spos, srun, nvalid = _host_index_arrays(
+            np.asarray(ts.tcat), gene_of_np, width
+        )
+        gene_of = jnp.asarray(gene_of_np)
+        nkeep = max(1, nvalid)
+        skeys, skeys2 = skeys[:nkeep], skeys2[:nkeep]
+        spos, srun = spos[:nkeep], srun[:nkeep]
+        bucket, probe_steps = sops.build_buckets_host(skeys, upshift)
+        bucket = jnp.asarray(bucket)
+        skeys, skeys2 = jnp.asarray(skeys), jnp.asarray(skeys2)
+        spos, srun = jnp.asarray(spos), jnp.asarray(srun)
+    from ..ops import packed as pops
+
     return TargetIndex(
         tcat=tcat,
+        tpacked=pops.pack_stream(np.asarray(ts.tcat)),
         gene_of=gene_of,
         gene_start=jnp.asarray(gene_start.astype(np.int32)),
         gene_len=jnp.asarray(np.diff(gene_start).astype(np.int32)),
         skeys=skeys,
+        skeys2=skeys2,
         spos=spos,
+        srun=srun,
+        sbucket=bucket,
+        probe_steps=probe_steps,
         width=width,
-        num_valid=int(nvalid),
+        num_valid=nvalid,
     )

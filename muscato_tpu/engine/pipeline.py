@@ -30,8 +30,10 @@ import numpy as np
 from ..config import Config
 from ..io.reads import ReadSet
 from ..io.targets import TargetSet
+from ..ops import fused
+from ..ops import packed as packed_ops
+from ..ops import search as sops
 from ..ops import verify as vops
-from ..ops import windows as winops
 from .index import TargetIndex, build_target_index
 
 logger = logging.getLogger("muscato.pipeline")
@@ -51,6 +53,13 @@ def _round_up(n: int, to: int) -> int:
     return max(to, -(-n // to) * to)
 
 
+def _window_has_reads(rs: ReadSet, q1: int, width: int, min_dinuc: int) -> bool:
+    """The reference's per-window abort counts reads passing the *length*
+    gate only (cmd/muscato_window_reads/main.go:108-112 increments before
+    the entropy check)."""
+    return bool(np.any(rs.lengths >= q1 + width))
+
+
 def run_matching(
     cfg: Config,
     rs: ReadSet,
@@ -64,80 +73,57 @@ def run_matching(
 
 def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchResult:
     width = cfg.WindowWidth
-    codes = jnp.asarray(rs.codes)
-    lengths = jnp.asarray(rs.lengths)
+    # Trim the read matrix to the longest actual read (padded to the lane
+    # width) — verify cost is linear in the column count.
+    l_eff = int(max(int(rs.lengths.max(initial=0)), width))
+    l_eff = min(_round_up(l_eff, 128), rs.codes.shape[1]) or rs.codes.shape[1]
+    cache = getattr(rs, "_dev_cache", None)
+    if cache is not None and cache[0] == l_eff:
+        _, codes, rpacked, lengths = cache
+    else:
+        codes = jnp.asarray(rs.codes[:, :l_eff])
+        rpacked = packed_ops.pack_rows(codes)
+        lengths = jnp.asarray(rs.lengths)
+        rs._dev_cache = (l_eff, codes, rpacked, lengths)
     budget = jnp.asarray(vops.mismatch_budget_table(cfg.PMatch, cfg.MaxReadLength))
 
-    pair_chunk = cfg.MaxPairChunk or (1 << 20)
+    pair_chunk = cfg.MaxPairChunk or (1 << 17)
+    surv_cap = 1 << 16
+    q1s = jnp.asarray(np.asarray(cfg.Windows, dtype=np.int32))
 
-    surv_r, surv_g, surv_s, surv_nx, surv_grp, surv_win = [], [], [], [], [], []
-
+    # The reference aborts when a window seeds no reads
+    # (cmd/muscato_window_reads/main.go:143-151).
     for k, q1 in enumerate(cfg.Windows):
-        rkeys, rvalid = winops.read_window_table(
-            codes, lengths, q1, width, cfg.MinDinuc
-        )
-        nvalid = int(jnp.sum(rvalid))
-        # The reference aborts when a window seeds no reads
-        # (cmd/muscato_window_reads/main.go:143-151).
-        if nvalid == 0:
+        if not _window_has_reads(rs, q1, width, cfg.MinDinuc):
             raise SystemExit(f"Window {k} produced no valid reads, exiting")
 
-        rows = np.flatnonzero(np.asarray(rvalid)).astype(np.int32)
-        keys_h = np.asarray(rkeys)[rows]
-        # Sort probing reads by key so pairs of one k-mer group are
-        # contiguous; secondary row order keeps determinism.
-        order = np.lexsort((rows, keys_h))
-        rows, keys_h = rows[order], keys_h[order]
-
-        read_rows = jnp.asarray(rows)
-        lo, hi = vops.probe_ranges(index.skeys, jnp.asarray(keys_h))
-        counts = hi - lo
-        total_pairs = int(jnp.sum(counts))
-        logger.info(
-            "window %d (offset %d): %d probing reads, %d candidate pairs",
-            k, q1, nvalid, total_pairs,
+    while True:
+        buf, nsurv, total = fused.match_windows(
+            codes, rpacked, lengths, q1s,
+            index.skeys, index.skeys2, index.spos,
+            index.tpacked, index.gene_of,
+            index.gene_start, index.gene_len, budget,
+            width=width, min_dinuc=cfg.MinDinuc,
+            max_read_length=cfg.MaxReadLength,
+            pair_chunk=pair_chunk, surv_cap=surv_cap,
         )
-        if total_pairs == 0:
-            continue
+        nsurv = int(nsurv)
+        if nsurv <= surv_cap:
+            break
+        # Overflow: grow to the next bucket and re-run.
+        while surv_cap < nsurv:
+            surv_cap *= 4
+    logger.info(
+        "windows %s: %d candidate pairs, %d verified",
+        cfg.Windows, int(total), nsurv,
+    )
 
-        # Group id of each probing read = dense id of its key run.
-        group_of_read = np.cumsum(
-            np.concatenate([[0], (keys_h[1:] != keys_h[:-1]).astype(np.int32)])
-        ).astype(np.int32)
-
-        for base in range(0, total_pairs, pair_chunk):
-            r, p, owner = vops.expand_pairs(
-                read_rows, lo, counts, index.spos,
-                jnp.asarray(base, dtype=jnp.int32), pair_chunk,
-            )
-            keep, nx, g, s = vops.verify_pairs(
-                r, p, codes, lengths,
-                index.tcat, index.gene_of, index.gene_start, index.gene_len,
-                budget, q1, width, cfg.MaxReadLength,
-            )
-            keep_h = np.asarray(keep)
-            idx = np.flatnonzero(keep_h)
-            if idx.size == 0:
-                continue
-            surv_r.append(np.asarray(r)[idx])
-            surv_g.append(np.asarray(g)[idx])
-            surv_s.append(np.asarray(s)[idx])
-            surv_nx.append(np.asarray(nx)[idx])
-            owner_h = np.asarray(owner)[idx]
-            surv_grp.append(group_of_read[owner_h])
-            surv_win.append(np.full(idx.size, k, dtype=np.int32))
-
-    if not surv_r:
+    if nsurv == 0:
         z = np.zeros(0, dtype=np.int32)
         return MatchResult(z, z, z, z)
 
-    r = np.concatenate(surv_r)
-    g = np.concatenate(surv_g)
-    s = np.concatenate(surv_s)
-    nx = np.concatenate(surv_nx)
-    grp = np.concatenate(surv_grp)
-    win = np.concatenate(surv_win)
-
+    rows = np.asarray(buf[: _round_up(nsurv, 1024)])[:nsurv]
+    r, g, s, nx, grp, win = (rows[:, i] for i in range(6))
     r, g, s, nx = _apply_max_matches(cfg, r, g, s, nx, grp, win)
     return _dedup_and_rank(cfg, r, g, s, nx)
 
@@ -146,15 +132,19 @@ def _apply_max_matches(cfg, r, g, s, nx, grp, win):
     """Per-(window, k-mer group) cap on emitted matches
     (cmd/muscato_confirm/main.go:236-242)."""
     mm = cfg.MaxMatches
-    gid = win.astype(np.int64) * (grp.max() + 1 if len(grp) else 1) + grp
-    order_cols = (r, s, g, gid) if cfg.MatchMode == "first" else (r, s, g, nx, gid)
-    order = np.lexsort(order_cols)  # last key is primary: group-major
-    gid_sorted = gid[order]
-    # rank within group
-    newgrp = np.concatenate([[True], gid_sorted[1:] != gid_sorted[:-1]])
+    if cfg.MatchMode == "first":
+        order_cols = (r, s, g, grp, win)
+    else:
+        order_cols = (r, s, g, nx, grp, win)
+    order = np.lexsort(order_cols)  # last key is primary: (window, group)-major
+    w_s, grp_s = win[order], grp[order]
+    # rank within (window, group)
+    newgrp = np.concatenate(
+        [[True], (w_s[1:] != w_s[:-1]) | (grp_s[1:] != grp_s[:-1])]
+    )
     grp_ix = np.cumsum(newgrp) - 1
     first_of_grp = np.flatnonzero(newgrp)
-    rank = np.arange(len(gid_sorted)) - first_of_grp[grp_ix]
+    rank = np.arange(len(grp_s)) - first_of_grp[grp_ix]
     keep = rank < mm
     kept = order[keep]
     return r[kept], g[kept], s[kept], nx[kept]

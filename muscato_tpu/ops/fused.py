@@ -1,0 +1,274 @@
+"""Fused matching kernels: probe and expand/verify, two device dispatches.
+
+The matching stage runs as two jitted programs with no host round trip
+between them (results flow device-to-device):
+
+  probe_windows    window extraction + entropy gate + sort-merge join of
+                   read window keys against the target-window index
+  expand_verify    chunked pair expansion + SWAR verification + on-device
+                   compaction into one survivor buffer
+
+Probe design — a *sort-merge join*, not a binary search.  On this hardware
+class, XLA sorts run near memory bandwidth (radix) while dynamic gathers
+run at well under 1 GB/s, so a probe built from log2(V) dependent gathers
+per query loses badly to one sort.  The join is:
+
+  1. concatenate (index keys, tag=0) with (query keys, tag=1 valid /
+     tag=2 length-or-entropy-rejected) and sort by (key1, key2, tag) —
+     index entries precede the queries that equal them;
+  2. ie[j] = number of index entries before merged position j (a cumsum),
+     L[j] = ie at the start of j's equal-key segment (a cummax over
+     segment starts — valid because ie is nondecreasing);
+  3. for a valid query at j: its candidate run in the index is
+     [L[j], L[j] + (ie[j] - L[j])) — counts fall out positionally, with
+     no lookups and no run-length table.
+
+One sort + one cumsum + one cummax replaces every per-query search gather.
+Pair expansion then walks the merged order directly (the downstream
+dedup/rank canonicalizes order, so queries are never un-sorted).
+
+Other measured design points:
+
+  - two programs instead of one: XLA assigns scoped VMEM per program; a
+    single monolithic program starved the gathers down to 8KB staging;
+  - window offsets arrive as a traced (K,) vector over a flattened (K*R,)
+    query space — one executable serves any K-window run;
+  - the entropy gate counts distinct dinucleotides with a 25-bit
+    presence-mask + popcount (utils.CountDinuc semantics,
+    /root/reference/utils/entropy.go:5-40);
+  - pairs are expanded in fixed-size chunks inside a device while_loop
+    (dynamic trip count) and verified by the SWAR kernel (ops/packed.py)
+    with a per-lane window offset;
+  - survivors are compacted on device by prefix-sum scatter into one
+    (surv_cap, 6) buffer of rows (read, gene, start, nmiss, group, window);
+    the host fetches the count and the filled prefix only;
+  - capacity overflow is reported, never silently truncated — the caller
+    re-runs with a larger bucket.
+
+`group` is the read's window key bit-cast to int32 — the identity of the
+reference's per-k-mer group for the MaxMatches cap
+(cmd/muscato_confirm/main.go:171-250 processes one k-mer group per
+searchpairs call).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import packed as pops
+from . import windows as winops
+
+NCOL = 6  # r, g, s, nx, group, window
+
+# On TPU, XLA may offload large gathers/scatters/sorts to the SparseCore;
+# keep these kernels on the TensorCore.
+_TPU_COMPILER_OPTIONS = {
+    "xla_tpu_offload_gather_to_sparsecore": "false",
+    "xla_tpu_enable_offloading_scatter_to_sparsecore": "false",
+    "xla_tpu_enable_offloading_sort_to_sparsecore": "false",
+}
+
+_jit_cache = {}
+
+
+def _tpu_jit(fn, static):
+    key = fn.__name__
+    if key not in _jit_cache:
+        opts = None if jax.default_backend() == "cpu" else _TPU_COMPILER_OPTIONS
+        _jit_cache[key] = jax.jit(fn, static_argnames=static, compiler_options=opts)
+    return _jit_cache[key]
+
+
+def _horner(win: jnp.ndarray, mult) -> jnp.ndarray:
+    """Fold the last axis into a key with multiplier `mult`."""
+    key = jnp.zeros(win.shape[:-1], dtype=jnp.uint32)
+    for i in range(win.shape[-1]):
+        key = key * mult + win[..., i]
+    return key
+
+
+def _probe_windows_impl(
+    codes, lengths, q1s, skeys, skeys2,
+    *, width, min_dinuc,
+):
+    """Sort-merge probe over the flat (K*R,) query space.
+
+    Returns merged-order arrays of length M = V + K*R:
+      counts_m  candidate count of the query at each merged slot (0 for
+                index entries and rejected queries)
+      lo_m      start of the query's candidate run in the index
+      qid_m     flat (window*R + read) query id, -1 for index entries
+      key_m     key1 at each slot (the k-mer group identity)
+    """
+    nreads, lmax = codes.shape
+    nwin = q1s.shape[0]
+    nflat = nwin * nreads
+    use_k2 = winops.uses_second_key(width)
+
+    cols = jnp.clip(q1s[:, None] + jnp.arange(width)[None, :], 0, lmax - 1)
+    win = codes[:, cols].transpose(1, 0, 2).astype(jnp.uint32)  # (K, R, W)
+    key = _horner(win, winops.key_multiplier(width))  # (K, R)
+    key2 = _horner(win, winops.HASH_MULT2) if use_k2 else jnp.zeros_like(key)
+    valid = lengths[None, :] >= q1s[:, None] + width  # (K, R)
+    if min_dinuc > 0:
+        # 25-bit dinucleotide presence mask + popcount == CountDinuc.
+        bits = jnp.zeros(win.shape[:2], dtype=jnp.uint32)
+        for i in range(width - 1):
+            pr = win[:, :, i] * jnp.uint32(winops.NBASE) + win[:, :, i + 1]
+            bits = bits | (jnp.uint32(1) << pr)
+        valid = valid & (lax.population_count(bits).astype(jnp.int32) >= min_dinuc)
+
+    keyf = key.reshape(nflat)
+    key2f = key2.reshape(nflat)
+    validf = valid.reshape(nflat)
+
+    nidx = skeys.shape[0]
+    m1 = jnp.concatenate([skeys, keyf])
+    m2 = jnp.concatenate([skeys2, key2f])
+    tag = jnp.concatenate(
+        [
+            jnp.zeros(nidx, jnp.int32),
+            jnp.where(validf, jnp.int32(1), jnp.int32(2)),
+        ]
+    )
+    pay = jnp.concatenate(
+        [
+            jnp.arange(nidx, dtype=jnp.int32),
+            jnp.arange(nflat, dtype=jnp.int32),
+        ]
+    )
+    m1s, m2s, tag_s, pay_s = lax.sort((m1, m2, tag, pay), num_keys=3)
+
+    seg = jnp.concatenate(
+        [
+            jnp.ones(1, bool),
+            (m1s[1:] != m1s[:-1]) | (m2s[1:] != m2s[:-1]),
+        ]
+    )
+    isq = (tag_s >= 1).astype(jnp.int32)
+    m = m1s.shape[0]
+    iota = jnp.arange(m, dtype=jnp.int32)
+    ie = iota - (jnp.cumsum(isq) - isq)  # index entries strictly before j
+    seg_ie = jax.lax.cummax(jnp.where(seg, ie, -1))  # ie at my segment start
+    counts_m = jnp.where(tag_s == 1, ie - seg_ie, 0).astype(jnp.int32)
+    lo_m = jnp.maximum(seg_ie, 0)
+    qid_m = jnp.where(isq > 0, pay_s, -1)
+
+    # Compact to the active (count > 0) slots so that consecutive pair
+    # owners are consecutive array slots — this bounds every expansion
+    # chunk's owner span by the chunk size.
+    inactive = (counts_m == 0).astype(jnp.int32)
+    _, counts_c, lo_c, qid_c, key_c = lax.sort(
+        (inactive, counts_m, lo_m, qid_m, m1s), num_keys=1, is_stable=True
+    )
+    return counts_c[:nflat], lo_c[:nflat], qid_c[:nflat], key_c[:nflat]
+
+
+def _expand_verify_impl(
+    counts_m, lo_m, qid_m, key_m, q1s, rpacked, lengths, spos, tpacked,
+    gene_of, gene_start, gene_len, budget,
+    *, nreads, width, max_read_length, pair_chunk, surv_cap,
+):
+    """Returns (surv (surv_cap, 6) int32, nsurv, total) — nsurv may exceed
+    surv_cap, signalling overflow.
+
+    The inputs are compacted: every slot with count > 0 precedes all empty
+    slots, so each chunk's owners occupy at most pair_chunk + 1 consecutive
+    slots and all per-chunk work is O(pair_chunk), independent of the query
+    count."""
+    m = counts_m.shape[0]
+    offsets = jnp.cumsum(counts_m)  # inclusive
+    total = offsets[-1]
+    offsets_excl = offsets - counts_m
+
+    span = pair_chunk + 1
+    # Pad the slot arrays so a span-sized dynamic_slice starting at any
+    # owner index stays in bounds.
+    counts_p = jnp.concatenate([counts_m, jnp.zeros(span, jnp.int32)])
+    oexcl_p = jnp.concatenate([offsets_excl, jnp.full(span, total, jnp.int32)])
+    qid_p = jnp.concatenate([qid_m, jnp.full(span, -1, jnp.int32)])
+    lo_p = jnp.concatenate([lo_m, jnp.zeros(span, lo_m.dtype)])
+    key_p = jnp.concatenate([key_m, jnp.zeros(span, key_m.dtype)])
+
+    nchunks = lax.div(total + (pair_chunk - 1), jnp.int32(pair_chunk))
+    buf = jnp.zeros((surv_cap, NCOL), dtype=jnp.int32)
+
+    def chunk_body(cstate):
+        ci, nsurv, buf = cstate
+        base = ci * pair_chunk
+        pid = base + jnp.arange(pair_chunk, dtype=jnp.int32)
+        # First owner of this chunk; its slot window is [ob, ob + span).
+        seed = jnp.searchsorted(offsets, base, side="right").astype(jnp.int32)
+        ob = jnp.minimum(seed, m)
+        counts_l = lax.dynamic_slice(counts_p, (ob,), (span,))
+        oexcl_l = lax.dynamic_slice(oexcl_p, (ob,), (span,))
+
+        # Owner of each pair lane, as a local slot id: scatter each slot's
+        # id at its run start within the chunk, forward-fill with cummax.
+        pos_in_chunk = oexcl_l - base
+        ok = (counts_l > 0) & (pos_in_chunk > 0) & (pos_in_chunk < pair_chunk)
+        lanes = jnp.full(pair_chunk, -1, jnp.int32)
+        lanes = lanes.at[jnp.where(ok, pos_in_chunk, pair_chunk + 1)].set(
+            jnp.arange(span, dtype=jnp.int32), mode="drop"
+        )
+        lanes = lanes.at[0].set(0)
+        owner = jnp.clip(lax.cummax(lanes), 0, span - 1)
+
+        qid = lax.dynamic_slice(qid_p, (ob,), (span,))[owner]
+        k_lane = jnp.maximum(qid, 0) // nreads
+        r_lane = jnp.maximum(qid, 0) - k_lane * nreads
+        q1_lane = q1s[k_lane]
+        start = oexcl_l[owner]
+        within = pid - start
+        lo_owner = lax.dynamic_slice(lo_p, (ob,), (span,))[owner]
+        site = spos[jnp.clip(lo_owner + within, 0, spos.shape[0] - 1)]
+        in_range = (pid < total) & (qid >= 0)
+        r = jnp.where(in_range, r_lane, -1)
+        p = jnp.where(in_range, site, -1)
+
+        keep, nx, g, s = pops.verify_pairs_packed(
+            r, p, rpacked, lengths, tpacked, gene_of, gene_start,
+            gene_len, budget, q1_lane, width, max_read_length,
+        )
+        grp = lax.dynamic_slice(key_p, (ob,), (span,))[owner].astype(jnp.int32)
+
+        pos = nsurv + jnp.cumsum(keep.astype(jnp.int32)) - 1
+        idx = jnp.where(keep, pos, surv_cap + 1)  # OOB rows are dropped
+        vals = jnp.stack([r, g, s, nx, grp, k_lane], axis=1)
+        buf = buf.at[idx].set(vals, mode="drop")
+        nsurv = nsurv + jnp.sum(keep.astype(jnp.int32))
+        return ci + 1, nsurv, buf
+
+    _, nsurv, buf = lax.while_loop(
+        lambda st: st[0] < nchunks, chunk_body, (jnp.int32(0), jnp.int32(0), buf)
+    )
+    return buf, nsurv, total
+
+
+def match_windows(
+    codes, rpacked, lengths, q1s, skeys, skeys2, spos,
+    tpacked, gene_of, gene_start, gene_len, budget,
+    *, width, min_dinuc, max_read_length, pair_chunk, surv_cap,
+):
+    """Probe + expand + verify + compact; two async device dispatches.
+
+    Returns (surv (surv_cap, 6) int32, nsurv, total_pairs).
+    """
+    probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))
+    counts_m, lo_m, qid_m, key_m = probe(
+        codes, lengths, q1s, skeys, skeys2,
+        width=width, min_dinuc=min_dinuc,
+    )
+    expand = _tpu_jit(
+        _expand_verify_impl,
+        ("nreads", "width", "max_read_length", "pair_chunk", "surv_cap"),
+    )
+    buf, nsurv, total = expand(
+        counts_m, lo_m, qid_m, key_m, q1s, rpacked, lengths, spos, tpacked,
+        gene_of, gene_start, gene_len, budget,
+        nreads=codes.shape[0], width=width, max_read_length=max_read_length,
+        pair_chunk=pair_chunk, surv_cap=surv_cap,
+    )
+    return buf, nsurv, total

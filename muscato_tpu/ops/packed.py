@@ -1,0 +1,166 @@
+"""Nibble-packed sequences and the SWAR verification kernel.
+
+The scalar verify (verify.py) gathers one byte per base — (pairs x readlen)
+elements.  Here sequences are packed 8 bases per uint32 (one 4-bit nibble
+per base, little-endian nibble order), so verification of a pair becomes
+
+  - a gather of ceil(L/8)+1 words from the packed target stream,
+  - a funnel shift to align the target diagonal to the read words,
+  - xor + nibble-nonzero SWAR + population_count to count mismatches.
+
+This cuts HBM gather traffic 8x and vector work ~16x versus the byte path.
+Results are bit-identical to verify.verify_pairs_dynq (fuzz-tested); the
+byte path remains as the readable reference implementation.
+
+Mismatch semantics (X==X equal, window region must match exactly, budget
+and fit rules) are unchanged — see verify.py for the reference file:line
+contract citations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+BASES_PER_WORD = 8
+_NIB1 = jnp.uint32(0x11111111)
+
+
+def packed_width(l: int) -> int:
+    return -(-l // BASES_PER_WORD)
+
+
+@partial(jax.jit, static_argnames=())
+def pack_rows(codes: jnp.ndarray) -> jnp.ndarray:
+    """(R, L) uint8 codes -> (R, ceil(L/8)) uint32, nibble-packed.
+
+    Pad columns (beyond each row's length) must already be zero; they are
+    masked during verification anyway.
+    """
+    nrows, l = codes.shape
+    nw = packed_width(l)
+    pad = nw * BASES_PER_WORD - l
+    if pad:
+        codes = jnp.pad(codes, ((0, 0), (0, pad)))
+    w = codes.reshape(nrows, nw, BASES_PER_WORD).astype(jnp.uint32)
+    shifts = jnp.arange(BASES_PER_WORD, dtype=jnp.uint32) * 4
+    return jnp.sum(w << shifts[None, None, :], axis=2, dtype=jnp.uint32)
+
+
+# Tail padding on the packed target stream: enough words that a full
+# max-length read slice starting at the last base stays in bounds
+# (supports MaxReadLength up to 4096).
+STREAM_PAD_WORDS = packed_width(4096) + 2
+
+
+def pack_stream(tcat: np.ndarray) -> jnp.ndarray:
+    """(S,) uint8 codes -> (ceil(S/8)+PAD,) uint32 with zero tail padding."""
+    s = len(tcat)
+    nw = packed_width(max(s, 1))
+    arr = np.zeros((nw + STREAM_PAD_WORDS) * BASES_PER_WORD, dtype=np.uint32)
+    arr[:s] = tcat
+    arr = arr.reshape(-1, BASES_PER_WORD)
+    shifts = (np.arange(BASES_PER_WORD, dtype=np.uint32) * 4).astype(np.uint32)
+    return jnp.asarray(np.sum(arr << shifts[None, :], axis=1, dtype=np.uint32))
+
+
+def _nibble_mask(k: jnp.ndarray) -> jnp.ndarray:
+    """Mask with the low `k` nibbles set (k in [0, 8]), elementwise."""
+    k = jnp.clip(k, 0, BASES_PER_WORD)
+    full = k >= BASES_PER_WORD
+    m = (jnp.uint32(1) << (k.astype(jnp.uint32) * 4)) - jnp.uint32(1)
+    return jnp.where(full, jnp.uint32(0xFFFFFFFF), m)
+
+
+def verify_pairs_packed(
+    r: jnp.ndarray,  # (P,) int32 read rows (-1 = inactive lane)
+    p: jnp.ndarray,  # (P,) int32 global window positions (-1 = inactive)
+    rpacked: jnp.ndarray,  # (R, NW) uint32 nibble-packed reads
+    lengths: jnp.ndarray,  # (R,) int32
+    tpacked: jnp.ndarray,  # (SW+2,) uint32 nibble-packed target stream
+    gene_of: jnp.ndarray,  # (S,) int32
+    gene_start: jnp.ndarray,  # (G+1,) int32
+    gene_len: jnp.ndarray,  # (G,) int32
+    budget: jnp.ndarray,  # (max_read_length+1,) int32
+    q1,  # int32 scalar or (P,) vector — window offset per pair lane
+    width: int,
+    max_read_length: int,
+):
+    """SWAR equivalent of verify.verify_pairs_dynq; returns (keep, nx, g, s).
+
+    q1 may vary per lane, so pairs from different windows can share one
+    verification dispatch.
+    """
+    nwords = rpacked.shape[1]
+    smax = gene_of.shape[0]
+    active = (r >= 0) & (p >= 0)
+    rc = jnp.clip(r, 0, rpacked.shape[0] - 1)
+    pc = jnp.clip(p, 0, smax - 1)
+    q1 = jnp.broadcast_to(jnp.asarray(q1, jnp.int32), r.shape)
+
+    g = gene_of[pc]
+    gstart = gene_start[g]
+    glen = gene_len[g]
+    p_local = pc - gstart
+    rlen = lengths[rc]
+
+    s_local = p_local - q1
+    left_ok = s_local >= 0
+
+    # Right-tail fit, incl. the reference's pos-0 cap quirk (see verify.py).
+    q2 = q1 + width
+    cap_norm = p_local + width + (max_read_length - q2)
+    cap_pos0 = jnp.int32(100 - q2)
+    is_pos0 = (p_local == 0) & (q1 == 0)
+    cap_abs = jnp.where(is_pos0, cap_pos0, cap_norm)
+    mrgt_len = jnp.minimum(glen, cap_abs) - (p_local + width)
+    srgt_len = rlen - q2
+    fit_ok = srgt_len <= mrgt_len
+
+    # ---- SWAR mismatch count over the aligned diagonal ----
+    d = pc - q1  # global read-start position
+    dc = jnp.maximum(d, 0)
+    base = dc >> 3  # dc // 8
+    rshift = (dc & 7).astype(jnp.uint32) * 4
+
+    # One contiguous (NW+1)-word slice per pair: lowers to a sliced gather,
+    # far faster than NW+1 independent element gathers.
+    basec = jnp.clip(base, 0, tpacked.shape[0] - (nwords + 1))
+    tw = jax.vmap(
+        lambda b: lax.dynamic_slice(tpacked, (b,), (nwords + 1,))
+    )(basec)  # (P, NW+1)
+    lowpart = tw[:, :-1] >> rshift[:, None]
+    hipart = jnp.where(
+        (rshift == 0)[:, None],
+        jnp.uint32(0),
+        tw[:, 1:] << (jnp.uint32(32) - rshift[:, None]),
+    )
+    taligned = lowpart | hipart  # (P, NW) target words on the read frame
+
+    rw = rpacked[rc]  # (P, NW)
+    x = taligned ^ rw
+
+    # Per-word masks from read length and window extent.
+    wordbase = jnp.arange(nwords, dtype=jnp.int32) * BASES_PER_WORD  # (NW,)
+    mask_len = _nibble_mask(rlen[:, None] - wordbase[None, :])  # (P, NW)
+    x = x & mask_len
+    nz = (x | (x >> 1) | (x >> 2) | (x >> 3)) & _NIB1  # 1 bit per differing base
+    nx = jnp.sum(lax.population_count(nz), axis=1).astype(jnp.int32)
+
+    win_mask = _nibble_mask(q2[:, None] - wordbase[None, :]) & ~_nibble_mask(
+        q1[:, None] - wordbase[None, :]
+    )
+    win_mm = jnp.sum(lax.population_count(nz & win_mask & _NIB1), axis=1)
+
+    keep = (
+        active
+        & left_ok
+        & fit_ok
+        & (win_mm == 0)
+        & (nx <= budget[jnp.clip(rlen, 0, budget.shape[0] - 1)])
+    )
+    return keep, nx, g.astype(jnp.int32), s_local.astype(jnp.int32)

@@ -80,8 +80,7 @@ def expand_pairs(
     )
 
 
-@partial(jax.jit, static_argnames=("q1", "width", "max_read_length"))
-def verify_pairs(
+def verify_pairs_dynq(
     r: jnp.ndarray,  # (P,) int32 read rows (-1 = inactive lane)
     p: jnp.ndarray,  # (P,) int32 global window positions (-1 = inactive)
     codes: jnp.ndarray,  # (R, Lmax) uint8
@@ -91,14 +90,15 @@ def verify_pairs(
     gene_start: jnp.ndarray,  # (G+1,) int32
     gene_len: jnp.ndarray,  # (G,) int32
     budget: jnp.ndarray,  # (Lmax+1,) int32 mismatch budget per read length
-    q1: int,
+    q1,  # int or traced int32 scalar
     width: int,
     max_read_length: int,
 ):
     """Verify each (read, site) pair; returns (keep, nx, g, s).
 
     g = gene index, s = read start within the gene (the reported `pos`,
-    confirm main.go:221-232 emits mpos - len(mlft)).
+    confirm main.go:221-232 emits mpos - len(mlft)).  q1 may be a traced
+    scalar so one executable serves all windows of a run.
     """
     q2 = q1 + width
     smax = tcat.shape[0]
@@ -145,6 +145,11 @@ def verify_pairs(
         & (nx <= budget[jnp.clip(rlen, 0, budget.shape[0] - 1)])
     )
     return keep, nx, g.astype(jnp.int32), s_local.astype(jnp.int32)
+
+
+verify_pairs = partial(jax.jit, static_argnames=("q1", "width", "max_read_length"))(
+    verify_pairs_dynq
+)
 
 
 def mismatch_budget_table(pmatch: float, max_read_length: int) -> np.ndarray:

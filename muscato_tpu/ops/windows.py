@@ -33,19 +33,29 @@ import numpy as np
 NBASE = 5
 EXACT_WIDTH_LIMIT = 13  # 5**13 = 1_220_703_125 < 2**31
 HASH_MULT = np.uint32(0x9E3779B1)  # odd => injective per-step mixing
+HASH_MULT2 = np.uint32(0x85EBCA77)  # second, decorrelated hash for wide windows
 
 
 def key_multiplier(width: int) -> np.uint32:
     return np.uint32(NBASE) if width <= EXACT_WIDTH_LIMIT else HASH_MULT
 
 
-def window_keys_at(codes: jnp.ndarray, q1: int, width: int) -> jnp.ndarray:
+def uses_second_key(width: int) -> bool:
+    """Wide windows pair the primary hash with a second 32-bit hash,
+    making the probe key effectively 64-bit (ops/search.py)."""
+    return width > EXACT_WIDTH_LIMIT
+
+
+def window_keys_at(
+    codes: jnp.ndarray, q1: int, width: int, mult: np.uint32 | None = None
+) -> jnp.ndarray:
     """Keys of the width-`width` window starting at column q1 of each row.
 
     codes: (R, L) uint8/int32.  Returns (R,) uint32.  Rows whose length is
     shorter than q1+width produce garbage keys; callers mask by length.
     """
-    mult = key_multiplier(width)
+    if mult is None:
+        mult = key_multiplier(width)
     w = codes[:, q1 : q1 + width].astype(jnp.uint32)
     key = jnp.zeros(codes.shape[0], dtype=jnp.uint32)
     for i in range(width):
@@ -53,13 +63,16 @@ def window_keys_at(codes: jnp.ndarray, q1: int, width: int) -> jnp.ndarray:
     return key
 
 
-def sliding_window_keys(tcat: jnp.ndarray, width: int) -> jnp.ndarray:
+def sliding_window_keys(
+    tcat: jnp.ndarray, width: int, mult: np.uint32 | None = None
+) -> jnp.ndarray:
     """Keys of the window starting at every position of a 1-D code array.
 
     tcat: (S,) uint8.  Returns (S,) uint32; the last width-1 entries read
     zero-padding and are masked out by validity downstream.
     """
-    mult = key_multiplier(width)
+    if mult is None:
+        mult = key_multiplier(width)
     s = tcat.shape[0]
     padded = jnp.concatenate([tcat.astype(jnp.uint32), jnp.zeros(width - 1, jnp.uint32)])
     key = jnp.zeros(s, dtype=jnp.uint32)

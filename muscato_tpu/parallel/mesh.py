@@ -33,6 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..io.targets import TargetSet
+from ..ops import search as sops
 from ..ops import verify as vops
 from ..ops import windows as winops
 from .. import config as config_mod
@@ -48,6 +49,7 @@ class ShardedIndex:
     gene_start: jnp.ndarray  # (mp, Gmax+1) int32
     gene_len: jnp.ndarray  # (mp, Gmax) int32
     skeys: jnp.ndarray  # (mp, Vmax) uint32, INVALID_KEY padded
+    skeys2: jnp.ndarray  # (mp, Vmax) uint32 second key word
     spos: jnp.ndarray  # (mp, Vmax) int32, -1 padded
     gene_base: jnp.ndarray  # (mp,) int32 first global gene id of the shard
     width: int
@@ -92,6 +94,7 @@ def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
     gene_len_p = np.zeros((num_shards, gmax), dtype=np.int32)
     gene_base = np.zeros(num_shards, dtype=np.int32)
     skeys_l: List[np.ndarray] = []
+    skeys2_l: List[np.ndarray] = []
     spos_l: List[np.ndarray] = []
 
     for si, (tcat, gene_of, gs, lo) in enumerate(shards):
@@ -106,10 +109,11 @@ def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
         gene_start_p[si, ng + 1 :] = gs[-1]
         gene_len_p[si, :ng] = np.diff(gs)
         gene_base[si] = lo
-        skeys, spos, _ = _index_arrays(
+        skeys, skeys2, spos, _srun, _ = _index_arrays(
             jnp.asarray(tcat_p[si]), jnp.asarray(gene_of_p[si]), width
         )
         skeys_l.append(np.asarray(skeys))
+        skeys2_l.append(np.asarray(skeys2))
         spos_l.append(np.asarray(spos))
 
     return ShardedIndex(
@@ -118,6 +122,7 @@ def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
         gene_start=jnp.asarray(gene_start_p),
         gene_len=jnp.asarray(gene_len_p),
         skeys=jnp.asarray(np.stack(skeys_l)),
+        skeys2=jnp.asarray(np.stack(skeys2_l)),
         spos=jnp.asarray(np.stack(spos_l)),
         gene_base=jnp.asarray(gene_base),
         width=width,
@@ -134,8 +139,9 @@ def make_mesh(dp: int, mp: int, devices=None) -> Mesh:
 
 
 def _shard_step(
-    codes, lengths, tcat, gene_of, gene_start, gene_len, skeys, spos, gene_base,
-    budget, *, windows, width, min_dinuc, max_read_length, pair_cap, surv_cap,
+    codes, lengths, tcat, gene_of, gene_start, gene_len, skeys, skeys2, spos,
+    gene_base, budget, *, windows, width, min_dinuc, max_read_length,
+    pair_cap, surv_cap,
 ):
     """Per-device body (runs under shard_map): probe + verify the local read
     block against the local index shard, then all_gather survivors."""
@@ -144,7 +150,7 @@ def _shard_step(
     # shard axis of size 1 per device, which we strip here.
     tcat, gene_of = tcat[0], gene_of[0]
     gene_start, gene_len = gene_start[0], gene_len[0]
-    skeys, spos, gene_base = skeys[0], spos[0], gene_base[0]
+    skeys, skeys2, spos, gene_base = skeys[0], skeys2[0], spos[0], gene_base[0]
 
     rl = codes.shape[0]
     rows = jnp.arange(rl, dtype=jnp.int32)
@@ -153,8 +159,13 @@ def _shard_step(
     overflow = jnp.int32(0)
     for k, q1 in enumerate(windows):
         keys, valid = winops.read_window_table(codes, lengths, q1, width, min_dinuc)
-        lo = jnp.searchsorted(skeys, keys, side="left").astype(jnp.int32)
-        hi = jnp.searchsorted(skeys, keys, side="right").astype(jnp.int32)
+        if winops.uses_second_key(width):
+            keys2 = winops.window_keys_at(codes, q1, width, winops.HASH_MULT2)
+            lo = sops.searchsorted2(skeys, skeys2, keys, keys2, side="left")
+            hi = sops.searchsorted2(skeys, skeys2, keys, keys2, side="right")
+        else:
+            lo = jnp.searchsorted(skeys, keys, side="left").astype(jnp.int32)
+            hi = jnp.searchsorted(skeys, keys, side="right").astype(jnp.int32)
         counts = jnp.where(valid, hi - lo, 0).astype(jnp.int32)
         total = jnp.sum(counts)
         overflow = jnp.maximum(overflow, (total > pair_cap).astype(jnp.int32))
@@ -244,6 +255,7 @@ def sharded_match_arrays(
             P("mp", None),  # gene_start
             P("mp", None),  # gene_len
             P("mp", None),  # skeys
+            P("mp", None),  # skeys2
             P("mp", None),  # spos
             P("mp"),  # gene_base
             P(),  # budget (replicated)
@@ -254,7 +266,7 @@ def sharded_match_arrays(
 
     surv, overflow = jax.jit(mapped)(
         codes, lengths, sidx.tcat, sidx.gene_of, sidx.gene_start, sidx.gene_len,
-        sidx.skeys, sidx.spos, sidx.gene_base, budget,
+        sidx.skeys, sidx.skeys2, sidx.spos, sidx.gene_base, budget,
     )
     if int(np.max(np.asarray(overflow))) > 0:
         raise ValueError(

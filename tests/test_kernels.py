@@ -183,3 +183,54 @@ def test_pos0_quirk_long_read():
     assert got == exp
     assert (0, 1, 2, 0) in got  # found at offset 2
     assert (0, 0, 0, 0) not in got  # suppressed by the pos-0 cap
+
+
+def test_packed_verify_matches_byte_verify():
+    """SWAR packed verify must be bit-identical to the byte-path verify."""
+    import jax.numpy as jnp
+    from muscato_tpu.ops import packed as pops
+
+    rng = np.random.default_rng(42)
+    n_pairs = 512
+    max_rl = 64
+    width = 7
+    for q1 in [0, 3, 9]:
+        S = 4000
+        tcat = rng.integers(0, 5, S).astype(np.uint8)
+        gene_start = np.array([0, 1500, 2250, S], dtype=np.int32)
+        gene_of = np.repeat(np.arange(3, dtype=np.int32), np.diff(gene_start))
+        gene_len = np.diff(gene_start).astype(np.int32)
+        codes = rng.integers(0, 5, (100, max_rl)).astype(np.uint8)
+        lengths = rng.integers(width + q1, max_rl + 1, 100).astype(np.int32)
+        for i in range(100):  # zero the padding
+            codes[i, lengths[i]:] = 0
+        # Make some pairs true matches at their diagonals.
+        r = rng.integers(0, 100, n_pairs).astype(np.int32)
+        p = rng.integers(0, S - width, n_pairs).astype(np.int32)
+        for i in range(0, n_pairs, 3):
+            d = p[i] - q1
+            if d >= 0 and d + lengths[r[i]] <= S:
+                codes[r[i], : lengths[r[i]]] = tcat[d : d + lengths[r[i]]]
+        r[::17] = -1  # inactive lanes
+        budget = vops.mismatch_budget_table(0.9, max_rl)
+
+        args_common = (
+            jnp.asarray(gene_of), jnp.asarray(gene_start), jnp.asarray(gene_len),
+            jnp.asarray(budget), q1, width, max_rl,
+        )
+        kb, nxb, gb, sb = vops.verify_pairs_dynq(
+            jnp.asarray(r), jnp.asarray(p), jnp.asarray(codes),
+            jnp.asarray(lengths), jnp.asarray(tcat), *args_common,
+        )
+        rpacked = pops.pack_rows(jnp.asarray(codes))
+        tpacked = pops.pack_stream(tcat)
+        kp, nxp, gp, sp = pops.verify_pairs_packed(
+            jnp.asarray(r), jnp.asarray(p), rpacked,
+            jnp.asarray(lengths), tpacked, *args_common,
+        )
+        np.testing.assert_array_equal(np.asarray(kb), np.asarray(kp))
+        np.testing.assert_array_equal(
+            np.asarray(nxb)[np.asarray(kb)], np.asarray(nxp)[np.asarray(kp)]
+        )
+        np.testing.assert_array_equal(np.asarray(gb), np.asarray(gp))
+        np.testing.assert_array_equal(np.asarray(sb), np.asarray(sp))
