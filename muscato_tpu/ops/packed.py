@@ -127,12 +127,13 @@ def verify_pairs_packed(
     base = dc >> 3  # dc // 8
     rshift = (dc & 7).astype(jnp.uint32) * 4
 
-    # One contiguous (NW+1)-word slice per pair: lowers to a sliced gather,
-    # far faster than NW+1 independent element gathers.
-    basec = jnp.clip(base, 0, tpacked.shape[0] - (nwords + 1))
-    tw = jax.vmap(
-        lambda b: lax.dynamic_slice(tpacked, (b,), (nwords + 1,))
-    )(basec)  # (P, NW+1)
+    # (NW+1) words per pair as a plain element gather over an index matrix.
+    # NB: sliced gathers (lax.gather with slice_sizes>1, or a vmapped
+    # dynamic_slice) scalarize into a serial per-pair loop on TPU — measured
+    # 131072 sequential slices; element gathers stay batched.
+    widx = jnp.arange(nwords + 1, dtype=jnp.int32)
+    gidx = jnp.clip(base[:, None] + widx[None, :], 0, tpacked.shape[0] - 1)
+    tw = tpacked[gidx]  # (P, NW+1)
     lowpart = tw[:, :-1] >> rshift[:, None]
     hipart = jnp.where(
         (rshift == 0)[:, None],
