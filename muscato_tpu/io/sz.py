@@ -205,6 +205,15 @@ def block_compress(buf: bytes) -> bytes:
 
 def decompress(data: bytes) -> bytes:
     """Decode a full framed .sz stream held in memory."""
+    from . import native
+
+    nat = native.frame_decompress(data) if native.get_lib() else None
+    if nat is not None:
+        return nat
+    return _decompress_py(data)
+
+
+def _decompress_py(data: bytes) -> bytes:
     if not data:
         # golang/snappy's buffered writer emits the stream identifier lazily;
         # a zero-write stream is a zero-byte file.
@@ -237,6 +246,16 @@ def compress(data: bytes, level: int = 1) -> bytes:
 
     level 0 writes uncompressed chunks (fast, valid); level 1 compresses.
     """
+    from . import native
+
+    if level > 0 and native.get_lib():
+        nat = native.frame_compress(data)
+        if nat is not None:
+            return nat
+    return _compress_py(data, level)
+
+
+def _compress_py(data: bytes, level: int = 1) -> bytes:
     out = bytearray(_IDENT)
     for off in range(0, len(data), _MAX_CHUNK):
         chunk = data[off : off + _MAX_CHUNK]

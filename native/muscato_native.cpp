@@ -1,0 +1,331 @@
+// Native host-side kernels for muscato_tpu.
+//
+// The reference pipeline snappy-compresses every intermediate stream
+// (golang/snappy; see /root/reference/cmd/muscato_prep_targets/main.go and
+// SURVEY.md section 2.5).  muscato_tpu keeps its working set in arrays, but
+// prepared-target files and any spill artifacts still use the snappy framed
+// format, and at production scale the pure-Python codec would dominate
+// host time.  This library provides:
+//
+//   - CRC-32C (Castagnoli), slice-by-8
+//   - snappy block compress / decompress
+//   - snappy framed-stream encode / decode
+//   - fastq record scanning (newline indexing)
+//
+// Exposed as a C ABI consumed through ctypes (muscato_tpu/io/native.py).
+// Build: python native/build.py  (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ------------------------------------------------------------------ crc32c
+
+static uint32_t crc_table[8][256];
+static bool crc_init_done = false;
+
+static void crc_init() {
+    if (crc_init_done) return;
+    const uint32_t poly = 0x82F63B78u;
+    for (int n = 0; n < 256; n++) {
+        uint32_t c = (uint32_t)n;
+        for (int k = 0; k < 8; k++) c = (c >> 1) ^ ((c & 1) ? poly : 0);
+        crc_table[0][n] = c;
+    }
+    for (int n = 0; n < 256; n++) {
+        uint32_t c = crc_table[0][n];
+        for (int t = 1; t < 8; t++) {
+            c = crc_table[0][c & 0xff] ^ (c >> 8);
+            crc_table[t][n] = c;
+        }
+    }
+    crc_init_done = true;
+}
+
+uint32_t mn_crc32c(const uint8_t* data, size_t n, uint32_t crc) {
+    crc_init();
+    uint32_t c = crc ^ 0xFFFFFFFFu;
+    size_t i = 0;
+    while (n - i >= 8) {
+        uint32_t lo, hi;
+        memcpy(&lo, data + i, 4);
+        memcpy(&hi, data + i + 4, 4);
+        lo ^= c;
+        c = crc_table[7][lo & 0xff] ^ crc_table[6][(lo >> 8) & 0xff] ^
+            crc_table[5][(lo >> 16) & 0xff] ^ crc_table[4][lo >> 24] ^
+            crc_table[3][hi & 0xff] ^ crc_table[2][(hi >> 8) & 0xff] ^
+            crc_table[1][(hi >> 16) & 0xff] ^ crc_table[0][hi >> 24];
+        i += 8;
+    }
+    for (; i < n; i++) c = crc_table[0][(c ^ data[i]) & 0xff] ^ (c >> 8);
+    return c ^ 0xFFFFFFFFu;
+}
+
+// -------------------------------------------------------------- snappy block
+
+// Max encoded size of an n-byte block (same bound snappy itself uses).
+size_t mn_max_compressed(size_t n) { return 32 + n + n / 6; }
+
+static uint8_t* emit_varint(uint8_t* p, size_t n) {
+    while (n >= 0x80) { *p++ = (uint8_t)(n | 0x80); n >>= 7; }
+    *p++ = (uint8_t)n;
+    return p;
+}
+
+static uint8_t* emit_literal(uint8_t* p, const uint8_t* src, size_t n) {
+    size_t m = n - 1;
+    if (m < 60) {
+        *p++ = (uint8_t)(m << 2);
+    } else if (m < (1u << 8)) {
+        *p++ = 60 << 2; *p++ = (uint8_t)m;
+    } else if (m < (1u << 16)) {
+        *p++ = 61 << 2; *p++ = (uint8_t)m; *p++ = (uint8_t)(m >> 8);
+    } else if (m < (1u << 24)) {
+        *p++ = 62 << 2; *p++ = (uint8_t)m; *p++ = (uint8_t)(m >> 8);
+        *p++ = (uint8_t)(m >> 16);
+    } else {
+        *p++ = 63 << 2; *p++ = (uint8_t)m; *p++ = (uint8_t)(m >> 8);
+        *p++ = (uint8_t)(m >> 16); *p++ = (uint8_t)(m >> 24);
+    }
+    memcpy(p, src, n);
+    return p + n;
+}
+
+static uint8_t* emit_copy(uint8_t* p, size_t offset, size_t length) {
+    // length in [4, 64], offset < 65536 guaranteed by the matcher
+    while (length > 0) {
+        size_t take = length > 64 ? 64 : length;
+        if (take < 4) break;  // caller ensures this cannot strand a tail
+        if (take <= 11 && offset < 2048) {
+            *p++ = (uint8_t)(((offset >> 8) << 5) | ((take - 4) << 2) | 1);
+            *p++ = (uint8_t)offset;
+        } else {
+            *p++ = (uint8_t)(((take - 1) << 2) | 2);
+            *p++ = (uint8_t)offset; *p++ = (uint8_t)(offset >> 8);
+        }
+        length -= take;
+    }
+    return p;
+}
+
+static inline uint32_t load32(const uint8_t* p) {
+    uint32_t v; memcpy(&v, p, 4); return v;
+}
+
+// Returns compressed size, or -1 if out_cap is too small.
+long long mn_block_compress(const uint8_t* in, size_t n,
+                            uint8_t* out, size_t out_cap) {
+    if (out_cap < mn_max_compressed(n)) return -1;
+    uint8_t* p = emit_varint(out, n);
+    if (n < 16) {
+        if (n) p = emit_literal(p, in, n);
+        return (long long)(p - out);
+    }
+    const int HASH_BITS = 14;
+    uint32_t table[1 << HASH_BITS];
+    memset(table, 0, sizeof(table));
+    const uint8_t* base = in;
+    size_t i = 1, lit_start = 0, limit = n - 3;
+    while (i < limit) {
+        uint32_t v = load32(base + i);
+        uint32_t h = (v * 0x1e35a7bd) >> (32 - HASH_BITS);
+        size_t cand = table[h];
+        table[h] = i;
+        if (cand && i - cand < 65536 && load32(base + cand) == v) {
+            size_t m = 4;
+            while (i + m < n && base[cand + m] == base[i + m]) m++;
+            if (i > lit_start) p = emit_literal(p, base + lit_start, i - lit_start);
+            // emit in <=64 chunks; a final chunk <4 is folded into the last
+            size_t len = m;
+            size_t off = i - cand;
+            while (len > 68) { p = emit_copy(p, off, 64); len -= 64; }
+            if (len > 64) { p = emit_copy(p, off, 60); len -= 60; }
+            p = emit_copy(p, off, len);
+            i += m;
+            lit_start = i;
+        } else {
+            i++;
+        }
+    }
+    if (n > lit_start) p = emit_literal(p, base + lit_start, n - lit_start);
+    return (long long)(p - out);
+}
+
+// Returns decompressed size, or -1 on malformed input / overflow.
+long long mn_block_decompress(const uint8_t* in, size_t n,
+                              uint8_t* out, size_t out_cap) {
+    size_t pos = 0, want = 0;
+    int shift = 0;
+    // varint
+    while (pos < n) {
+        uint8_t b = in[pos++];
+        want |= (size_t)(b & 0x7f) << shift;
+        if (!(b & 0x80)) break;
+        shift += 7;
+        if (shift > 35) return -1;
+    }
+    if (want > out_cap) return -1;
+    size_t o = 0;
+    while (pos < n) {
+        uint8_t tag = in[pos++];
+        int kind = tag & 3;
+        if (kind == 0) {
+            size_t len = tag >> 2;
+            if (len < 60) {
+                len += 1;
+            } else {
+                int nb = (int)len - 59;
+                if (pos + nb > n) return -1;
+                size_t v = 0;
+                for (int k = 0; k < nb; k++) v |= (size_t)in[pos + k] << (8 * k);
+                pos += nb;
+                len = v + 1;
+            }
+            if (pos + len > n || o + len > out_cap) return -1;
+            memcpy(out + o, in + pos, len);
+            pos += len; o += len;
+        } else {
+            size_t len, offset;
+            if (kind == 1) {
+                if (pos >= n) return -1;
+                len = 4 + ((tag >> 2) & 7);
+                offset = ((size_t)(tag >> 5) << 8) | in[pos++];
+            } else if (kind == 2) {
+                if (pos + 2 > n) return -1;
+                len = (tag >> 2) + 1;
+                offset = (size_t)in[pos] | ((size_t)in[pos + 1] << 8);
+                pos += 2;
+            } else {
+                if (pos + 4 > n) return -1;
+                len = (tag >> 2) + 1;
+                offset = (size_t)in[pos] | ((size_t)in[pos + 1] << 8) |
+                         ((size_t)in[pos + 2] << 16) | ((size_t)in[pos + 3] << 24);
+                pos += 4;
+            }
+            if (offset == 0 || offset > o || o + len > out_cap) return -1;
+            // overlapping forward copy
+            for (size_t k = 0; k < len; k++) out[o + k] = out[o - offset + k];
+            o += len;
+        }
+    }
+    return o == want ? (long long)o : -1;
+}
+
+// ------------------------------------------------------------- framed codec
+
+static const uint8_t IDENT[10] = {0xff, 0x06, 0x00, 0x00,
+                                  's', 'N', 'a', 'P', 'p', 'Y'};
+static const size_t MAX_CHUNK = 65536;
+
+static uint32_t masked_crc(const uint8_t* d, size_t n) {
+    uint32_t c = mn_crc32c(d, n, 0);
+    return (uint32_t)((((c >> 15) | (c << 17)) + 0xa282ead8u));
+}
+
+size_t mn_frame_max_compressed(size_t n) {
+    size_t chunks = n / MAX_CHUNK + 1;
+    return 10 + chunks * (8 + mn_max_compressed(MAX_CHUNK));
+}
+
+// Returns encoded size, or -1 on overflow.
+long long mn_frame_compress(const uint8_t* in, size_t n,
+                            uint8_t* out, size_t out_cap) {
+    if (out_cap < mn_frame_max_compressed(n)) return -1;
+    uint8_t* p = out;
+    memcpy(p, IDENT, 10); p += 10;
+    size_t off = 0;
+    while (off < n || (n == 0 && off == 0)) {
+        size_t take = n - off < MAX_CHUNK ? n - off : MAX_CHUNK;
+        if (take == 0 && n != 0) break;
+        uint32_t crc = masked_crc(in + off, take);
+        uint8_t* hdr = p;
+        p += 4;  // chunk header
+        memcpy(p, &crc, 4); p += 4;
+        long long cs = mn_block_compress(in + off, take, p,
+                                         mn_max_compressed(take));
+        if (cs > 0 && (size_t)cs < take) {
+            hdr[0] = 0x00;
+            size_t plen = (size_t)cs + 4;
+            hdr[1] = (uint8_t)plen; hdr[2] = (uint8_t)(plen >> 8);
+            hdr[3] = (uint8_t)(plen >> 16);
+            p += cs;
+        } else {
+            hdr[0] = 0x01;
+            size_t plen = take + 4;
+            hdr[1] = (uint8_t)plen; hdr[2] = (uint8_t)(plen >> 8);
+            hdr[3] = (uint8_t)(plen >> 16);
+            memcpy(p, in + off, take); p += take;
+        }
+        off += take;
+        if (n == 0) break;
+    }
+    return (long long)(p - out);
+}
+
+// Upper bound on the decoded size of a framed stream (sum of chunk
+// capacities); exact size comes from decoding.
+size_t mn_frame_decompressed_bound(const uint8_t* in, size_t n) {
+    size_t pos = 0, total = 0;
+    while (pos + 4 <= n) {
+        uint8_t typ = in[pos];
+        size_t len = (size_t)in[pos + 1] | ((size_t)in[pos + 2] << 8) |
+                     ((size_t)in[pos + 3] << 16);
+        pos += 4;
+        if (typ == 0x00) total += MAX_CHUNK;
+        else if (typ == 0x01) total += len >= 4 ? len - 4 : 0;
+        pos += len;
+    }
+    return total;
+}
+
+// Returns decoded size, or -1 on malformed input.
+long long mn_frame_decompress(const uint8_t* in, size_t n,
+                              uint8_t* out, size_t out_cap) {
+    size_t pos = 0, o = 0;
+    while (pos + 4 <= n) {
+        uint8_t typ = in[pos];
+        size_t len = (size_t)in[pos + 1] | ((size_t)in[pos + 2] << 8) |
+                     ((size_t)in[pos + 3] << 16);
+        pos += 4;
+        if (pos + len > n) return -1;
+        if (typ == 0xff) {
+            // stream identifier
+        } else if (typ == 0x00) {
+            if (len < 4) return -1;
+            long long ds = mn_block_decompress(in + pos + 4, len - 4,
+                                               out + o, out_cap - o);
+            if (ds < 0) return -1;
+            o += (size_t)ds;
+        } else if (typ == 0x01) {
+            if (len < 4 || o + len - 4 > out_cap) return -1;
+            memcpy(out + o, in + pos + 4, len - 4);
+            o += len - 4;
+        } else if (typ >= 0x02 && typ <= 0x7f) {
+            return -1;  // unskippable
+        }
+        pos += len;
+    }
+    return (long long)o;
+}
+
+// ------------------------------------------------------------ fastq scanning
+
+// Fill `offsets` with the byte offset of each line start; returns the line
+// count (capped at cap).  Lets Python slice records without scanning.
+size_t mn_line_offsets(const uint8_t* data, size_t n,
+                       uint64_t* offsets, size_t cap) {
+    size_t cnt = 0;
+    if (n == 0 || cap == 0) return 0;
+    offsets[cnt++] = 0;
+    for (size_t i = 0; i + 1 < n; i++) {
+        if (data[i] == '\n') {
+            if (cnt >= cap) return cnt;
+            offsets[cnt++] = i + 1;
+        }
+    }
+    return cnt;
+}
+
+}  // extern "C"

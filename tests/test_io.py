@@ -181,3 +181,22 @@ def test_joined_name_truncation(tmp_path):
     assert rs.counts[0] == 200
     joined = b";".join(sorted(n for n, _ in recs))
     assert rs.names[0] == joined[:996] + b"..."
+
+
+def test_native_codec_cross_validation():
+    """Native C++ codec and pure-Python codec must interoperate."""
+    from muscato_tpu.io import native
+    from muscato_tpu.io.sz import _compress_py, _decompress_py
+
+    if native.get_lib() is None:
+        pytest.skip("native library not built")
+    rng = random.Random(7)
+    for n in [0, 3, 1000, 65537, 150000]:
+        data = bytes(rng.randrange(7) for _ in range(n // 2)) + bytes(
+            rng.randrange(256) for _ in range(n - n // 2)
+        )
+        c_nat = native.frame_compress(data)
+        assert _decompress_py(c_nat) == data
+        assert native.frame_decompress(_compress_py(data)) == data
+        assert native.frame_decompress(c_nat) == data
+    assert native.crc32c(b"123456789") == 0xE3069283
