@@ -50,10 +50,14 @@ class Config:
     CPUProfile: bool = False
 
     # --- muscato_tpu extensions (not in the reference struct). ---
-    # Engine chunk sizes; 0 means "auto".  These never change results,
-    # only memory/launch shapes.
+    # Engine batch/chunk sizes; 0 means "auto".  These never change
+    # results, only memory/launch shapes.
     TargetChunk: int = 0
     MaxPairChunk: int = 0
+    ReadBatch: int = 0
+    # Resume the match stage from a previous run's TempDir (expects its
+    # matches.npz artifact; pair with NoCleanTemp on the producing run).
+    ResumeDir: str = ""
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
@@ -144,6 +148,8 @@ _FLAG_SPECS = [
     ("SortMem", str),
     ("TargetChunk", int),
     ("MaxPairChunk", int),
+    ("ReadBatch", int),
+    ("ResumeDir", str),
 ]
 
 _BOOL_FLAGS = ["NoCleanTemp", "CPUProfile"]

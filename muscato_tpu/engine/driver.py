@@ -110,8 +110,31 @@ def _run_stages(cfg: Config, logger: logging.Logger) -> None:
     ts = targets_io.load_targets(cfg.GeneFileName, cfg.GeneIdFileName)
     logger.info("loaded %d target genes, %d bases", ts.num_genes, ts.size)
 
-    sys.stderr.write("Screening and confirming...\n")
-    mr = pipeline.run_matching(cfg, rs, ts)
+    resume = os.path.join(cfg.ResumeDir, "matches.npz") if cfg.ResumeDir else ""
+    if resume and os.path.exists(resume):
+        # Stage-artifact resume: reuse a previous run's verified matches
+        # (the reference's NoCleanTemp stage files give the same
+        # granularity implicitly; see SURVEY.md section 5).
+        sys.stderr.write(f"Resuming matches from {resume}...\n")
+        d = np.load(resume)
+        mr = pipeline.MatchResult(
+            read_row=d["read_row"], gene=d["gene"],
+            start=d["start"], nmiss=d["nmiss"],
+        )
+        logger.info("resumed %d matches from %s", len(mr.read_row), resume)
+    else:
+        sys.stderr.write("Screening and confirming...\n")
+        if cfg.CPUProfile:
+            # The reference's --CPUProfile captures a pprof profile of the
+            # screen (cmd/muscato_screen/main.go:530-538); here the
+            # equivalent is a jax profiler trace of the matching stage.
+            import jax
+
+            with jax.profiler.trace(os.path.join(cfg.LogDir, "trace")):
+                mr = pipeline.run_matching(cfg, rs, ts)
+            logger.info("profiler trace written to %s", os.path.join(cfg.LogDir, "trace"))
+        else:
+            mr = pipeline.run_matching(cfg, rs, ts)
     logger.info("retained %d matches", len(mr.read_row))
     np.savez(
         os.path.join(cfg.TempDir, "matches.npz"),

@@ -77,18 +77,9 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
     # width) — verify cost is linear in the column count.
     l_eff = int(max(int(rs.lengths.max(initial=0)), width))
     l_eff = min(_round_up(l_eff, 128), rs.codes.shape[1]) or rs.codes.shape[1]
-    cache = getattr(rs, "_dev_cache", None)
-    if cache is not None and cache[0] == l_eff:
-        _, codes, rpacked, lengths = cache
-    else:
-        codes = jnp.asarray(rs.codes[:, :l_eff])
-        rpacked = packed_ops.pack_rows(codes)
-        lengths = jnp.asarray(rs.lengths)
-        rs._dev_cache = (l_eff, codes, rpacked, lengths)
     budget = jnp.asarray(vops.mismatch_budget_table(cfg.PMatch, cfg.MaxReadLength))
 
     pair_chunk = cfg.MaxPairChunk or (1 << 17)
-    surv_cap = 1 << 16
     q1s = jnp.asarray(np.asarray(cfg.Windows, dtype=np.int32))
 
     # The reference aborts when a window seeds no reads
@@ -97,35 +88,83 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
         if not _window_has_reads(rs, q1, width, cfg.MinDinuc):
             raise SystemExit(f"Window {k} produced no valid reads, exiting")
 
-    while True:
-        buf, nsurv, total = fused.match_windows(
-            codes, rpacked, lengths, q1s,
-            index.skeys, index.skeys2, index.spos,
-            index.tpacked, index.gene_of,
-            index.gene_start, index.gene_len, budget,
-            width=width, min_dinuc=cfg.MinDinuc,
-            max_read_length=cfg.MaxReadLength,
-            pair_chunk=pair_chunk, surv_cap=surv_cap,
+    # Unique reads stream through the resident index in fixed-size batches,
+    # so the read collection never has to fit in HBM at once (the batch is
+    # padded to a few power-of-two shapes to bound recompilation).
+    nreads = rs.codes.shape[0]
+    batch = cfg.ReadBatch or (1 << 22)
+    batch = min(batch, _round_up(nreads, 1024))
+
+    surv_rows = []
+    total_pairs = 0
+    surv_cap = 1 << 16
+    for b0 in range(0, nreads, batch):
+        b1 = min(b0 + batch, nreads)
+        codes, rpacked, lengths = _device_read_batch(
+            rs, b0, b0 + batch, l_eff, cache_ok=(nreads <= batch)
         )
-        nsurv = int(nsurv)
-        if nsurv <= surv_cap:
-            break
-        # Overflow: grow to the next bucket and re-run.
-        while surv_cap < nsurv:
-            surv_cap *= 4
+        while True:
+            buf, nsurv, total = fused.match_windows(
+                codes, rpacked, lengths, q1s,
+                index.skeys, index.skeys2, index.spos,
+                index.tpacked, index.gene_of,
+                index.gene_start, index.gene_len, budget,
+                width=width, min_dinuc=cfg.MinDinuc,
+                max_read_length=cfg.MaxReadLength,
+                pair_chunk=pair_chunk, surv_cap=surv_cap,
+            )
+            nsurv = int(nsurv)
+            if nsurv <= surv_cap:
+                break
+            # Overflow: grow to the next bucket and re-run this batch.
+            while surv_cap < nsurv:
+                surv_cap *= 4
+        total_pairs += int(total)
+        if nsurv:
+            rows = np.asarray(buf[: _round_up(nsurv, 1024)])[:nsurv].copy()
+            rows[:, 0] += b0  # batch-local read row -> global row
+            surv_rows.append(rows)
+
     logger.info(
         "windows %s: %d candidate pairs, %d verified",
-        cfg.Windows, int(total), nsurv,
+        cfg.Windows, total_pairs, sum(len(x) for x in surv_rows),
     )
 
-    if nsurv == 0:
+    if not surv_rows:
         z = np.zeros(0, dtype=np.int32)
         return MatchResult(z, z, z, z)
 
-    rows = np.asarray(buf[: _round_up(nsurv, 1024)])[:nsurv]
+    rows = np.concatenate(surv_rows)
     r, g, s, nx, grp, win = (rows[:, i] for i in range(6))
     r, g, s, nx = _apply_max_matches(cfg, r, g, s, nx, grp, win)
     return _dedup_and_rank(cfg, r, g, s, nx)
+
+
+def _device_read_batch(rs: ReadSet, b0: int, b1: int, l_eff: int, cache_ok: bool):
+    """Device arrays for read rows [b0, b1), padded to the batch size.
+
+    Single-batch runs cache the upload on the ReadSet (benchmark loops);
+    multi-batch streaming never caches — resident read memory stays one
+    batch regardless of collection size."""
+    cache = getattr(rs, "_dev_cache", None)
+    key = (b0, b1, l_eff)
+    if cache is not None and key in cache:
+        return cache[key]
+    n = b1 - b0
+    codes_np = np.zeros((n, l_eff), dtype=np.uint8)
+    real = rs.codes[b0:b1, :l_eff]
+    codes_np[: real.shape[0]] = real
+    lengths_np = np.zeros(n, dtype=np.int32)
+    lengths_np[: real.shape[0]] = rs.lengths[b0:b1]
+    codes = jnp.asarray(codes_np)
+    rpacked = packed_ops.pack_rows(codes)
+    lengths = jnp.asarray(lengths_np)
+    if cache_ok:
+        if cache is None:
+            cache = {}
+            rs._dev_cache = cache
+        cache[key] = (codes, rpacked, lengths)
+    return codes, rpacked, lengths
 
 
 def _apply_max_matches(cfg, r, g, s, nx, grp, win):

@@ -31,7 +31,7 @@ CASES = {"00": False, "01": False, "02": False, "03": False, "04": True}
 def run_case(case: str, tmp_path, mutate_cfg=None):
     src = os.path.join(REF, case)
     work = tmp_path / case
-    work.mkdir()
+    work.mkdir(parents=True)
     for f in ("reads.fastq", "genes.txt", "config.json"):
         shutil.copy(os.path.join(src, f), work / f)
 
@@ -105,3 +105,41 @@ def test_logs_and_temp(tmp_path):
     # NoCleanTemp not set -> temp dir removed
     tmpdirs = os.listdir(work / "tmp")
     assert tmpdirs == []
+
+
+def test_read_batch_streaming(tmp_path):
+    """Multi-batch streaming must match the single-batch result."""
+    def mutate(raw):
+        raw["ReadBatch"] = 2  # 6 unique reads -> 3 batches of 2
+        return raw
+
+    work = run_case("03", tmp_path, mutate_cfg=mutate)
+    with open(work / "result.txt", "rb") as f:
+        got = f.read()
+    with open(os.path.join(REF, "03", "result_e.txt"), "rb") as f:
+        assert got == f.read()
+
+
+def test_resume_from_artifacts(tmp_path):
+    """A run resumed from a previous run's matches.npz reproduces results."""
+    work = run_case("02", tmp_path)
+    tmpdirs = os.listdir(work / "tmp")
+    assert not tmpdirs  # cleaned
+
+    def keep(raw):
+        raw["NoCleanTemp"] = True
+        return raw
+
+    work2 = run_case("02", tmp_path / "second", mutate_cfg=keep)
+    prev = work2 / "tmp" / os.listdir(work2 / "tmp")[0]
+    assert (prev / "matches.npz").exists()
+
+    def resume(raw):
+        raw["ResumeDir"] = str(prev)
+        return raw
+
+    work3 = run_case("02", tmp_path / "third", mutate_cfg=resume)
+    with open(work3 / "result.txt", "rb") as f:
+        got = f.read()
+    with open(os.path.join(REF, "02", "result_e.txt"), "rb") as f:
+        assert got == f.read()
