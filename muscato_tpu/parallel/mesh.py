@@ -33,9 +33,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..io.targets import TargetSet
-from ..ops import search as sops
+from ..ops import fused
+from ..ops import packed as pops
 from ..ops import verify as vops
-from ..ops import windows as winops
 from .. import config as config_mod
 from ..engine.index import INVALID_KEY, _index_arrays
 
@@ -51,6 +51,7 @@ class ShardedIndex:
     skeys: jnp.ndarray  # (mp, Vmax) uint32, INVALID_KEY padded
     skeys2: jnp.ndarray  # (mp, Vmax) uint32 second key word
     spos: jnp.ndarray  # (mp, Vmax) int32, -1 padded
+    tpacked: jnp.ndarray  # (mp, SWmax+PAD) uint32 nibble-packed shard streams
     gene_base: jnp.ndarray  # (mp,) int32 first global gene id of the shard
     width: int
     num_shards: int
@@ -96,6 +97,7 @@ def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
     skeys_l: List[np.ndarray] = []
     skeys2_l: List[np.ndarray] = []
     spos_l: List[np.ndarray] = []
+    tpacked_l: List[np.ndarray] = []
 
     for si, (tcat, gene_of, gs, lo) in enumerate(shards):
         s = len(tcat)
@@ -115,6 +117,7 @@ def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
         skeys_l.append(np.asarray(skeys))
         skeys2_l.append(np.asarray(skeys2))
         spos_l.append(np.asarray(spos))
+        tpacked_l.append(np.asarray(pops.pack_stream(tcat_p[si])))
 
     return ShardedIndex(
         tcat=jnp.asarray(tcat_p),
@@ -124,6 +127,7 @@ def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
         skeys=jnp.asarray(np.stack(skeys_l)),
         skeys2=jnp.asarray(np.stack(skeys2_l)),
         spos=jnp.asarray(np.stack(spos_l)),
+        tpacked=jnp.asarray(np.stack(tpacked_l)),
         gene_base=jnp.asarray(gene_base),
         width=width,
         num_shards=num_shards,
@@ -139,75 +143,42 @@ def make_mesh(dp: int, mp: int, devices=None) -> Mesh:
 
 
 def _shard_step(
-    codes, lengths, tcat, gene_of, gene_start, gene_len, skeys, skeys2, spos,
-    gene_base, budget, *, windows, width, min_dinuc, max_read_length,
-    pair_cap, surv_cap,
+    codes, rpacked, lengths, gene_of, gene_start, gene_len, skeys, skeys2,
+    spos, tpacked, gene_base, budget, q1s, *, width, min_dinuc,
+    max_read_length, pair_chunk, surv_cap,
 ):
-    """Per-device body (runs under shard_map): probe + verify the local read
-    block against the local index shard, then all_gather survivors."""
-    # codes/lengths are sharded along their leading (reads) axis and arrive
-    # as full local blocks; the index arrays are sharded along an explicit
-    # shard axis of size 1 per device, which we strip here.
-    tcat, gene_of = tcat[0], gene_of[0]
-    gene_start, gene_len = gene_start[0], gene_len[0]
-    skeys, skeys2, spos, gene_base = skeys[0], skeys2[0], spos[0], gene_base[0]
+    """Per-device body (runs under shard_map): sort-merge probe + SWAR
+    verify of the local read block against the local index shard, then
+    all_gather of the survivor buffers — the collective replacement for the
+    reference's `sort | join` file merges."""
+    # codes/rpacked/lengths are sharded along their leading (reads) axis and
+    # arrive as full local blocks; the index arrays are sharded along an
+    # explicit shard axis of size 1 per device, which we strip here.
+    gene_of, gene_start, gene_len = gene_of[0], gene_start[0], gene_len[0]
+    skeys, skeys2, spos = skeys[0], skeys2[0], spos[0]
+    tpacked, gene_base = tpacked[0], gene_base[0]
 
-    rl = codes.shape[0]
-    rows = jnp.arange(rl, dtype=jnp.int32)
+    counts_m, lo_m, qid_m, key_m = fused._probe_windows_impl(
+        codes, lengths, q1s, skeys, skeys2,
+        width=width, min_dinuc=min_dinuc,
+    )
+    buf, nsurv, _total = fused._expand_verify_impl(
+        counts_m, lo_m, qid_m, key_m, q1s, rpacked, lengths, spos, tpacked,
+        gene_of, gene_start, gene_len, budget,
+        nreads=codes.shape[0], width=width, max_read_length=max_read_length,
+        pair_chunk=pair_chunk, surv_cap=surv_cap,
+    )
+    overflow = (nsurv > surv_cap).astype(jnp.int32)
 
-    out_r, out_g, out_s, out_nx, out_k = [], [], [], [], []
-    overflow = jnp.int32(0)
-    for k, q1 in enumerate(windows):
-        keys, valid = winops.read_window_table(codes, lengths, q1, width, min_dinuc)
-        if winops.uses_second_key(width):
-            keys2 = winops.window_keys_at(codes, q1, width, winops.HASH_MULT2)
-            lo = sops.searchsorted2(skeys, skeys2, keys, keys2, side="left")
-            hi = sops.searchsorted2(skeys, skeys2, keys, keys2, side="right")
-        else:
-            lo = jnp.searchsorted(skeys, keys, side="left").astype(jnp.int32)
-            hi = jnp.searchsorted(skeys, keys, side="right").astype(jnp.int32)
-        counts = jnp.where(valid, hi - lo, 0).astype(jnp.int32)
-        total = jnp.sum(counts)
-        overflow = jnp.maximum(overflow, (total > pair_cap).astype(jnp.int32))
+    # Globalize gene ids; mark unused rows dead.
+    live = jnp.arange(surv_cap, dtype=jnp.int32) < nsurv
+    buf = buf.at[:, 1].add(jnp.where(live, gene_base, 0))
+    buf = jnp.where(live[:, None], buf, -1)
 
-        r, p, _ = vops.expand_pairs(
-            rows, lo, counts, spos, jnp.int32(0), pair_cap
-        )
-        keep, nx, g, s = vops.verify_pairs(
-            r, p, codes, lengths, tcat, gene_of, gene_start, gene_len,
-            budget, q1, width, max_read_length,
-        )
-        # Compact to surv_cap: kept lanes first (stable by pair id).
-        surv_total = jnp.sum(keep.astype(jnp.int32))
-        overflow = jnp.maximum(overflow, (surv_total > surv_cap).astype(jnp.int32))
-        rank = jnp.where(keep, jnp.int32(0), jnp.int32(1))
-        _, r_c, g_c, s_c, nx_c, keep_c = jax.lax.sort(
-            (rank, r, g, s, nx.astype(jnp.int32), keep.astype(jnp.int32)),
-            num_keys=1, dimension=0, is_stable=True,
-        )
-        sel = lambda a: jax.lax.slice_in_dim(a, 0, surv_cap, axis=0)
-        live = sel(keep_c) > 0
-        out_r.append(jnp.where(live, sel(r_c), -1))
-        out_g.append(jnp.where(live, sel(g_c) + gene_base, -1))
-        out_s.append(jnp.where(live, sel(s_c), -1))
-        out_nx.append(jnp.where(live, sel(nx_c), -1))
-        out_k.append(jnp.where(live, jnp.full(surv_cap, k, jnp.int32), -1))
-
-    surv = jnp.stack(
-        [
-            jnp.concatenate(out_r),
-            jnp.concatenate(out_g),
-            jnp.concatenate(out_s),
-            jnp.concatenate(out_nx),
-            jnp.concatenate(out_k),
-        ],
-        axis=0,
-    )  # (5, K*surv_cap)
-
-    # Collective merge over the full mesh (the `sort|join` replacement):
-    # every device ends up with every shard's survivors.
-    surv = jax.lax.all_gather(surv, "mp", axis=0)  # (mp, 5, ...)
-    surv = jax.lax.all_gather(surv, "dp", axis=0)  # (dp, mp, 5, ...)
+    # Collective merge over the full mesh: every device ends up with every
+    # shard's survivors.
+    surv = jax.lax.all_gather(buf, "mp", axis=0)  # (mp, surv_cap, 6)
+    surv = jax.lax.all_gather(surv, "dp", axis=0)  # (dp, mp, surv_cap, 6)
     overflow = jax.lax.pmax(jax.lax.pmax(overflow, "mp"), "dp")
     return surv[None], overflow[None]
 
@@ -234,14 +205,15 @@ def sharded_match_arrays(
         lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
 
     budget = jnp.asarray(vops.mismatch_budget_table(cfg.PMatch, cfg.MaxReadLength))
+    q1s = jnp.asarray(np.asarray(cfg.Windows, dtype=np.int32))
+    rpacked = np.asarray(pops.pack_rows(jnp.asarray(codes)))
 
     fn = partial(
         _shard_step,
-        windows=tuple(cfg.Windows),
         width=cfg.WindowWidth,
         min_dinuc=cfg.MinDinuc,
         max_read_length=cfg.MaxReadLength,
-        pair_cap=pair_cap,
+        pair_chunk=pair_cap,
         surv_cap=surv_cap,
     )
     mapped = jax.shard_map(
@@ -249,24 +221,27 @@ def sharded_match_arrays(
         mesh=mesh,
         in_specs=(
             P("dp", None),  # codes
+            P("dp", None),  # rpacked
             P("dp"),  # lengths
-            P("mp", None),  # tcat
             P("mp", None),  # gene_of
             P("mp", None),  # gene_start
             P("mp", None),  # gene_len
             P("mp", None),  # skeys
             P("mp", None),  # skeys2
             P("mp", None),  # spos
+            P("mp", None),  # tpacked
             P("mp"),  # gene_base
             P(),  # budget (replicated)
+            P(),  # q1s (replicated)
         ),
         out_specs=(P(None), P(None)),
         check_vma=False,
     )
 
     surv, overflow = jax.jit(mapped)(
-        codes, lengths, sidx.tcat, sidx.gene_of, sidx.gene_start, sidx.gene_len,
-        sidx.skeys, sidx.skeys2, sidx.spos, sidx.gene_base, budget,
+        codes, rpacked, lengths, sidx.gene_of, sidx.gene_start, sidx.gene_len,
+        sidx.skeys, sidx.skeys2, sidx.spos, sidx.tpacked, sidx.gene_base,
+        budget, q1s,
     )
     if int(np.max(np.asarray(overflow))) > 0:
         raise ValueError(
@@ -274,21 +249,20 @@ def sharded_match_arrays(
             "re-run with larger pair_cap/surv_cap"
         )
 
-    s_np = np.asarray(surv[0])  # (dp, mp, 5, K*surv_cap)
-    flat = s_np.reshape(-1, 5, s_np.shape[-1])
-    r = flat[:, 0, :].ravel()
+    s_np = np.asarray(surv[0])  # (dp, mp, surv_cap, 6)
+    flat = s_np.reshape(-1, s_np.shape[-1])
+    r = flat[:, 0]
     live = r >= 0
     # Reads are sharded over dp: local row -> global row.
     per = codes.shape[0] // dp
     dp_of = np.repeat(
-        np.arange(s_np.shape[0], dtype=np.int32),
-        s_np.shape[1] * s_np.shape[-1],
+        np.arange(s_np.shape[0], dtype=np.int32), s_np.shape[1] * s_np.shape[2]
     )
     r_global = r + dp_of * per
     return (
         r_global[live].astype(np.int32),
-        flat[:, 1, :].ravel()[live].astype(np.int32),
-        flat[:, 2, :].ravel()[live].astype(np.int32),
-        flat[:, 3, :].ravel()[live].astype(np.int32),
-        flat[:, 4, :].ravel()[live].astype(np.int32),
+        flat[:, 1][live].astype(np.int32),
+        flat[:, 2][live].astype(np.int32),
+        flat[:, 3][live].astype(np.int32),
+        flat[:, 5][live].astype(np.int32),
     )
