@@ -82,29 +82,28 @@ def build_readset(
             pname = pname[: _MAX_NAME - 5] + b"..."
         pairs.append((pseq, pname))
 
-    # Order identical to `LC_ALL=C sort` of "seq\tname" lines: compare the
-    # raw line bytes.  (Sequences contain only A/C/G/T/X; '\t' < every
-    # sequence letter, so line order groups by seq first.)
-    pairs.sort(key=lambda p: p[0] + b"\t" + p[1])
-
+    # Order identical to `LC_ALL=C sort` of "seq\tname" lines: byte order
+    # groups by sequence first ('\t' < every sequence letter), then by
+    # name.  The heavy sequence sort runs in numpy (fixed-width byte rows,
+    # NUL padding preserves C-locale prefix ordering); names are ordered
+    # within each (typically tiny) equal-sequence group.
     seqs: List[bytes] = []
     counts: List[int] = []
     names: List[bytes] = []
-    cur = None
-    cur_names: List[bytes] = []
-    for pseq, pname in pairs:
-        if cur is None or pseq != cur:
-            if cur is not None:
-                seqs.append(cur)
-                counts.append(len(cur_names))
-                names.append(_join_names(cur_names))
-            cur = pseq
-            cur_names = []
-        cur_names.append(pname)
-    if cur is not None:
-        seqs.append(cur)
-        counts.append(len(cur_names))
-        names.append(_join_names(cur_names))
+    if pairs:
+        seq_arr = np.array([p[0] for p in pairs], dtype=bytes)
+        order = np.argsort(seq_arr, kind="stable")
+        sorted_seqs = seq_arr[order]
+        boundary = np.empty(len(order), dtype=bool)
+        boundary[0] = True
+        np.not_equal(sorted_seqs[1:], sorted_seqs[:-1], out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], len(order))
+        for a, b in zip(starts, ends):
+            group = sorted(pairs[i][1] for i in order[a:b])
+            seqs.append(pairs[order[a]][0])
+            counts.append(b - a)
+            names.append(_join_names(group))
 
     codes, lengths = seqcodec.encode_rows(seqs, max_read_length)
     return ReadSet(

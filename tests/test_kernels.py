@@ -234,3 +234,43 @@ def test_packed_verify_matches_byte_verify():
         )
         np.testing.assert_array_equal(np.asarray(gb), np.asarray(gp))
         np.testing.assert_array_equal(np.asarray(sb), np.asarray(sp))
+
+
+def test_max_matches_cap_binds():
+    """When a k-mer group exceeds MaxMatches, 'best' keeps the lowest-nmiss
+    matches (deterministically here; the reference truncates approximately,
+    cmd/muscato_confirm/main.go:424-448)."""
+    # One read; one gene containing the read's window k-mer at many sites,
+    # with varying tail mismatches.
+    width = 4
+    kmer = "ACGT"
+    read = kmer + "AAAA"  # window at q1=0, right tail AAAA
+    sites = []
+    for i in range(6):
+        tail = ["AAAA", "AAAT", "AATT", "ATTT", "TTTT", "AAAG"][i]
+        sites.append(kmer + tail)
+    gene = "GG".join(sites)  # separate sites so diagonals differ
+    cfg_kwargs = dict(windows=[0], width=width, pmatch=0.0, min_dinuc=0,
+                      max_rl=20, mmtol=10)
+
+    full = _run_engine([read], [gene], **cfg_kwargs)
+    assert len(full) == 6
+
+    # Cap at 3: keep the 3 best (fewest-mismatch) sites.
+    rs, lmax = _mk_readset([read])
+    codes = np.zeros((1, 20), dtype=np.uint8)
+    codes[:, :lmax] = rs.codes[:, :lmax]
+    rs.codes = codes
+    ts = _mk_targetset([gene])
+    cfg = Config(Windows=[0], WindowWidth=width, PMatch=0.0, MinDinuc=0,
+                 MaxReadLength=20, MMTol=10, MaxMatches=3, MatchMode="best")
+    mr = pipeline.run_matching(cfg, rs, ts)
+    got = sorted(zip(mr.nmiss.tolist(), mr.start.tolist()))
+    best3 = sorted(nx for nx, _, in
+                   [(nx, s) for (_, _, s, nx) in full])[:3]
+    assert [nx for nx, _ in got] == best3
+
+    # 'first' keeps a deterministic cap of 3 as well.
+    cfg.MatchMode = "first"
+    mr2 = pipeline.run_matching(cfg, rs, ts)
+    assert len(mr2.read_row) == 3
