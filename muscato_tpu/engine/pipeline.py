@@ -95,6 +95,17 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
     batch = cfg.ReadBatch or (1 << 22)
     batch = min(batch, _round_up(nreads, 1024))
 
+    # Probe strategy: sort-merge re-sorts the whole index per batch (best
+    # when V is comparable to the batch's K*R queries); the bucketed binary
+    # search touches only the queried entries (best for a huge resident
+    # index).  Crossover measured on hardware at roughly V > 8 * queries.
+    nflat = len(cfg.Windows) * min(batch, _round_up(nreads, 1024))
+    use_search = index.skeys.shape[0] > 8 * nflat
+    index_aux = (
+        (index.srun, index.sbucket, sops.bucket_shift(width), index.probe_steps)
+        if use_search else None
+    )
+
     surv_rows = []
     total_pairs = 0
     surv_cap = 1 << 16
@@ -112,6 +123,7 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
                 width=width, min_dinuc=cfg.MinDinuc,
                 max_read_length=cfg.MaxReadLength,
                 pair_chunk=pair_chunk, surv_cap=surv_cap,
+                index_aux=index_aux,
             )
             nsurv = int(nsurv)
             if nsurv <= surv_cap:

@@ -58,6 +58,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import packed as pops
+from . import search as sops
 from . import windows as winops
 
 NCOL = 6  # r, g, s, nx, group, window
@@ -89,19 +90,9 @@ def _horner(win: jnp.ndarray, mult) -> jnp.ndarray:
     return key
 
 
-def _probe_windows_impl(
-    codes, lengths, q1s, skeys, skeys2,
-    *, width, min_dinuc,
-):
-    """Sort-merge probe over the flat (K*R,) query space.
-
-    Returns merged-order arrays of length M = V + K*R:
-      counts_m  candidate count of the query at each merged slot (0 for
-                index entries and rejected queries)
-      lo_m      start of the query's candidate run in the index
-      qid_m     flat (window*R + read) query id, -1 for index entries
-      key_m     key1 at each slot (the k-mer group identity)
-    """
+def _window_queries(codes, lengths, q1s, *, width, min_dinuc):
+    """Window keys + validity for every (window, read), flattened to
+    (K*R,) window-major."""
     nreads, lmax = codes.shape
     nwin = q1s.shape[0]
     nflat = nwin * nreads
@@ -120,9 +111,29 @@ def _probe_windows_impl(
             bits = bits | (jnp.uint32(1) << pr)
         valid = valid & (lax.population_count(bits).astype(jnp.int32) >= min_dinuc)
 
-    keyf = key.reshape(nflat)
-    key2f = key2.reshape(nflat)
-    validf = valid.reshape(nflat)
+    return key.reshape(nflat), key2.reshape(nflat), valid.reshape(nflat)
+
+
+def _probe_windows_impl(
+    codes, lengths, q1s, skeys, skeys2,
+    *, width, min_dinuc,
+):
+    """Sort-merge probe over the flat (K*R,) query space.
+
+    Best when the index is not much larger than the query batch: one sort
+    of (V + K*R) rows replaces every per-query lookup.  Returns compacted
+    arrays of length K*R (active slots first):
+      counts_m  candidate count of the query at each slot
+      lo_m      start of the query's candidate run in the index
+      qid_m     flat (window*R + read) query id
+      key_m     key1 at each slot (the k-mer group identity)
+    """
+    nreads, lmax = codes.shape
+    nwin = q1s.shape[0]
+    nflat = nwin * nreads
+    keyf, key2f, validf = _window_queries(
+        codes, lengths, q1s, width=width, min_dinuc=min_dinuc
+    )
 
     nidx = skeys.shape[0]
     m1 = jnp.concatenate([skeys, keyf])
@@ -164,6 +175,45 @@ def _probe_windows_impl(
         (inactive, counts_m, lo_m, qid_m, m1s), num_keys=1, is_stable=True
     )
     return counts_c[:nflat], lo_c[:nflat], qid_c[:nflat], key_c[:nflat]
+
+
+def _probe_windows_search_impl(
+    codes, lengths, q1s, skeys, skeys2, srun, sbucket,
+    *, width, min_dinuc, upshift, probe_steps,
+):
+    """Bucketed binary-search probe over the flat (K*R,) query space.
+
+    Best when the index is much larger than the query batch (the sort-merge
+    probe re-sorts the whole index per batch; this touches only
+    O(K*R * probe_steps) gathered elements).  Same compacted return
+    contract as _probe_windows_impl.
+    """
+    nreads, lmax = codes.shape
+    nwin = q1s.shape[0]
+    nflat = nwin * nreads
+    use_k2 = winops.uses_second_key(width)
+    keyf, key2f, validf = _window_queries(
+        codes, lengths, q1s, width=width, min_dinuc=min_dinuc
+    )
+
+    nidx = skeys.shape[0]
+    lo = sops.searchsorted2_bucketed(
+        skeys, skeys2, keyf, key2f, sbucket,
+        upshift=upshift, steps=probe_steps, use_k2=use_k2,
+    )
+    loc = jnp.minimum(lo, nidx - 1)
+    eq = skeys[loc] == keyf
+    if use_k2:
+        eq = eq & (skeys2[loc] == key2f)
+    counts = jnp.where(validf & eq & (lo < nidx), srun[loc], 0).astype(jnp.int32)
+
+    # Compact actives first (stable) — K*R-sized sort, index untouched.
+    inactive = (counts == 0).astype(jnp.int32)
+    qid = jnp.arange(nflat, dtype=jnp.int32)
+    _, counts_c, lo_c, qid_c, key_c = lax.sort(
+        (inactive, counts, loc, qid, keyf), num_keys=1, is_stable=True
+    )
+    return counts_c, lo_c, qid_c, key_c
 
 
 def _expand_verify_impl(
@@ -251,16 +301,32 @@ def match_windows(
     codes, rpacked, lengths, q1s, skeys, skeys2, spos,
     tpacked, gene_of, gene_start, gene_len, budget,
     *, width, min_dinuc, max_read_length, pair_chunk, surv_cap,
+    index_aux=None,
 ):
     """Probe + expand + verify + compact; two async device dispatches.
 
-    Returns (surv (surv_cap, 6) int32, nsurv, total_pairs).
+    index_aux, when given, is (srun, sbucket, upshift, probe_steps) and
+    selects the bucketed-search probe — the right choice when the index is
+    much larger than the query batch.  Returns
+    (surv (surv_cap, 6) int32, nsurv, total_pairs).
     """
-    probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))
-    counts_m, lo_m, qid_m, key_m = probe(
-        codes, lengths, q1s, skeys, skeys2,
-        width=width, min_dinuc=min_dinuc,
-    )
+    if index_aux is not None:
+        srun, sbucket, upshift, probe_steps = index_aux
+        probe = _tpu_jit(
+            _probe_windows_search_impl,
+            ("width", "min_dinuc", "upshift", "probe_steps"),
+        )
+        counts_m, lo_m, qid_m, key_m = probe(
+            codes, lengths, q1s, skeys, skeys2, srun, sbucket,
+            width=width, min_dinuc=min_dinuc,
+            upshift=upshift, probe_steps=probe_steps,
+        )
+    else:
+        probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))
+        counts_m, lo_m, qid_m, key_m = probe(
+            codes, lengths, q1s, skeys, skeys2,
+            width=width, min_dinuc=min_dinuc,
+        )
     expand = _tpu_jit(
         _expand_verify_impl,
         ("nreads", "width", "max_read_length", "pair_chunk", "surv_cap"),
