@@ -124,35 +124,39 @@ def apply_defaults(cfg: Config, stderr=None) -> None:
 
 
 _FLAG_SPECS = [
-    # (name, type)
-    ("ConfigFileName", str),
-    ("ReadFileName", str),
-    ("GeneFileName", str),
-    ("GeneIdFileName", str),
-    ("ResultsFileName", str),
-    ("Windows", str),
-    ("WindowWidth", int),
-    ("BloomSize", int),
-    ("NumHash", int),
-    ("PMatch", float),
-    ("MinDinuc", int),
-    ("TempDir", str),
-    ("MinReadLength", int),
-    ("MaxReadLength", int),
-    ("MaxMatches", int),
-    ("MaxConfirmProcs", int),
-    ("MMTol", int),
-    ("MatchMode", str),
-    ("SortPar", int),
-    ("SortTemp", str),
-    ("SortMem", str),
-    ("TargetChunk", int),
-    ("MaxPairChunk", int),
-    ("ReadBatch", int),
-    ("ResumeDir", str),
+    # (name, type, help) — help strings follow the reference's flag docs
+    # (cmd/muscato/main.go:708-733, help.md).
+    ("ConfigFileName", str, "JSON file containing configuration parameters"),
+    ("ReadFileName", str, "Sequencing read file (fastq format)"),
+    ("GeneFileName", str, "Gene file name (processed form, from muscato_prep_targets)"),
+    ("GeneIdFileName", str, "Gene ID file name (processed form)"),
+    ("ResultsFileName", str, "File name for results"),
+    ("Windows", str, "Comma-separated starting position of each window"),
+    ("WindowWidth", int, "Width of each window"),
+    ("BloomSize", int, "(compat; unused — the screen is exact here)"),
+    ("NumHash", int, "(compat; unused — the screen is exact here)"),
+    ("PMatch", float, "Required proportion of matching positions"),
+    ("MinDinuc", int, "Minimum distinct dinucleotides in a seeding window"),
+    ("TempDir", str, "Workspace for temporary files"),
+    ("MinReadLength", int, "Reads shorter than this length are skipped"),
+    ("MaxReadLength", int, "Reads longer than this length are truncated"),
+    ("MaxMatches", int, "Return no more than this many matches per k-mer group"),
+    ("MaxConfirmProcs", int, "(compat; windows share one device dispatch here)"),
+    ("MMTol", int, "Number of mismatches allowed above the per-read best"),
+    ("MatchMode", str, "'first' or 'best' (which MaxMatches survivors to keep)"),
+    ("SortPar", int, "(compat; sorting runs on the accelerator)"),
+    ("SortTemp", str, "(compat)"),
+    ("SortMem", str, "(compat)"),
+    ("TargetChunk", int, "Engine target-chunk size override (0 = auto)"),
+    ("MaxPairChunk", int, "Verification pair-chunk size override (0 = auto)"),
+    ("ReadBatch", int, "Unique-read batch size streamed per device pass (0 = auto)"),
+    ("ResumeDir", str, "Resume matching from a previous run's TempDir (matches.npz)"),
 ]
 
-_BOOL_FLAGS = ["NoCleanTemp", "CPUProfile"]
+_BOOL_FLAGS = [
+    ("NoCleanTemp", "Do not delete temporary files from TempDir"),
+    ("CPUProfile", "Capture a device profiler trace of the matching stage"),
+]
 
 
 def parse_cli(argv: Optional[List[str]] = None) -> Config:
@@ -173,11 +177,19 @@ def parse_cli(argv: Optional[List[str]] = None) -> Config:
         else:
             norm.append(a)
 
-    p = argparse.ArgumentParser(prog="muscato", allow_abbrev=False)
-    for name, typ in _FLAG_SPECS:
-        p.add_argument("--" + name, type=typ, default=None)
-    for name in _BOOL_FLAGS:
-        p.add_argument("--" + name, action="store_true", default=False)
+    p = argparse.ArgumentParser(
+        prog="muscato",
+        description=(
+            "TPU-native exhaustive multi-mapping of sequencing reads against "
+            "target sequences. Flags override values from --ConfigFileName; "
+            "zero/empty flag values mean 'not set', as in the reference."
+        ),
+        allow_abbrev=False,
+    )
+    for name, typ, hlp in _FLAG_SPECS:
+        p.add_argument("--" + name, type=typ, default=None, help=hlp)
+    for name, hlp in _BOOL_FLAGS:
+        p.add_argument("--" + name, action="store_true", default=False, help=hlp)
     ns = p.parse_args(norm)
 
     if ns.ConfigFileName:
@@ -185,7 +197,7 @@ def parse_cli(argv: Optional[List[str]] = None) -> Config:
     else:
         cfg = Config()
 
-    for name, typ in _FLAG_SPECS:
+    for name, typ, _hlp in _FLAG_SPECS:
         if name in ("ConfigFileName", "Windows"):
             continue
         v = getattr(ns, name)
@@ -197,7 +209,7 @@ def parse_cli(argv: Optional[List[str]] = None) -> Config:
         if typ in (int, float) and v == 0:
             continue
         setattr(cfg, name, v)
-    for name in _BOOL_FLAGS:
+    for name, _hlp in _BOOL_FLAGS:
         if getattr(ns, name):
             setattr(cfg, name, True)
     if ns.Windows:

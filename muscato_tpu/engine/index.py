@@ -53,8 +53,9 @@ class TargetIndex:
     skeys2: jnp.ndarray  # second hash word (zeros for width <= 13)
     spos: jnp.ndarray
     srun: jnp.ndarray  # run length of the (key1,key2) group starting here
-    sbucket: jnp.ndarray  # (2**16+1,) int32 per-bucket search bounds
+    sbucket: jnp.ndarray  # (2**bucket_bits+1,) int32 per-bucket search bounds
     probe_steps: int  # binary-search steps covering the largest bucket
+    bucket_bits: int
     width: int
     num_valid: int
 
@@ -169,9 +170,10 @@ def build_target_index(ts: TargetSet, width: int, device_build: bool = False) ->
         nkeep = max(1, nvalid)
         skeys, skeys2 = skeys[:nkeep], skeys2[:nkeep]
         spos, srun = spos[:nkeep], srun[:nkeep]
-        scaled = (skeys << jnp.uint32(upshift)) >> jnp.uint32(16)
+        bucket_bits = sops.bucket_bits_for(nkeep)
+        scaled = (skeys << jnp.uint32(upshift)) >> jnp.uint32(32 - bucket_bits)
         bucket = jnp.searchsorted(
-            scaled, jnp.arange(sops.NUM_BUCKETS + 1, dtype=jnp.uint32)
+            scaled, jnp.arange((1 << bucket_bits) + 1, dtype=jnp.uint32)
         ).astype(jnp.int32)
         probe_steps = max(1, int(jnp.max(jnp.diff(bucket))).bit_length())
     else:
@@ -182,7 +184,7 @@ def build_target_index(ts: TargetSet, width: int, device_build: bool = False) ->
         nkeep = max(1, nvalid)
         skeys, skeys2 = skeys[:nkeep], skeys2[:nkeep]
         spos, srun = spos[:nkeep], srun[:nkeep]
-        bucket, probe_steps = sops.build_buckets_host(skeys, upshift)
+        bucket, probe_steps, bucket_bits = sops.build_buckets_host(skeys, upshift)
         bucket = jnp.asarray(bucket)
         skeys, skeys2 = jnp.asarray(skeys), jnp.asarray(skeys2)
         spos, srun = jnp.asarray(spos), jnp.asarray(srun)
@@ -200,6 +202,7 @@ def build_target_index(ts: TargetSet, width: int, device_build: bool = False) ->
         srun=srun,
         sbucket=bucket,
         probe_steps=probe_steps,
+        bucket_bits=bucket_bits,
         width=width,
         num_valid=nvalid,
     )

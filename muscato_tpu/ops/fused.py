@@ -179,14 +179,16 @@ def _probe_windows_impl(
 
 def _probe_windows_search_impl(
     codes, lengths, q1s, skeys, skeys2, srun, sbucket,
-    *, width, min_dinuc, upshift, probe_steps,
+    *, width, min_dinuc, upshift, probe_steps, bucket_bits,
 ):
     """Bucketed binary-search probe over the flat (K*R,) query space.
 
     Best when the index is much larger than the query batch (the sort-merge
     probe re-sorts the whole index per batch; this touches only
-    O(K*R * probe_steps) gathered elements).  Same compacted return
-    contract as _probe_windows_impl.
+    O(K*R * probe_steps) gathered elements).  Queries are sorted by key
+    first so consecutive lanes search neighboring index regions — gather
+    locality is what limits throughput on a multi-hundred-MB index.  Same
+    compacted return contract as _probe_windows_impl.
     """
     nreads, lmax = codes.shape
     nwin = q1s.shape[0]
@@ -196,10 +198,17 @@ def _probe_windows_search_impl(
         codes, lengths, q1s, width=width, min_dinuc=min_dinuc
     )
 
+    qid0 = jnp.arange(nflat, dtype=jnp.int32)
+    keyf, key2f, vi, qid = lax.sort(
+        (keyf, key2f, (~validf).astype(jnp.int32), qid0), num_keys=2
+    )
+    validf = vi == 0
+
     nidx = skeys.shape[0]
     lo = sops.searchsorted2_bucketed(
         skeys, skeys2, keyf, key2f, sbucket,
         upshift=upshift, steps=probe_steps, use_k2=use_k2,
+        bucket_bits=bucket_bits,
     )
     loc = jnp.minimum(lo, nidx - 1)
     eq = skeys[loc] == keyf
@@ -209,7 +218,6 @@ def _probe_windows_search_impl(
 
     # Compact actives first (stable) — K*R-sized sort, index untouched.
     inactive = (counts == 0).astype(jnp.int32)
-    qid = jnp.arange(nflat, dtype=jnp.int32)
     _, counts_c, lo_c, qid_c, key_c = lax.sort(
         (inactive, counts, loc, qid, keyf), num_keys=1, is_stable=True
     )
@@ -311,15 +319,15 @@ def match_windows(
     (surv (surv_cap, 6) int32, nsurv, total_pairs).
     """
     if index_aux is not None:
-        srun, sbucket, upshift, probe_steps = index_aux
+        srun, sbucket, upshift, probe_steps, bucket_bits = index_aux
         probe = _tpu_jit(
             _probe_windows_search_impl,
-            ("width", "min_dinuc", "upshift", "probe_steps"),
+            ("width", "min_dinuc", "upshift", "probe_steps", "bucket_bits"),
         )
         counts_m, lo_m, qid_m, key_m = probe(
             codes, lengths, q1s, skeys, skeys2, srun, sbucket,
             width=width, min_dinuc=min_dinuc,
-            upshift=upshift, probe_steps=probe_steps,
+            upshift=upshift, probe_steps=probe_steps, bucket_bits=bucket_bits,
         )
     else:
         probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))

@@ -35,23 +35,36 @@ def bucket_of(key: jnp.ndarray, upshift: int) -> jnp.ndarray:
     return ((key << jnp.uint32(upshift)) >> jnp.uint32(16)).astype(jnp.int32)
 
 
-NUM_BUCKETS = 1 << 16
+NUM_BUCKETS = 1 << 16  # legacy fixed size; build_buckets_host sizes adaptively
+MAX_BUCKET_BITS = 22  # 16MB table cap
 
 
-def build_buckets_host(k1_sorted, upshift: int):
-    """Host-side bucket table: bucket[b] = first index whose scaled key is in
-    bucket b.  Returns (bucket (NUM_BUCKETS+1,) int32, probe_steps int)."""
+def bucket_bits_for(n_entries: int) -> int:
+    """Bucket-table size targeting ~16 entries per bucket (fewer search
+    steps on big indexes; gathers dominate there)."""
+    bits = max(16, (max(n_entries, 1) // 16).bit_length())
+    return min(bits, MAX_BUCKET_BITS)
+
+
+def build_buckets_host(k1_sorted, upshift: int, bucket_bits: int | None = None):
+    """Host-side bucket table: bucket[b] = first index whose scaled key is
+    in bucket b.  Returns (bucket (2**bits+1,) int32, probe_steps int,
+    bucket_bits int)."""
     import numpy as np
 
-    scaled = ((k1_sorted.astype(np.uint64) << np.uint64(upshift)) >> np.uint64(16)).astype(
-        np.int64
-    )
-    bucket = np.searchsorted(scaled, np.arange(NUM_BUCKETS + 1, dtype=np.int64)).astype(
+    if bucket_bits is None:
+        bucket_bits = bucket_bits_for(len(k1_sorted))
+    nb = 1 << bucket_bits
+    scaled = (
+        (k1_sorted.astype(np.uint64) << np.uint64(upshift))
+        >> np.uint64(32 - bucket_bits)
+    ).astype(np.int64)
+    bucket = np.searchsorted(scaled, np.arange(nb + 1, dtype=np.int64)).astype(
         np.int32
     )
     max_run = int(np.max(np.diff(bucket))) if len(k1_sorted) else 1
     steps = max(1, int(max_run).bit_length())
-    return bucket, steps
+    return bucket, steps, bucket_bits
 
 
 def searchsorted2_bucketed(
@@ -59,11 +72,12 @@ def searchsorted2_bucketed(
     a2: jnp.ndarray,
     k1: jnp.ndarray,
     k2: jnp.ndarray,
-    bucket: jnp.ndarray,  # (NUM_BUCKETS+1,) int32
+    bucket: jnp.ndarray,  # (2**bucket_bits+1,) int32
     *,
     upshift: int,
     steps: int,
     use_k2: bool,
+    bucket_bits: int = 16,
 ):
     """'left' insertion points, starting from per-bucket bounds.
 
@@ -71,7 +85,9 @@ def searchsorted2_bucketed(
     build computes it, so the search is exact by construction.
     """
     n = a1.shape[0]
-    b = bucket_of(k1, upshift)
+    b = ((k1 << jnp.uint32(upshift)) >> jnp.uint32(32 - bucket_bits)).astype(
+        jnp.int32
+    )
     lo = bucket[b]
     hi = bucket[b + 1]
     for _ in range(steps):
