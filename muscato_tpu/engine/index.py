@@ -53,6 +53,12 @@ class TargetIndex:
     skeys2: jnp.ndarray  # second hash word (zeros for width <= 13)
     spos: jnp.ndarray
     srun: jnp.ndarray  # run length of the (key1,key2) group starting here
+    # Unique-key view for the binary-search probe: duplicate-key runs
+    # collapse to one entry so bucket depth tracks *distinct* keys.
+    ukeys: jnp.ndarray  # (U,) uint32
+    ukeys2: jnp.ndarray  # (U,) uint32
+    ustart: jnp.ndarray  # (U,) int32 run start in spos
+    ucount: jnp.ndarray  # (U,) int32 run length
     sbucket: jnp.ndarray  # (2**bucket_bits+1,) int32 per-bucket search bounds
     probe_steps: int  # binary-search steps covering the largest bucket
     bucket_bits: int
@@ -144,7 +150,9 @@ def _host_index_arrays(tcat: np.ndarray, gene_of: np.ndarray, width: int):
     run_id = np.cumsum(new_run) - 1
     counts = np.bincount(run_id)
     srun = counts[run_id].astype(np.int32)
-    return k1, k2, spos, srun, int(valid.sum())
+    starts = np.flatnonzero(new_run).astype(np.int32)
+    uniq = (k1[starts], k2[starts], starts, counts.astype(np.int32))
+    return k1, k2, spos, srun, uniq, int(valid.sum())
 
 
 def build_target_index(ts: TargetSet, width: int, device_build: bool = False) -> TargetIndex:
@@ -170,24 +178,26 @@ def build_target_index(ts: TargetSet, width: int, device_build: bool = False) ->
         nkeep = max(1, nvalid)
         skeys, skeys2 = skeys[:nkeep], skeys2[:nkeep]
         spos, srun = spos[:nkeep], srun[:nkeep]
-        bucket_bits = sops.bucket_bits_for(nkeep)
-        scaled = (skeys << jnp.uint32(upshift)) >> jnp.uint32(32 - bucket_bits)
-        bucket = jnp.searchsorted(
-            scaled, jnp.arange((1 << bucket_bits) + 1, dtype=jnp.uint32)
-        ).astype(jnp.int32)
-        probe_steps = max(1, int(jnp.max(jnp.diff(bucket))).bit_length())
+        # Unique-key view (host pass over the fetched keys).
+        k1h, k2h = np.asarray(skeys), np.asarray(skeys2)
+        new_run = np.concatenate(
+            [[True], (k1h[1:] != k1h[:-1]) | (k2h[1:] != k2h[:-1])]
+        )
+        starts = np.flatnonzero(new_run).astype(np.int32)
+        counts = np.diff(np.append(starts, len(k1h))).astype(np.int32)
+        uniq = (k1h[starts], k2h[starts], starts, counts)
     else:
-        skeys, skeys2, spos, srun, nvalid = _host_index_arrays(
+        skeys, skeys2, spos, srun, uniq, nvalid = _host_index_arrays(
             np.asarray(ts.tcat), gene_of_np, width
         )
         gene_of = jnp.asarray(gene_of_np)
         nkeep = max(1, nvalid)
-        skeys, skeys2 = skeys[:nkeep], skeys2[:nkeep]
-        spos, srun = spos[:nkeep], srun[:nkeep]
-        bucket, probe_steps, bucket_bits = sops.build_buckets_host(skeys, upshift)
-        bucket = jnp.asarray(bucket)
-        skeys, skeys2 = jnp.asarray(skeys), jnp.asarray(skeys2)
-        spos, srun = jnp.asarray(spos), jnp.asarray(srun)
+        uk = np.searchsorted(uniq[2], nkeep, side="left")
+        uniq = tuple(a[:max(1, uk)] for a in uniq)
+        skeys, skeys2 = jnp.asarray(skeys[:nkeep]), jnp.asarray(skeys2[:nkeep])
+        spos, srun = jnp.asarray(spos[:nkeep]), jnp.asarray(srun[:nkeep])
+    bucket, probe_steps, bucket_bits = sops.build_buckets_host(uniq[0], upshift)
+    bucket = jnp.asarray(bucket)
     from ..ops import packed as pops
 
     return TargetIndex(
@@ -200,6 +210,10 @@ def build_target_index(ts: TargetSet, width: int, device_build: bool = False) ->
         skeys2=skeys2,
         spos=spos,
         srun=srun,
+        ukeys=jnp.asarray(uniq[0]),
+        ukeys2=jnp.asarray(uniq[1]),
+        ustart=jnp.asarray(uniq[2]),
+        ucount=jnp.asarray(uniq[3]),
         sbucket=bucket,
         probe_steps=probe_steps,
         bucket_bits=bucket_bits,

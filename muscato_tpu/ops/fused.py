@@ -178,7 +178,7 @@ def _probe_windows_impl(
 
 
 def _probe_windows_search_impl(
-    codes, lengths, q1s, skeys, skeys2, srun, sbucket,
+    codes, lengths, q1s, ukeys, ukeys2, ustart, ucount, sbucket,
     *, width, min_dinuc, upshift, probe_steps, bucket_bits,
 ):
     """Bucketed binary-search probe over the flat (K*R,) query space.
@@ -204,17 +204,19 @@ def _probe_windows_search_impl(
     )
     validf = vi == 0
 
-    nidx = skeys.shape[0]
-    lo = sops.searchsorted2_bucketed(
-        skeys, skeys2, keyf, key2f, sbucket,
+    nuniq = ukeys.shape[0]
+    lo_u = sops.searchsorted2_bucketed(
+        ukeys, ukeys2, keyf, key2f, sbucket,
         upshift=upshift, steps=probe_steps, use_k2=use_k2,
         bucket_bits=bucket_bits,
     )
-    loc = jnp.minimum(lo, nidx - 1)
-    eq = skeys[loc] == keyf
+    loc = jnp.minimum(lo_u, nuniq - 1)
+    eq = ukeys[loc] == keyf
     if use_k2:
-        eq = eq & (skeys2[loc] == key2f)
-    counts = jnp.where(validf & eq & (lo < nidx), srun[loc], 0).astype(jnp.int32)
+        eq = eq & (ukeys2[loc] == key2f)
+    hit = validf & eq & (lo_u < nuniq)
+    counts = jnp.where(hit, ucount[loc], 0).astype(jnp.int32)
+    loc = jnp.where(hit, ustart[loc], 0)
 
     # Compact actives first (stable) — K*R-sized sort, index untouched.
     inactive = (counts == 0).astype(jnp.int32)
@@ -319,13 +321,13 @@ def match_windows(
     (surv (surv_cap, 6) int32, nsurv, total_pairs).
     """
     if index_aux is not None:
-        srun, sbucket, upshift, probe_steps, bucket_bits = index_aux
+        ukeys, ukeys2, ustart, ucount, sbucket, upshift, probe_steps, bucket_bits = index_aux
         probe = _tpu_jit(
             _probe_windows_search_impl,
             ("width", "min_dinuc", "upshift", "probe_steps", "bucket_bits"),
         )
         counts_m, lo_m, qid_m, key_m = probe(
-            codes, lengths, q1s, skeys, skeys2, srun, sbucket,
+            codes, lengths, q1s, ukeys, ukeys2, ustart, ucount, sbucket,
             width=width, min_dinuc=min_dinuc,
             upshift=upshift, probe_steps=probe_steps, bucket_bits=bucket_bits,
         )

@@ -274,3 +274,49 @@ def test_max_matches_cap_binds():
     cfg.MatchMode = "first"
     mr2 = pipeline.run_matching(cfg, rs, ts)
     assert len(mr2.read_row) == 3
+
+
+def test_search_probe_equals_sort_probe():
+    """The bucketed-search probe must produce the same survivors as the
+    sort-merge probe (it is auto-selected only for huge indexes, so force
+    it here)."""
+    import jax.numpy as jnp
+    from muscato_tpu.engine.index import build_target_index
+    from muscato_tpu.ops import fused, packed as pops, search as sops
+    from muscato_tpu.ops import verify as vops
+
+    rng = np.random.default_rng(5)
+    genes = ["".join("ACGT"[i] for i in rng.integers(0, 4, 200)) for _ in range(20)]
+    reads = []
+    for _ in range(50):
+        g = genes[int(rng.integers(20))]
+        a = int(rng.integers(0, 150))
+        reads.append(g[a : a + int(rng.integers(20, 50))])
+    width, max_rl = 14, 64  # wide => dual hash keys
+    rs, lmax = _mk_readset(reads)
+    codes = np.zeros((len(reads), max_rl), dtype=np.uint8)
+    codes[:, :lmax] = rs.codes[:, :lmax]
+    ts = _mk_targetset(genes)
+    idx = build_target_index(ts, width)
+
+    codes_j = jnp.asarray(codes)
+    rpacked = pops.pack_rows(codes_j)
+    lengths = jnp.asarray(rs.lengths)
+    budget = jnp.asarray(vops.mismatch_budget_table(0.9, max_rl))
+    q1s = jnp.asarray(np.array([0, 7], np.int32))
+    kw = dict(width=width, min_dinuc=1, max_read_length=max_rl,
+              pair_chunk=1 << 12, surv_cap=1 << 12)
+    args = (codes_j, rpacked, lengths, q1s, idx.skeys, idx.skeys2, idx.spos,
+            idx.tpacked, idx.gene_of, idx.gene_start, idx.gene_len, budget)
+
+    buf_a, n_a, t_a = fused.match_windows(*args, **kw)
+    aux = (idx.ukeys, idx.ukeys2, idx.ustart, idx.ucount, idx.sbucket,
+           sops.bucket_shift(width), idx.probe_steps, idx.bucket_bits)
+    buf_b, n_b, t_b = fused.match_windows(*args, **kw, index_aux=aux)
+
+    assert int(n_a) == int(n_b)
+    assert int(t_a) == int(t_b)
+    rows_a = {tuple(r) for r in np.asarray(buf_a)[: int(n_a)].tolist()}
+    rows_b = {tuple(r) for r in np.asarray(buf_b)[: int(n_b)].tolist()}
+    assert rows_a == rows_b
+    assert int(n_a) > 0
