@@ -1,14 +1,10 @@
-"""Candidate expansion and full-read verification (device ops).
+"""Full-read pair verification — byte-path reference implementation.
 
-This is the TPU replacement for the reference's two hot loops:
-
-  - muscato_screen's per-position Bloom probe
-    (/root/reference/cmd/muscato_screen/main.go:256-366) becomes
-    `probe_ranges`: a searchsorted of read window keys into the sorted
-    target-window index — exact, batched, and read-major;
-  - muscato_confirm's all-pairs Hamming check per k-mer group
-    (/root/reference/cmd/muscato_confirm/main.go:171-250) becomes
-    `verify_pairs`: a dense (pairs x MaxReadLength) mismatch count.
+The TPU replacement for muscato_confirm's all-pairs Hamming check per k-mer
+group (/root/reference/cmd/muscato_confirm/main.go:171-250): a dense
+(pairs x MaxReadLength) mismatch count.  The production kernel is the SWAR
+variant in ops/packed.py (bit-identical, fuzz-tested against this one);
+this byte-level version is the readable specification.
 
 Semantics reproduced exactly (file:line cites into the reference):
 
@@ -38,46 +34,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-
-@jax.jit
-def probe_ranges(skeys: jnp.ndarray, rkeys: jnp.ndarray):
-    """For each read key, the [lo, hi) run of matching index entries."""
-    lo = jnp.searchsorted(skeys, rkeys, side="left")
-    hi = jnp.searchsorted(skeys, rkeys, side="right")
-    return lo.astype(jnp.int32), hi.astype(jnp.int32)
-
-
-@partial(jax.jit, static_argnames=("pair_chunk",))
-def expand_pairs(
-    read_rows: jnp.ndarray,  # (Rk,) int32 read row of each probing read
-    lo: jnp.ndarray,  # (Rk,) int32
-    counts: jnp.ndarray,  # (Rk,) int32 hi - lo
-    spos: jnp.ndarray,  # (V,) int32 index positions
-    base: jnp.ndarray,  # () int32 scalar: first global pair id of this chunk
-    pair_chunk: int,
-):
-    """Materialize pair ids [base, base+pair_chunk) as (read_row, site_pos).
-
-    Pair p belongs to probing read i where offsets[i] <= p < offsets[i+1],
-    offsets = exclusive cumsum of counts; its site is the (p - offsets[i])-th
-    entry of that read's [lo, hi) run.  Out-of-range pair ids yield pos = -1.
-    """
-    offsets = jnp.cumsum(counts)  # inclusive; searchsorted 'right' gives owner
-    total = offsets[-1] if counts.shape[0] > 0 else jnp.int32(0)
-    pid = base + jnp.arange(pair_chunk, dtype=jnp.int32)
-    owner = jnp.searchsorted(offsets, pid, side="right").astype(jnp.int32)
-    owner_c = jnp.minimum(owner, counts.shape[0] - 1)
-    start = jnp.where(owner_c > 0, offsets[owner_c - 1], 0)
-    within = pid - start
-    site = spos[jnp.clip(lo[owner_c] + within, 0, spos.shape[0] - 1)]
-    valid = pid < total
-    r = read_rows[owner_c]
-    return (
-        jnp.where(valid, r, -1).astype(jnp.int32),
-        jnp.where(valid, site, -1).astype(jnp.int32),
-        jnp.where(valid, owner_c, -1).astype(jnp.int32),
-    )
 
 
 def verify_pairs_dynq(

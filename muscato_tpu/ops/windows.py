@@ -24,8 +24,6 @@ the reference's join).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -91,25 +89,3 @@ def dinucleotide_counts(codes: jnp.ndarray, q1: int, width: int) -> jnp.ndarray:
     bins = jnp.arange(NBASE * NBASE, dtype=jnp.int32)
     present = jnp.any(pairs[:, :, None] == bins[None, None, :], axis=1)  # (R, 25)
     return jnp.sum(present, axis=1).astype(jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("q1", "width", "min_dinuc"))
-def read_window_table(
-    codes: jnp.ndarray,
-    lengths: jnp.ndarray,
-    q1: int,
-    width: int,
-    min_dinuc: int,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-read window keys and validity for one window.
-
-    valid[r] = length[r] >= q1+width  and  dinuc(window) >= min_dinuc
-    (cmd/muscato_window_reads/main.go:108-118).
-    Returns (keys (R,) uint32, valid (R,) bool).
-    """
-    q2 = q1 + width
-    keys = window_keys_at(codes, q1, width)
-    valid = lengths >= q2
-    if min_dinuc > 0:
-        valid = valid & (dinucleotide_counts(codes, q1, width) >= min_dinuc)
-    return keys, valid
