@@ -82,6 +82,14 @@ def _enable_compile_cache() -> None:
 
 
 def run(cfg: Config) -> None:
+    for label, path in (
+        ("ReadFileName", cfg.ReadFileName),
+        ("GeneFileName", cfg.GeneFileName),
+        ("GeneIdFileName", cfg.GeneIdFileName),
+    ):
+        if not os.path.exists(path):
+            sys.stderr.write(f"Cannot open {label} {path}\n")
+            raise SystemExit(1)
     _enable_compile_cache()
     make_run_dirs(cfg)
     logger = _setup_logging(cfg)
