@@ -38,7 +38,7 @@ class BenchResult:
 
 
 def run_bench(
-    num_read: int = 1_000_000,
+    num_read: int = 4_000_000,
     read_len: int = 100,
     num_gene: int = 2_000,
     gene_len: int = 1_000,
@@ -88,7 +88,7 @@ def main(argv=None) -> int:
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--NumRead", type=int, default=1_000_000)
+    p.add_argument("--NumRead", type=int, default=4_000_000)
     p.add_argument("--ReadLen", type=int, default=100)
     p.add_argument("--NumGene", type=int, default=2_000)
     p.add_argument("--GeneLen", type=int, default=1_000)
