@@ -59,6 +59,7 @@ class TargetIndex:
     ukeys2: jnp.ndarray  # (U,) uint32
     ustart: jnp.ndarray  # (U,) int32 run start in spos
     ucount: jnp.ndarray  # (U,) int32 run length
+    ukk: jnp.ndarray  # (2U,) uint32 interleaved [k1,k2] pairs
     sbucket: jnp.ndarray  # (2**bucket_bits+1,) int32 per-bucket search bounds
     probe_steps: int  # binary-search steps covering the largest bucket
     bucket_bits: int
@@ -214,6 +215,9 @@ def build_target_index(ts: TargetSet, width: int, device_build: bool = False) ->
         ukeys2=jnp.asarray(uniq[1]),
         ustart=jnp.asarray(uniq[2]),
         ucount=jnp.asarray(uniq[3]),
+        ukk=jnp.asarray(
+            np.stack([uniq[0], uniq[1]], axis=1).reshape(-1)
+        ),
         sbucket=bucket,
         probe_steps=probe_steps,
         bucket_bits=bucket_bits,

@@ -102,7 +102,7 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
     nflat = len(cfg.Windows) * min(batch, _round_up(nreads, 1024))
     use_search = index.skeys.shape[0] > 8 * nflat
     index_aux = (
-        (index.ukeys, index.ukeys2, index.ustart, index.ucount,
+        (index.ukeys, index.ukeys2, index.ukk, index.ustart, index.ucount,
          index.sbucket, sops.bucket_shift(width),
          index.probe_steps, index.bucket_bits)
         if use_search else None

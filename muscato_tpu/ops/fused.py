@@ -178,7 +178,7 @@ def _probe_windows_impl(
 
 
 def _probe_windows_search_impl(
-    codes, lengths, q1s, ukeys, ukeys2, ustart, ucount, sbucket,
+    codes, lengths, q1s, ukeys, ukeys2, ukk, ustart, ucount, sbucket,
     *, width, min_dinuc, upshift, probe_steps, bucket_bits,
 ):
     """Bucketed binary-search probe over the flat (K*R,) query space.
@@ -208,7 +208,7 @@ def _probe_windows_search_impl(
     lo_u = sops.searchsorted2_bucketed(
         ukeys, ukeys2, keyf, key2f, sbucket,
         upshift=upshift, steps=probe_steps, use_k2=use_k2,
-        bucket_bits=bucket_bits,
+        bucket_bits=bucket_bits, interleaved=ukk,
     )
     loc = jnp.minimum(lo_u, nuniq - 1)
     eq = ukeys[loc] == keyf
@@ -321,13 +321,13 @@ def match_windows(
     (surv (surv_cap, 6) int32, nsurv, total_pairs).
     """
     if index_aux is not None:
-        ukeys, ukeys2, ustart, ucount, sbucket, upshift, probe_steps, bucket_bits = index_aux
+        ukeys, ukeys2, ukk, ustart, ucount, sbucket, upshift, probe_steps, bucket_bits = index_aux
         probe = _tpu_jit(
             _probe_windows_search_impl,
             ("width", "min_dinuc", "upshift", "probe_steps", "bucket_bits"),
         )
         counts_m, lo_m, qid_m, key_m = probe(
-            codes, lengths, q1s, ukeys, ukeys2, ustart, ucount, sbucket,
+            codes, lengths, q1s, ukeys, ukeys2, ukk, ustart, ucount, sbucket,
             width=width, min_dinuc=min_dinuc,
             upshift=upshift, probe_steps=probe_steps, bucket_bits=bucket_bits,
         )

@@ -78,6 +78,7 @@ def searchsorted2_bucketed(
     steps: int,
     use_k2: bool,
     bucket_bits: int = 16,
+    interleaved: jnp.ndarray | None = None,  # (2N,) [k1_0,k2_0,k1_1,...]
 ):
     """'left' insertion points, starting from per-bucket bounds.
 
@@ -90,13 +91,38 @@ def searchsorted2_bucketed(
     )
     lo = bucket[b]
     hi = bucket[b + 1]
+    if use_k2 and interleaved is not None:
+        # Both key words of an entry sit at adjacent addresses in the
+        # precomputed interleaved array, so each probe step's two gathers
+        # hit the same HBM burst.  (The interleaved array must be built on
+        # the host: forming it on device materializes a (N, 2) tiled array
+        # whose minor dim pads 2 -> 128.)
+        for _ in range(steps):
+            mid = (lo + hi) >> 1
+            midc = jnp.minimum(mid, n - 1)
+            m1 = interleaved[midc * 2]
+            m2 = interleaved[midc * 2 + 1]
+            go_right = (m1 < k1) | ((m1 == k1) & (m2 < k2))
+            go_right = go_right & (mid < hi)
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, jnp.minimum(hi, mid))
+        return lo
+    if use_k2:
+        for _ in range(steps):
+            mid = (lo + hi) >> 1
+            midc = jnp.minimum(mid, n - 1)
+            m1 = a1[midc]
+            m2 = a2[midc]
+            go_right = (m1 < k1) | ((m1 == k1) & (m2 < k2))
+            go_right = go_right & (mid < hi)
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, jnp.minimum(hi, mid))
+        return lo
     for _ in range(steps):
         mid = (lo + hi) >> 1
         midc = jnp.minimum(mid, n - 1)
         m1 = a1[midc]
         go_right = m1 < k1
-        if use_k2:
-            go_right = go_right | ((m1 == k1) & (a2[midc] < k2))
         go_right = go_right & (mid < hi)
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, jnp.minimum(hi, mid))

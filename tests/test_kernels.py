@@ -310,7 +310,7 @@ def test_search_probe_equals_sort_probe():
             idx.tpacked, idx.gene_of, idx.gene_start, idx.gene_len, budget)
 
     buf_a, n_a, t_a = fused.match_windows(*args, **kw)
-    aux = (idx.ukeys, idx.ukeys2, idx.ustart, idx.ucount, idx.sbucket,
+    aux = (idx.ukeys, idx.ukeys2, idx.ukk, idx.ustart, idx.ucount, idx.sbucket,
            sops.bucket_shift(width), idx.probe_steps, idx.bucket_bits)
     buf_b, n_b, t_b = fused.match_windows(*args, **kw, index_aux=aux)
 
