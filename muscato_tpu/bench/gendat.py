@@ -65,7 +65,7 @@ def generate_arrays(
     """In-memory variant for benchmarking: returns (ReadSet, TargetSet)
     without touching disk."""
     from ..io.reads import ReadSet
-    from ..io.seqcodec import _B2C, decode
+    from ..io.seqcodec import _B2C
     from ..io.targets import TargetSet
 
     rng = np.random.default_rng(seed)

@@ -17,8 +17,6 @@ import json
 import time
 from dataclasses import dataclass
 
-import numpy as np
-
 from ..config import Config
 from ..engine import pipeline
 from ..engine.index import build_target_index

@@ -14,8 +14,6 @@ import argparse
 import json
 import time
 
-import numpy as np
-
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
@@ -30,7 +28,6 @@ def main(argv=None) -> int:
 
     from muscato_tpu.bench import gendat
     from muscato_tpu.config import Config
-    from muscato_tpu.engine import pipeline
     from muscato_tpu.parallel import mesh as pmesh
 
     cfg = Config(

@@ -21,8 +21,6 @@ validates the full sharded step on a virtual device mesh instead.
 
 from __future__ import annotations
 
-import os
-
 import jax
 
 from .mesh import make_mesh

@@ -30,14 +30,14 @@ from typing import List
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..io.targets import TargetSet
 from ..ops import fused
 from ..ops import packed as pops
 from ..ops import verify as vops
 from .. import config as config_mod
-from ..engine.index import INVALID_KEY, _index_arrays
+from ..engine.index import _index_arrays
 
 
 @dataclass
