@@ -7,28 +7,36 @@ re-derives exact candidates with an external sort-merge join
 BASELINE.json prescribes for TPU: the *targets* are compiled once into a
 sorted window-key index in HBM, and read batches probe it.  The probe is
 exact (plus rare, verify-filtered hash collisions for wide windows), so the
-reference's screen+sort+join collapses into one searchsorted.
+reference's screen+sort+join collapses into one join.
 
-Index layout (per target shard):
+Index layout (per target shard) — sized for 100M+ base databases, so every
+array here is one the HBM budget pays for:
 
-  tcat       (S,)  uint8   concatenated gene codes
-  gene_of    (S,)  int32   owning gene of each position
-  gene_start (G+1,) int32  gene offsets into tcat
-  gene_len   (G,)  int32
+  tpacked    (S/8+pad,) uint32  nibble-packed gene stream (verify kernel)
+  gene_start (G+1,) int32  gene offsets into the stream
   skeys      (V,)  uint32  window key of every *valid* window position,
                            sorted ascending (ties by position)
+  skeys2     (V,)  uint32  second hash word (zeros for width <= 13)
   spos       (V,)  int32   the window positions, aligned with skeys
 
+There is deliberately no per-base gene id array (4 bytes/base of HBM) —
+the verify kernel recovers the owning gene of a hit position with a binary
+search over gene_start (ops/packed.gene_of_pos).  The unique-key /
+bucket-table view used by the binary-search probe is built lazily
+(search_aux) because the default sort-merge probe never touches it.
+
 A window position p is valid iff the whole window lies inside one gene:
-gene_of[p] == gene_of[p + W - 1].  The reference's additional per-window
-constraint (window offset q1 must fit left of the site,
-cmd/muscato_screen/main.go:340-346 `jw >= 0`) is window-dependent and is
-enforced in the verify kernel instead, so one index serves all windows.
+no gene boundary falls strictly inside [p, p + W - 1], computed from a
+cumulative boundary count (no per-base gene array needed).  The
+reference's additional per-window constraint (window offset q1 must fit
+left of the site, cmd/muscato_screen/main.go:340-346 `jw >= 0`) is
+window-dependent and is enforced in the verify kernel instead, so one
+index serves all windows.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import jax
@@ -36,25 +44,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.targets import TargetSet
+from ..ops import packed as pops
 from ..ops import search as sops
 from ..ops import windows as winops
 
 INVALID_KEY = np.uint32(0xFFFFFFFF)
 
+# Above this many bases the index is sorted on device (the host np.lexsort
+# build is single-threaded and becomes the dominant cost).
+DEVICE_BUILD_THRESHOLD = 8_000_000
+
+INDEX_FORMAT_VERSION = 2
+
 
 @dataclass
-class TargetIndex:
-    tcat: jnp.ndarray
-    tpacked: jnp.ndarray  # nibble-packed stream for the SWAR verify kernel
-    gene_of: jnp.ndarray
-    gene_start: jnp.ndarray
-    gene_len: jnp.ndarray
-    skeys: jnp.ndarray
-    skeys2: jnp.ndarray  # second hash word (zeros for width <= 13)
-    spos: jnp.ndarray
-    srun: jnp.ndarray  # run length of the (key1,key2) group starting here
-    # Unique-key view for the binary-search probe: duplicate-key runs
-    # collapse to one entry so bucket depth tracks *distinct* keys.
+class SearchAux:
+    """Unique-key view + bucket table for the binary-search probe.
+
+    Duplicate-key runs collapse to one entry so bucket depth tracks
+    *distinct* keys; both key words of an entry sit at adjacent addresses
+    in `ukk` so each probe step's two gathers share one HBM burst.
+    """
+
     ukeys: jnp.ndarray  # (U,) uint32
     ukeys2: jnp.ndarray  # (U,) uint32
     ustart: jnp.ndarray  # (U,) int32 run start in spos
@@ -63,67 +74,141 @@ class TargetIndex:
     sbucket: jnp.ndarray  # (2**bucket_bits+1,) int32 per-bucket search bounds
     probe_steps: int  # binary-search steps covering the largest bucket
     bucket_bits: int
+    upshift: int
+
+
+@dataclass
+class TargetIndex:
+    tpacked: jnp.ndarray  # nibble-packed stream for the SWAR verify kernel
+    gene_start: jnp.ndarray  # (G+1,) int32
+    skeys: jnp.ndarray
+    skeys2: jnp.ndarray
+    spos: jnp.ndarray
     width: int
     num_valid: int
+    num_bases: int
+    _aux: SearchAux | None = field(default=None, repr=False)
 
     @property
     def size(self) -> int:
-        return int(self.tcat.shape[0])
+        return self.num_bases
+
+    def search_aux(self) -> SearchAux:
+        """Build (once) the unique-key + bucket view for the search probe."""
+        if self._aux is None:
+            k1 = np.asarray(self.skeys)
+            k2 = np.asarray(self.skeys2)
+            new_run = np.concatenate(
+                [[True], (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])]
+            )
+            starts = np.flatnonzero(new_run).astype(np.int32)
+            counts = np.diff(np.append(starts, len(k1))).astype(np.int32)
+            uk1, uk2 = k1[starts], k2[starts]
+            upshift = sops.bucket_shift(self.width)
+            bucket, probe_steps, bucket_bits = sops.build_buckets_host(uk1, upshift)
+            self._aux = SearchAux(
+                ukeys=jnp.asarray(uk1),
+                ukeys2=jnp.asarray(uk2),
+                ustart=jnp.asarray(starts),
+                ucount=jnp.asarray(counts),
+                ukk=jnp.asarray(np.stack([uk1, uk2], axis=1).reshape(-1)),
+                sbucket=jnp.asarray(bucket),
+                probe_steps=probe_steps,
+                bucket_bits=bucket_bits,
+                upshift=upshift,
+            )
+        return self._aux
+
+    def save(self, path: str) -> None:
+        """Persist the sorted key arrays so later runs skip the build sort.
+
+        tpacked/gene_start are cheap to recompute from the TargetSet and are
+        not stored."""
+        np.savez(
+            path,
+            version=np.int64(INDEX_FORMAT_VERSION),
+            width=np.int64(self.width),
+            num_valid=np.int64(self.num_valid),
+            num_bases=np.int64(self.num_bases),
+            skeys=np.asarray(self.skeys),
+            skeys2=np.asarray(self.skeys2),
+            spos=np.asarray(self.spos),
+        )
+
+    @classmethod
+    def load(cls, path: str, ts: TargetSet, width: int) -> "TargetIndex":
+        d = np.load(path)
+        if int(d["version"]) != INDEX_FORMAT_VERSION:
+            raise ValueError(f"index file {path}: unsupported version {int(d['version'])}")
+        if int(d["width"]) != width or int(d["num_bases"]) != int(ts.gene_start[-1]):
+            raise ValueError(
+                f"index file {path} was built for a different width/target set"
+            )
+        return cls(
+            tpacked=pops.pack_stream(np.asarray(ts.tcat)),
+            gene_start=jnp.asarray(np.asarray(ts.gene_start, np.int64).astype(np.int32)),
+            skeys=jnp.asarray(d["skeys"]),
+            skeys2=jnp.asarray(d["skeys2"]),
+            spos=jnp.asarray(d["spos"]),
+            width=width,
+            num_valid=int(d["num_valid"]),
+            num_bases=int(d["num_bases"]),
+        )
+
+
+def _boundary_cumsum_np(gene_start: np.ndarray, s: int) -> np.ndarray:
+    """cum[x] = number of interior gene boundaries <= x (length S+1)."""
+    b = np.zeros(s + 1, np.int32)
+    interior = gene_start[1:-1]
+    np.add.at(b, interior, 1)
+    return np.cumsum(b, dtype=np.int32)
 
 
 @partial(jax.jit, static_argnames=("width",))
-def _index_arrays(tcat, gene_of, width):
+def _index_arrays(tcat, gene_start, nreal, width):
+    """Device index build: window keys at every position, validity from the
+    gene-boundary structure, one 4-operand sort.
+
+    nreal is the count of real (non-padding) bases; windows must end inside
+    it.  Returns (skeys, skeys2, spos, nvalid)."""
     s = tcat.shape[0]
     keys = winops.sliding_window_keys(tcat, width)
     if winops.uses_second_key(width):
         keys2 = winops.sliding_window_keys(tcat, width, winops.HASH_MULT2)
     else:
-        # Exact single-word keys: the second word is unused ballast.
         keys2 = jnp.zeros(s, dtype=jnp.uint32)
     pos = jnp.arange(s, dtype=jnp.int32)
-    # Window must end inside the same gene.
-    end = jnp.minimum(pos + width - 1, s - 1)
-    valid = (pos + width - 1 < s) & (gene_of[end] == gene_of)
+
+    # cum[x] = interior boundaries <= x; a window [p, p+W-1] spans one gene
+    # iff no boundary lies in (p, p+W-1].
+    b = jnp.zeros(s + 1, jnp.int32)
+    interior = jnp.clip(gene_start[1:-1], 0, s)
+    b = b.at[interior].add(1)
+    cum = jnp.cumsum(b)
+    endc = jnp.minimum(pos + width - 1, s)
+    crossing = cum[endc] - cum[pos]
+    valid = (pos + width - 1 < nreal) & (crossing == 0)
+
     # Invalid slots sort to the top with an all-ones key; the valid prefix
-    # is a contiguous sorted run.
+    # is a contiguous sorted run.  (A real key may equal INVALID_KEY only
+    # for hashed windows; invalid entries carry pos=-1 which the verify
+    # kernel rejects, and the rank column keeps them after real entries.)
     sort_keys = jnp.where(valid, keys, jnp.uint32(INVALID_KEY))
     sort_keys2 = jnp.where(valid, keys2, jnp.uint32(INVALID_KEY))
-    # A real key may equal INVALID_KEY only for hashed (wide) windows; the
-    # verify-side window equality check makes a dropped/extra candidate at
-    # that key value impossible to observe for exact widths and vanishingly
-    # unlikely otherwise; invalid entries carry pos=-1 which the verify
-    # kernel rejects.
     spos = jnp.where(valid, pos, jnp.int32(-1))
     invalid_rank = (~valid).astype(jnp.int32)
-    skeys, skeys2, rank, spos = jax.lax.sort(
+    skeys, skeys2, _rank, spos = jax.lax.sort(
         (sort_keys, sort_keys2, invalid_rank, spos), num_keys=4, dimension=0
     )
-    srun = _run_lengths(skeys, skeys2)
     nvalid = jnp.sum(valid.astype(jnp.int32))
-    return skeys, skeys2, spos, srun, nvalid
+    return skeys, skeys2, spos, nvalid
 
 
-def _run_lengths(skeys, skeys2):
-    """srun[i] = length of the equal-(key1,key2) run starting at i (only
-    meaningful at run starts, which is all a 'left' search can return)."""
-    n = skeys.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    new_run = jnp.concatenate(
-        [jnp.ones(1, bool), (skeys[1:] != skeys[:-1]) | (skeys2[1:] != skeys2[:-1])]
-    )
-    run_start = jax.lax.cummax(jnp.where(new_run, idx, 0))
-    is_end = jnp.concatenate([new_run[1:], jnp.ones(1, bool)])
-    run_end = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(is_end, idx, n - 1))))
-    return (run_end - run_start + 1).astype(jnp.int32)
-
-
-def _host_index_arrays(tcat: np.ndarray, gene_of: np.ndarray, width: int):
+def _host_index_arrays(tcat: np.ndarray, gene_start: np.ndarray, width: int):
     """NumPy twin of _index_arrays — identical results, no XLA compile.
 
-    The device path exists for very large shards where the sort should run
-    in HBM; for everything else the host build is faster end-to-end because
-    it avoids a large one-time compilation.
-    """
+    Kept for small indexes where a device round trip plus compile costs
+    more than the host sort."""
     s = len(tcat)
     mult = np.uint32(winops.key_multiplier(width))
     padded = np.concatenate([tcat.astype(np.uint32), np.zeros(width - 1, np.uint32)])
@@ -139,88 +224,64 @@ def _host_index_arrays(tcat: np.ndarray, gene_of: np.ndarray, width: int):
         else:
             keys2 = np.zeros(s, np.uint32)
     pos = np.arange(s, dtype=np.int32)
-    end = np.minimum(pos + width - 1, s - 1)
-    valid = (pos + width - 1 < s) & (gene_of[end] == gene_of)
+    cum = _boundary_cumsum_np(gene_start, s)
+    endc = np.minimum(pos + width - 1, s)
+    crossing = cum[endc] - cum[pos]
+    valid = (pos + width - 1 < s) & (crossing == 0)
     k1 = np.where(valid, keys, INVALID_KEY)
     k2 = np.where(valid, keys2, INVALID_KEY)
     rank = (~valid).astype(np.int32)
     spos = np.where(valid, pos, np.int32(-1))
     order = np.lexsort((spos, rank, k2, k1))
-    k1, k2, spos = k1[order], k2[order], spos[order]
-    new_run = np.concatenate([[True], (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])])
-    run_id = np.cumsum(new_run) - 1
-    counts = np.bincount(run_id)
-    srun = counts[run_id].astype(np.int32)
-    starts = np.flatnonzero(new_run).astype(np.int32)
-    uniq = (k1[starts], k2[starts], starts, counts.astype(np.int32))
-    return k1, k2, spos, srun, uniq, int(valid.sum())
+    return k1[order], k2[order], spos[order], int(valid.sum())
 
 
-def build_target_index(ts: TargetSet, width: int, device_build: bool = False) -> TargetIndex:
-    """Compile a TargetSet into a device-resident TargetIndex."""
+def build_target_index(
+    ts: TargetSet, width: int, device_build: bool | None = None
+) -> TargetIndex:
+    """Compile a TargetSet into a device-resident TargetIndex.
+
+    device_build=None picks the device sort for large databases (the host
+    np.lexsort is single-threaded; the device radix sort is ~50x faster at
+    100M rows) and the host build for small ones (skips a compile)."""
     s = int(ts.gene_start[-1])
-    gene_start = np.asarray(ts.gene_start, dtype=np.int64)
+    gene_start64 = np.asarray(ts.gene_start, dtype=np.int64)
     if s > np.iinfo(np.int32).max:
         raise NotImplementedError(
             "single-shard target index limited to 2**31-1 positions; "
             "shard by gene range (muscato_tpu.parallel) for larger databases"
         )
-    gene_of_np = np.repeat(
-        np.arange(len(ts.names), dtype=np.int32), np.diff(gene_start)
-    )
-    tcat = jnp.asarray(ts.tcat)
-    upshift = sops.bucket_shift(width)
+    gene_start_np = gene_start64.astype(np.int32)
+    if device_build is None:
+        device_build = s >= DEVICE_BUILD_THRESHOLD
+    gene_start = jnp.asarray(gene_start_np)
     if device_build:
-        gene_of = jnp.asarray(gene_of_np)
-        skeys, skeys2, spos, srun, nvalid = _index_arrays(tcat, gene_of, width)
+        tcat = jnp.asarray(np.asarray(ts.tcat, dtype=np.uint8))
+        skeys, skeys2, spos, nvalid = _index_arrays(
+            tcat, gene_start, jnp.int32(s), width
+        )
         nvalid = int(nvalid)
-        # Drop the invalid tail: it would pile into the last bucket and
-        # inflate the probe's worst-case search depth.
+        del tcat
+        # Drop the invalid tail: it would pile into the last search bucket
+        # and inflate the probe's worst-case depth.
         nkeep = max(1, nvalid)
-        skeys, skeys2 = skeys[:nkeep], skeys2[:nkeep]
-        spos, srun = spos[:nkeep], srun[:nkeep]
-        # Unique-key view (host pass over the fetched keys).
-        k1h, k2h = np.asarray(skeys), np.asarray(skeys2)
-        new_run = np.concatenate(
-            [[True], (k1h[1:] != k1h[:-1]) | (k2h[1:] != k2h[:-1])]
-        )
-        starts = np.flatnonzero(new_run).astype(np.int32)
-        counts = np.diff(np.append(starts, len(k1h))).astype(np.int32)
-        uniq = (k1h[starts], k2h[starts], starts, counts)
+        skeys, skeys2, spos = skeys[:nkeep], skeys2[:nkeep], spos[:nkeep]
     else:
-        skeys, skeys2, spos, srun, uniq, nvalid = _host_index_arrays(
-            np.asarray(ts.tcat), gene_of_np, width
+        k1, k2, sp, nvalid = _host_index_arrays(
+            np.asarray(ts.tcat), gene_start_np, width
         )
-        gene_of = jnp.asarray(gene_of_np)
         nkeep = max(1, nvalid)
-        uk = np.searchsorted(uniq[2], nkeep, side="left")
-        uniq = tuple(a[:max(1, uk)] for a in uniq)
-        skeys, skeys2 = jnp.asarray(skeys[:nkeep]), jnp.asarray(skeys2[:nkeep])
-        spos, srun = jnp.asarray(spos[:nkeep]), jnp.asarray(srun[:nkeep])
-    bucket, probe_steps, bucket_bits = sops.build_buckets_host(uniq[0], upshift)
-    bucket = jnp.asarray(bucket)
-    from ..ops import packed as pops
+        skeys = jnp.asarray(k1[:nkeep])
+        skeys2 = jnp.asarray(k2[:nkeep])
+        spos = jnp.asarray(sp[:nkeep])
 
     return TargetIndex(
-        tcat=tcat,
         tpacked=pops.pack_stream(np.asarray(ts.tcat)),
-        gene_of=gene_of,
-        gene_start=jnp.asarray(gene_start.astype(np.int32)),
-        gene_len=jnp.asarray(np.diff(gene_start).astype(np.int32)),
+        gene_start=gene_start,
         skeys=skeys,
         skeys2=skeys2,
         spos=spos,
-        srun=srun,
-        ukeys=jnp.asarray(uniq[0]),
-        ukeys2=jnp.asarray(uniq[1]),
-        ustart=jnp.asarray(uniq[2]),
-        ucount=jnp.asarray(uniq[3]),
-        ukk=jnp.asarray(
-            np.stack([uniq[0], uniq[1]], axis=1).reshape(-1)
-        ),
-        sbucket=bucket,
-        probe_steps=probe_steps,
-        bucket_bits=bucket_bits,
         width=width,
         num_valid=nvalid,
+        num_bases=s,
     )

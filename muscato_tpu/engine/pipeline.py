@@ -32,7 +32,6 @@ from ..io.reads import ReadSet
 from ..io.targets import TargetSet
 from ..ops import fused
 from ..ops import packed as packed_ops
-from ..ops import search as sops
 from ..ops import verify as vops
 from .index import TargetIndex, build_target_index
 
@@ -98,15 +97,10 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
     # Probe strategy: sort-merge re-sorts the whole index per batch (best
     # when V is comparable to the batch's K*R queries); the bucketed binary
     # search touches only the queried entries (best for a huge resident
-    # index).  Crossover measured on hardware at roughly V > 8 * queries.
+    # index probed by a small batch).
     nflat = len(cfg.Windows) * min(batch, _round_up(nreads, 1024))
     use_search = index.skeys.shape[0] > 8 * nflat
-    index_aux = (
-        (index.ukeys, index.ukeys2, index.ukk, index.ustart, index.ucount,
-         index.sbucket, sops.bucket_shift(width),
-         index.probe_steps, index.bucket_bits)
-        if use_search else None
-    )
+    index_aux = index.search_aux() if use_search else None
 
     surv_rows = []
     total_pairs = 0
@@ -117,16 +111,26 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
             rs, b0, b0 + batch, l_eff, cache_ok=(nreads <= batch)
         )
         while True:
-            buf, nsurv, total = fused.match_windows(
+            buf, nsurv, total, totalf = fused.match_windows(
                 codes, rpacked, lengths, q1s,
                 index.skeys, index.skeys2, index.spos,
-                index.tpacked, index.gene_of,
-                index.gene_start, index.gene_len, budget,
+                index.tpacked, index.gene_start, budget,
                 width=width, min_dinuc=cfg.MinDinuc,
                 max_read_length=cfg.MaxReadLength,
                 pair_chunk=pair_chunk, surv_cap=surv_cap,
-                index_aux=index_aux,
+                smax=index.num_bases, index_aux=index_aux,
             )
+            if float(totalf) > float(2**30):
+                # The expansion offsets are int32 cumsums; beyond ~2**30
+                # candidate pairs per batch they would wrap.  This only
+                # happens with extremely repetitive/low-entropy batches —
+                # re-run with a smaller ReadBatch (the error is loud, never
+                # a silent wrap).
+                raise ValueError(
+                    f"candidate pair count {float(totalf):.3g} in one read "
+                    "batch exceeds the 2**30 expansion limit; re-run with a "
+                    "smaller ReadBatch (or raise MinDinuc)"
+                )
             nsurv = int(nsurv)
             if nsurv <= surv_cap:
                 break
@@ -149,8 +153,8 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
         return MatchResult(z, z, z, z)
 
     rows = np.concatenate(surv_rows)
-    r, g, s, nx, grp, win = (rows[:, i] for i in range(6))
-    r, g, s, nx = _apply_max_matches(cfg, r, g, s, nx, grp, win)
+    r, g, s, nx, grp, grp2, win = (rows[:, i] for i in range(fused.NCOL))
+    r, g, s, nx = _apply_max_matches(cfg, r, g, s, nx, grp, grp2, win)
     return _dedup_and_rank(cfg, r, g, s, nx)
 
 
@@ -181,24 +185,33 @@ def _device_read_batch(rs: ReadSet, b0: int, b1: int, l_eff: int, cache_ok: bool
     return codes, rpacked, lengths
 
 
-def _apply_max_matches(cfg, r, g, s, nx, grp, win):
+def _apply_max_matches(cfg, r, g, s, nx, grp, grp2, win):
     """Per-(window, k-mer group) cap on emitted matches
-    (cmd/muscato_confirm/main.go:236-242)."""
+    (cmd/muscato_confirm/main.go:236-242).  The group identity is the full
+    (key1, key2) pair so wide-window key1 collisions cannot merge two
+    distinct k-mer groups.
+
+    In 'first' mode the reference appends a match and only then checks
+    len(qvals) > MaxMatches (main.go:236-238), so it emits up to
+    MaxMatches+1 rows per group — reproduced here with rank < mm+1."""
     mm = cfg.MaxMatches
     if cfg.MatchMode == "first":
-        order_cols = (r, s, g, grp, win)
+        order_cols = (r, s, g, grp2, grp, win)
     else:
-        order_cols = (r, s, g, nx, grp, win)
+        order_cols = (r, s, g, nx, grp2, grp, win)
     order = np.lexsort(order_cols)  # last key is primary: (window, group)-major
-    w_s, grp_s = win[order], grp[order]
+    w_s, grp_s, grp2_s = win[order], grp[order], grp2[order]
     # rank within (window, group)
     newgrp = np.concatenate(
-        [[True], (w_s[1:] != w_s[:-1]) | (grp_s[1:] != grp_s[:-1])]
+        [[True],
+         (w_s[1:] != w_s[:-1]) | (grp_s[1:] != grp_s[:-1])
+         | (grp2_s[1:] != grp2_s[:-1])]
     )
     grp_ix = np.cumsum(newgrp) - 1
     first_of_grp = np.flatnonzero(newgrp)
     rank = np.arange(len(grp_s)) - first_of_grp[grp_ix]
-    keep = rank < mm
+    cap = mm + 1 if cfg.MatchMode == "first" else mm
+    keep = rank < cap
     kept = order[keep]
     return r[kept], g[kept], s[kept], nx[kept]
 

@@ -45,10 +45,11 @@ Other measured design points:
   - capacity overflow is reported, never silently truncated — the caller
     re-runs with a larger bucket.
 
-`group` is the read's window key bit-cast to int32 — the identity of the
-reference's per-k-mer group for the MaxMatches cap
-(cmd/muscato_confirm/main.go:171-250 processes one k-mer group per
-searchpairs call).
+`group` is the read's (key1, key2) window key pair bit-cast to two int32
+columns — the identity of the reference's per-k-mer group for the
+MaxMatches cap (cmd/muscato_confirm/main.go:171-250 processes one k-mer
+group per searchpairs call).  Both words participate so wide-window hash
+collisions on key1 alone cannot merge two distinct k-mer groups.
 """
 
 from __future__ import annotations
@@ -61,7 +62,7 @@ from . import packed as pops
 from . import search as sops
 from . import windows as winops
 
-NCOL = 6  # r, g, s, nx, group, window
+NCOL = 7  # r, g, s, nx, group1, group2, window
 
 # On TPU, XLA may offload large gathers/scatters/sorts to the SparseCore;
 # keep these kernels on the TensorCore.
@@ -126,7 +127,8 @@ def _probe_windows_impl(
       counts_m  candidate count of the query at each slot
       lo_m      start of the query's candidate run in the index
       qid_m     flat (window*R + read) query id
-      key_m     key1 at each slot (the k-mer group identity)
+      key_m     key1 at each slot (k-mer group identity, word 1)
+      key2_m    key2 at each slot (k-mer group identity, word 2)
     """
     nreads, lmax = codes.shape
     nwin = q1s.shape[0]
@@ -171,10 +173,10 @@ def _probe_windows_impl(
     # owners are consecutive array slots — this bounds every expansion
     # chunk's owner span by the chunk size.
     inactive = (counts_m == 0).astype(jnp.int32)
-    _, counts_c, lo_c, qid_c, key_c = lax.sort(
-        (inactive, counts_m, lo_m, qid_m, m1s), num_keys=1, is_stable=True
+    _, counts_c, lo_c, qid_c, key_c, key2_c = lax.sort(
+        (inactive, counts_m, lo_m, qid_m, m1s, m2s), num_keys=1, is_stable=True
     )
-    return counts_c[:nflat], lo_c[:nflat], qid_c[:nflat], key_c[:nflat]
+    return counts_c[:nflat], lo_c[:nflat], qid_c[:nflat], key_c[:nflat], key2_c[:nflat]
 
 
 def _probe_windows_search_impl(
@@ -220,19 +222,21 @@ def _probe_windows_search_impl(
 
     # Compact actives first (stable) — K*R-sized sort, index untouched.
     inactive = (counts == 0).astype(jnp.int32)
-    _, counts_c, lo_c, qid_c, key_c = lax.sort(
-        (inactive, counts, loc, qid, keyf), num_keys=1, is_stable=True
+    _, counts_c, lo_c, qid_c, key_c, key2_c = lax.sort(
+        (inactive, counts, loc, qid, keyf, key2f), num_keys=1, is_stable=True
     )
-    return counts_c, lo_c, qid_c, key_c
+    return counts_c, lo_c, qid_c, key_c, key2_c
 
 
 def _expand_verify_impl(
-    counts_m, lo_m, qid_m, key_m, q1s, rpacked, lengths, spos, tpacked,
-    gene_of, gene_start, gene_len, budget,
-    *, nreads, width, max_read_length, pair_chunk, surv_cap,
+    counts_m, lo_m, qid_m, key_m, key2_m, q1s, rpacked, lengths, spos,
+    tpacked, gene_start, budget,
+    *, nreads, width, max_read_length, pair_chunk, surv_cap, smax,
 ):
-    """Returns (surv (surv_cap, 6) int32, nsurv, total) — nsurv may exceed
-    surv_cap, signalling overflow.
+    """Returns (surv (surv_cap, NCOL) int32, nsurv, total, totalf) — nsurv
+    may exceed surv_cap, signalling overflow; totalf is the exact pair
+    count as float32, so the caller can detect int32 cumsum overflow
+    (counts beyond ~2**30 pairs per batch require a smaller read batch).
 
     The inputs are compacted: every slot with count > 0 precedes all empty
     slots, so each chunk's owners occupy at most pair_chunk + 1 consecutive
@@ -241,6 +245,7 @@ def _expand_verify_impl(
     m = counts_m.shape[0]
     offsets = jnp.cumsum(counts_m)  # inclusive
     total = offsets[-1]
+    totalf = jnp.sum(counts_m.astype(jnp.float32))
     offsets_excl = offsets - counts_m
 
     span = pair_chunk + 1
@@ -251,6 +256,7 @@ def _expand_verify_impl(
     qid_p = jnp.concatenate([qid_m, jnp.full(span, -1, jnp.int32)])
     lo_p = jnp.concatenate([lo_m, jnp.zeros(span, lo_m.dtype)])
     key_p = jnp.concatenate([key_m, jnp.zeros(span, key_m.dtype)])
+    key2_p = jnp.concatenate([key2_m, jnp.zeros(span, key2_m.dtype)])
 
     nchunks = lax.div(total + (pair_chunk - 1), jnp.int32(pair_chunk))
     buf = jnp.zeros((surv_cap, NCOL), dtype=jnp.int32)
@@ -289,14 +295,15 @@ def _expand_verify_impl(
         p = jnp.where(in_range, site, -1)
 
         keep, nx, g, s = pops.verify_pairs_packed(
-            r, p, rpacked, lengths, tpacked, gene_of, gene_start,
-            gene_len, budget, q1_lane, width, max_read_length,
+            r, p, rpacked, lengths, tpacked, gene_start,
+            budget, q1_lane, width, max_read_length, smax,
         )
         grp = lax.dynamic_slice(key_p, (ob,), (span,))[owner].astype(jnp.int32)
+        grp2 = lax.dynamic_slice(key2_p, (ob,), (span,))[owner].astype(jnp.int32)
 
         pos = nsurv + jnp.cumsum(keep.astype(jnp.int32)) - 1
         idx = jnp.where(keep, pos, surv_cap + 1)  # OOB rows are dropped
-        vals = jnp.stack([r, g, s, nx, grp, k_lane], axis=1)
+        vals = jnp.stack([r, g, s, nx, grp, grp2, k_lane], axis=1)
         buf = buf.at[idx].set(vals, mode="drop")
         nsurv = nsurv + jnp.sum(keep.astype(jnp.int32))
         return ci + 1, nsurv, buf
@@ -304,47 +311,48 @@ def _expand_verify_impl(
     _, nsurv, buf = lax.while_loop(
         lambda st: st[0] < nchunks, chunk_body, (jnp.int32(0), jnp.int32(0), buf)
     )
-    return buf, nsurv, total
+    return buf, nsurv, total, totalf
 
 
 def match_windows(
     codes, rpacked, lengths, q1s, skeys, skeys2, spos,
-    tpacked, gene_of, gene_start, gene_len, budget,
-    *, width, min_dinuc, max_read_length, pair_chunk, surv_cap,
+    tpacked, gene_start, budget,
+    *, width, min_dinuc, max_read_length, pair_chunk, surv_cap, smax,
     index_aux=None,
 ):
     """Probe + expand + verify + compact; two async device dispatches.
 
-    index_aux, when given, is (srun, sbucket, upshift, probe_steps) and
-    selects the bucketed-search probe — the right choice when the index is
-    much larger than the query batch.  Returns
-    (surv (surv_cap, 6) int32, nsurv, total_pairs).
+    index_aux, when given, is a SearchAux (engine.index) and selects the
+    bucketed-search probe — the right choice when the index is much larger
+    than the query batch and the batch is small.  Returns
+    (surv (surv_cap, NCOL) int32, nsurv, total_pairs, total_pairs_f32).
     """
     if index_aux is not None:
-        ukeys, ukeys2, ukk, ustart, ucount, sbucket, upshift, probe_steps, bucket_bits = index_aux
+        aux = index_aux
         probe = _tpu_jit(
             _probe_windows_search_impl,
             ("width", "min_dinuc", "upshift", "probe_steps", "bucket_bits"),
         )
-        counts_m, lo_m, qid_m, key_m = probe(
-            codes, lengths, q1s, ukeys, ukeys2, ukk, ustart, ucount, sbucket,
-            width=width, min_dinuc=min_dinuc,
-            upshift=upshift, probe_steps=probe_steps, bucket_bits=bucket_bits,
+        counts_m, lo_m, qid_m, key_m, key2_m = probe(
+            codes, lengths, q1s, aux.ukeys, aux.ukeys2, aux.ukk, aux.ustart,
+            aux.ucount, aux.sbucket,
+            width=width, min_dinuc=min_dinuc, upshift=aux.upshift,
+            probe_steps=aux.probe_steps, bucket_bits=aux.bucket_bits,
         )
     else:
         probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))
-        counts_m, lo_m, qid_m, key_m = probe(
+        counts_m, lo_m, qid_m, key_m, key2_m = probe(
             codes, lengths, q1s, skeys, skeys2,
             width=width, min_dinuc=min_dinuc,
         )
     expand = _tpu_jit(
         _expand_verify_impl,
-        ("nreads", "width", "max_read_length", "pair_chunk", "surv_cap"),
+        ("nreads", "width", "max_read_length", "pair_chunk", "surv_cap", "smax"),
     )
-    buf, nsurv, total = expand(
-        counts_m, lo_m, qid_m, key_m, q1s, rpacked, lengths, spos, tpacked,
-        gene_of, gene_start, gene_len, budget,
+    buf, nsurv, total, totalf = expand(
+        counts_m, lo_m, qid_m, key_m, key2_m, q1s, rpacked, lengths, spos,
+        tpacked, gene_start, budget,
         nreads=codes.shape[0], width=width, max_read_length=max_read_length,
-        pair_chunk=pair_chunk, surv_cap=surv_cap,
+        pair_chunk=pair_chunk, surv_cap=surv_cap, smax=smax,
     )
-    return buf, nsurv, total
+    return buf, nsurv, total, totalf

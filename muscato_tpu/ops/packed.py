@@ -68,6 +68,25 @@ def pack_stream(tcat: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.sum(arr << shifts[None, :], axis=1, dtype=np.uint32))
 
 
+def gene_of_pos(gene_start: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Owning gene of each stream position: the largest g with
+    gene_start[g] <= p, as an unrolled branchless binary search over the
+    (G+1,) offsets table.
+
+    Replaces the 4-bytes-per-base gene id array the round-1 index carried —
+    at 100M+ bases that array was the HBM budget; this table is G+1 entries
+    and its top search levels stay cache-resident."""
+    g = gene_start.shape[0] - 1  # number of genes
+    lo = jnp.zeros(p.shape, jnp.int32)
+    hi = jnp.full(p.shape, max(g - 1, 0), jnp.int32)
+    for _ in range(max(1, max(g - 1, 1).bit_length())):
+        mid = (lo + hi + 1) >> 1
+        go_up = gene_start[mid] <= p
+        lo = jnp.where(go_up, mid, lo)
+        hi = jnp.where(go_up, hi, mid - 1)
+    return lo
+
+
 def _nibble_mask(k: jnp.ndarray) -> jnp.ndarray:
     """Mask with the low `k` nibbles set (k in [0, 8]), elementwise."""
     k = jnp.clip(k, 0, BASES_PER_WORD)
@@ -82,29 +101,27 @@ def verify_pairs_packed(
     rpacked: jnp.ndarray,  # (R, NW) uint32 nibble-packed reads
     lengths: jnp.ndarray,  # (R,) int32
     tpacked: jnp.ndarray,  # (SW+2,) uint32 nibble-packed target stream
-    gene_of: jnp.ndarray,  # (S,) int32
     gene_start: jnp.ndarray,  # (G+1,) int32
-    gene_len: jnp.ndarray,  # (G,) int32
     budget: jnp.ndarray,  # (max_read_length+1,) int32
     q1,  # int32 scalar or (P,) vector — window offset per pair lane
     width: int,
     max_read_length: int,
+    smax: int,
 ):
     """SWAR equivalent of verify.verify_pairs_dynq; returns (keep, nx, g, s).
 
     q1 may vary per lane, so pairs from different windows can share one
-    verification dispatch.
+    verification dispatch.  smax is the target stream length in bases.
     """
     nwords = rpacked.shape[1]
-    smax = gene_of.shape[0]
     active = (r >= 0) & (p >= 0)
     rc = jnp.clip(r, 0, rpacked.shape[0] - 1)
     pc = jnp.clip(p, 0, smax - 1)
     q1 = jnp.broadcast_to(jnp.asarray(q1, jnp.int32), r.shape)
 
-    g = gene_of[pc]
+    g = gene_of_pos(gene_start, pc)
     gstart = gene_start[g]
-    glen = gene_len[g]
+    glen = gene_start[g + 1] - gstart
     p_local = pc - gstart
     rlen = lengths[rc]
 

@@ -42,9 +42,7 @@ def verify_pairs_dynq(
     codes: jnp.ndarray,  # (R, Lmax) uint8
     lengths: jnp.ndarray,  # (R,) int32
     tcat: jnp.ndarray,  # (S,) uint8
-    gene_of: jnp.ndarray,  # (S,) int32
     gene_start: jnp.ndarray,  # (G+1,) int32
-    gene_len: jnp.ndarray,  # (G,) int32
     budget: jnp.ndarray,  # (Lmax+1,) int32 mismatch budget per read length
     q1,  # int or traced int32 scalar
     width: int,
@@ -52,19 +50,22 @@ def verify_pairs_dynq(
 ):
     """Verify each (read, site) pair; returns (keep, nx, g, s).
 
-    g = gene index, s = read start within the gene (the reported `pos`,
-    confirm main.go:221-232 emits mpos - len(mlft)).  q1 may be a traced
-    scalar so one executable serves all windows of a run.
+    g = gene index (recovered by binary search over gene_start), s = read
+    start within the gene (the reported `pos`, confirm main.go:221-232
+    emits mpos - len(mlft)).  q1 may be a traced scalar so one executable
+    serves all windows of a run.
     """
+    from .packed import gene_of_pos
+
     q2 = q1 + width
     smax = tcat.shape[0]
     active = (r >= 0) & (p >= 0)
     rc = jnp.clip(r, 0, codes.shape[0] - 1)
     pc = jnp.clip(p, 0, smax - 1)
 
-    g = gene_of[pc]
+    g = gene_of_pos(gene_start, pc)
     gstart = gene_start[g]
-    glen = gene_len[g]
+    glen = gene_start[g + 1] - gstart
     p_local = pc - gstart
     rlen = lengths[rc]
 

@@ -10,15 +10,23 @@ is the TPU-native scaling story prescribed by BASELINE.json:
   - each device probes its read shard against its index shard and verifies
     locally (shard_map);
   - per-device survivor lists (fixed capacity + count) are merged with
-    lax.all_gather over both axes — the collective replacement for the
-    reference's `sort | join` file merges;
-  - the host applies the same deterministic dedup/rank stages as the
-    single-chip path, so N-device output is bit-identical to 1-device
-    output.
+    lax.all_gather over the "mp" axis ONLY — reads are disjoint across
+    "dp", so the downstream read-keyed stages (MaxMatches cap, dedup,
+    best+MMTol) never need cross-dp traffic.  This is the collective
+    replacement for the reference's `sort | join` file merges
+    (/root/reference/cmd/muscato/main.go:454-476, 657-670); the round-1
+    all_gather over *both* axes was O(dp*mp) per device and is gone;
+  - the host fetches per-(dp, mp) survivor *prefixes* only (counts are
+    returned alongside), so fetch traffic is proportional to real
+    survivors, not to buffer capacity;
+  - the host applies the same deterministic cap/dedup/rank stages as the
+    single-chip path — including the (key1, key2) MaxMatches group columns,
+    which the survivor rows carry — so N-device output is bit-identical to
+    1-device output.
 
-Capacity handling: survivor/pair buffers are statically sized; overflow is
-reported per device and surfaces as a ValueError telling the caller to
-re-run with a larger capacity (the engine driver handles resizing).
+Capacity handling: survivor buffers are statically sized; per-device
+survivor counts are returned, and run_matching_sharded regrows capacity
+and re-runs a batch on overflow exactly like the single-chip driver loop.
 """
 
 from __future__ import annotations
@@ -44,10 +52,7 @@ from ..engine.index import _index_arrays
 class ShardedIndex:
     """Per-shard padded index arrays; leading axis = mp shard."""
 
-    tcat: jnp.ndarray  # (mp, Smax) uint8
-    gene_of: jnp.ndarray  # (mp, Smax) int32, local gene ids (pad rows own a dummy gene)
-    gene_start: jnp.ndarray  # (mp, Gmax+1) int32
-    gene_len: jnp.ndarray  # (mp, Gmax) int32
+    gene_start: jnp.ndarray  # (mp, Gmax+1) int32, local offsets (pads repeat the end)
     skeys: jnp.ndarray  # (mp, Vmax) uint32, INVALID_KEY padded
     skeys2: jnp.ndarray  # (mp, Vmax) uint32 second key word
     spos: jnp.ndarray  # (mp, Vmax) int32, -1 padded
@@ -55,11 +60,17 @@ class ShardedIndex:
     gene_base: jnp.ndarray  # (mp,) int32 first global gene id of the shard
     width: int
     num_shards: int
+    smax: int  # padded per-shard stream length in bases
 
 
 def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
     """Split genes into contiguous ranges with roughly equal base counts,
-    build each shard's index, and pad to a common shape."""
+    build each shard's index, and pad to a common shape.
+
+    Stream padding past a shard's real bases can never produce index
+    entries: window validity requires the window to end before the shard's
+    real length (engine.index._index_arrays nreal argument), so runs of
+    non-ACGT read bases cannot match the padding."""
     g = ts.num_genes
     sizes = np.diff(ts.gene_start)
     total = int(ts.gene_start[-1])
@@ -81,38 +92,31 @@ def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
         end = int(ts.gene_start[hi])
         tcat = np.asarray(ts.tcat[start:end], dtype=np.uint8)
         gs = (np.asarray(ts.gene_start[lo : hi + 1]) - start).astype(np.int32)
-        gene_of = np.repeat(np.arange(hi - lo, dtype=np.int32), np.diff(gs))
-        shards.append((tcat, gene_of, gs, lo))
+        shards.append((tcat, gs, lo))
 
-    smax = max((len(t) for t, _, _, _ in shards), default=width)
+    smax = max((len(t) for t, _, _ in shards), default=width)
     smax = max(smax, width)
-    gmax = max((len(gs) - 1 for _, _, gs, _ in shards), default=1)
+    gmax = max((len(gs) - 1 for _, gs, _ in shards), default=1)
     gmax = max(gmax, 1)
 
     tcat_p = np.full((num_shards, smax), 4, dtype=np.uint8)  # X padding
-    gene_of_p = np.zeros((num_shards, smax), dtype=np.int32)
     gene_start_p = np.zeros((num_shards, gmax + 1), dtype=np.int32)
-    gene_len_p = np.zeros((num_shards, gmax), dtype=np.int32)
     gene_base = np.zeros(num_shards, dtype=np.int32)
     skeys_l: List[np.ndarray] = []
     skeys2_l: List[np.ndarray] = []
     spos_l: List[np.ndarray] = []
     tpacked_l: List[np.ndarray] = []
 
-    for si, (tcat, gene_of, gs, lo) in enumerate(shards):
+    for si, (tcat, gs, lo) in enumerate(shards):
         s = len(tcat)
         tcat_p[si, :s] = tcat
-        # Padding positions claim a gene id past the last real gene so no
-        # window spanning real+pad is "within one gene".
-        gene_of_p[si, :s] = gene_of
-        gene_of_p[si, s:] = gmax
         ng = len(gs) - 1
         gene_start_p[si, : ng + 1] = gs
         gene_start_p[si, ng + 1 :] = gs[-1]
-        gene_len_p[si, :ng] = np.diff(gs)
         gene_base[si] = lo
-        skeys, skeys2, spos, _srun, _ = _index_arrays(
-            jnp.asarray(tcat_p[si]), jnp.asarray(gene_of_p[si]), width
+        skeys, skeys2, spos, _nvalid = _index_arrays(
+            jnp.asarray(tcat_p[si]), jnp.asarray(gene_start_p[si]),
+            jnp.int32(s), width,
         )
         skeys_l.append(np.asarray(skeys))
         skeys2_l.append(np.asarray(skeys2))
@@ -120,10 +124,7 @@ def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
         tpacked_l.append(np.asarray(pops.pack_stream(tcat_p[si])))
 
     return ShardedIndex(
-        tcat=jnp.asarray(tcat_p),
-        gene_of=jnp.asarray(gene_of_p),
         gene_start=jnp.asarray(gene_start_p),
-        gene_len=jnp.asarray(gene_len_p),
         skeys=jnp.asarray(np.stack(skeys_l)),
         skeys2=jnp.asarray(np.stack(skeys2_l)),
         spos=jnp.asarray(np.stack(spos_l)),
@@ -131,6 +132,7 @@ def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
         gene_base=jnp.asarray(gene_base),
         width=width,
         num_shards=num_shards,
+        smax=smax,
     )
 
 
@@ -143,44 +145,43 @@ def make_mesh(dp: int, mp: int, devices=None) -> Mesh:
 
 
 def _shard_step(
-    codes, rpacked, lengths, gene_of, gene_start, gene_len, skeys, skeys2,
+    codes, rpacked, lengths, gene_start, skeys, skeys2,
     spos, tpacked, gene_base, budget, q1s, *, width, min_dinuc,
-    max_read_length, pair_chunk, surv_cap,
+    max_read_length, pair_chunk, surv_cap, smax,
 ):
     """Per-device body (runs under shard_map): sort-merge probe + SWAR
-    verify of the local read block against the local index shard, then
-    all_gather of the survivor buffers — the collective replacement for the
-    reference's `sort | join` file merges."""
+    verify of the local read block against the local index shard, then an
+    all_gather of the survivor buffers along "mp" only — reads are disjoint
+    across "dp", so read-keyed downstream stages need no dp traffic."""
     # codes/rpacked/lengths are sharded along their leading (reads) axis and
     # arrive as full local blocks; the index arrays are sharded along an
     # explicit shard axis of size 1 per device, which we strip here.
-    gene_of, gene_start, gene_len = gene_of[0], gene_start[0], gene_len[0]
+    gene_start = gene_start[0]
     skeys, skeys2, spos = skeys[0], skeys2[0], spos[0]
     tpacked, gene_base = tpacked[0], gene_base[0]
 
-    counts_m, lo_m, qid_m, key_m = fused._probe_windows_impl(
+    counts_m, lo_m, qid_m, key_m, key2_m = fused._probe_windows_impl(
         codes, lengths, q1s, skeys, skeys2,
         width=width, min_dinuc=min_dinuc,
     )
-    buf, nsurv, _total = fused._expand_verify_impl(
-        counts_m, lo_m, qid_m, key_m, q1s, rpacked, lengths, spos, tpacked,
-        gene_of, gene_start, gene_len, budget,
+    buf, nsurv, _total, totalf = fused._expand_verify_impl(
+        counts_m, lo_m, qid_m, key_m, key2_m, q1s, rpacked, lengths, spos,
+        tpacked, gene_start, budget,
         nreads=codes.shape[0], width=width, max_read_length=max_read_length,
-        pair_chunk=pair_chunk, surv_cap=surv_cap,
+        pair_chunk=pair_chunk, surv_cap=surv_cap, smax=smax,
     )
-    overflow = (nsurv > surv_cap).astype(jnp.int32)
 
     # Globalize gene ids; mark unused rows dead.
     live = jnp.arange(surv_cap, dtype=jnp.int32) < nsurv
     buf = buf.at[:, 1].add(jnp.where(live, gene_base, 0))
     buf = jnp.where(live[:, None], buf, -1)
 
-    # Collective merge over the full mesh: every device ends up with every
-    # shard's survivors.
-    surv = jax.lax.all_gather(buf, "mp", axis=0)  # (mp, surv_cap, 6)
-    surv = jax.lax.all_gather(surv, "dp", axis=0)  # (dp, mp, surv_cap, 6)
-    overflow = jax.lax.pmax(jax.lax.pmax(overflow, "mp"), "dp")
-    return surv[None], overflow[None]
+    # Collective merge along the index axis only: each device ends up with
+    # every mp shard's survivors for ITS read block.
+    surv = jax.lax.all_gather(buf, "mp", axis=0)  # (mp, surv_cap, NCOL)
+    nsurv_all = jax.lax.all_gather(nsurv, "mp", axis=0)  # (mp,)
+    totalf_all = jax.lax.all_gather(totalf, "mp", axis=0)  # (mp,)
+    return surv[None], nsurv_all[None], totalf_all[None]
 
 
 def sharded_match_arrays(
@@ -194,9 +195,11 @@ def sharded_match_arrays(
 ):
     """Run the probe+verify stage over the mesh.
 
-    Returns (r, g, s, nx, window) numpy arrays of surviving candidate
-    matches (pre-dedup), identical in content to the single-device path.
-    """
+    Returns (r, g, s, nx, grp, grp2, window) numpy arrays of surviving
+    candidate matches (pre-dedup), identical in content to the single-chip
+    path, with read rows globalized.  Raises CapacityError when any
+    device's survivor count exceeds surv_cap (the caller regrows), and
+    ValueError on expansion-counter overflow."""
     dp = mesh.shape["dp"]
     r_total = codes.shape[0]
     pad = (-r_total) % dp
@@ -215,6 +218,7 @@ def sharded_match_arrays(
         max_read_length=cfg.MaxReadLength,
         pair_chunk=pair_cap,
         surv_cap=surv_cap,
+        smax=sidx.smax,
     )
     mapped = jax.shard_map(
         fn,
@@ -223,9 +227,7 @@ def sharded_match_arrays(
             P("dp", None),  # codes
             P("dp", None),  # rpacked
             P("dp"),  # lengths
-            P("mp", None),  # gene_of
             P("mp", None),  # gene_start
-            P("mp", None),  # gene_len
             P("mp", None),  # skeys
             P("mp", None),  # skeys2
             P("mp", None),  # spos
@@ -234,35 +236,95 @@ def sharded_match_arrays(
             P(),  # budget (replicated)
             P(),  # q1s (replicated)
         ),
-        out_specs=(P(None), P(None)),
+        out_specs=(P("dp"), P("dp"), P("dp")),
         check_vma=False,
     )
 
-    surv, overflow = jax.jit(mapped)(
-        codes, rpacked, lengths, sidx.gene_of, sidx.gene_start, sidx.gene_len,
+    surv, nsurv, totalf = jax.jit(mapped)(
+        codes, rpacked, lengths, sidx.gene_start,
         sidx.skeys, sidx.skeys2, sidx.spos, sidx.tpacked, sidx.gene_base,
         budget, q1s,
     )
-    if int(np.max(np.asarray(overflow))) > 0:
+    nsurv_np = np.asarray(nsurv)  # (dp, mp)
+    if float(np.max(np.asarray(totalf))) > float(2**30):
         raise ValueError(
-            "sharded_match_arrays: pair or survivor capacity exceeded; "
-            "re-run with larger pair_cap/surv_cap"
+            "candidate pair count on one device exceeds the 2**30 expansion "
+            "limit; re-run with a smaller ReadBatch"
         )
+    if int(nsurv_np.max(initial=0)) > surv_cap:
+        raise CapacityError(int(nsurv_np.max()))
 
-    s_np = np.asarray(surv[0])  # (dp, mp, surv_cap, 6)
-    flat = s_np.reshape(-1, s_np.shape[-1])
-    r = flat[:, 0]
-    live = r >= 0
-    # Reads are sharded over dp: local row -> global row.
+    # Fetch only the live survivor prefixes: traffic tracks real survivor
+    # counts, not dp*mp*capacity.
     per = codes.shape[0] // dp
-    dp_of = np.repeat(
-        np.arange(s_np.shape[0], dtype=np.int32), s_np.shape[1] * s_np.shape[2]
-    )
-    r_global = r + dp_of * per
-    return (
-        r_global[live].astype(np.int32),
-        flat[:, 1][live].astype(np.int32),
-        flat[:, 2][live].astype(np.int32),
-        flat[:, 3][live].astype(np.int32),
-        flat[:, 5][live].astype(np.int32),
-    )
+    out = []
+    for d in range(dp):
+        for m in range(sidx.num_shards):
+            n = int(nsurv_np[d, m])
+            if not n:
+                continue
+            rows = np.array(surv[d, m, :n])
+            rows[:, 0] += d * per  # local read row -> global row
+            out.append(rows)
+    if not out:
+        z = np.zeros((0, fused.NCOL), dtype=np.int32)
+    else:
+        z = np.concatenate(out)
+    live = (z[:, 0] >= 0) & (z[:, 0] < r_total)
+    z = z[live]
+    return tuple(z[:, i].astype(np.int32) for i in range(fused.NCOL))
+
+
+class CapacityError(RuntimeError):
+    """Survivor buffer overflow: re-run with capacity >= .needed."""
+
+    def __init__(self, needed: int):
+        super().__init__(f"survivor capacity exceeded: need >= {needed}")
+        self.needed = needed
+
+
+def run_matching_sharded(cfg, rs, sidx: ShardedIndex, mesh: Mesh):
+    """Full sharded matching: stream read batches over the mesh, regrow
+    survivor capacity on overflow, then apply the same deterministic
+    cap/dedup/rank stages as the single-chip path.
+
+    Mirrors engine.pipeline.run_matching_indexed batch-for-batch; output is
+    bit-identical to the single-chip engine."""
+    from ..engine import pipeline as pl
+
+    dp = mesh.shape["dp"]
+    nreads = rs.codes.shape[0]
+    batch = cfg.ReadBatch or (1 << 22)
+    batch = min(batch, pl._round_up(nreads, 1024 * dp))
+    batch = pl._round_up(batch, dp)
+
+    for k, q1 in enumerate(cfg.Windows):
+        if not pl._window_has_reads(rs, q1, cfg.WindowWidth, cfg.MinDinuc):
+            raise SystemExit(f"Window {k} produced no valid reads, exiting")
+
+    surv_cap = 1 << 14
+    all_rows = []
+    for b0 in range(0, nreads, batch):
+        b1 = min(b0 + batch, nreads)
+        codes = np.asarray(rs.codes[b0:b1])
+        lengths = np.asarray(rs.lengths[b0:b1])
+        while True:
+            try:
+                cols = sharded_match_arrays(
+                    cfg, codes, lengths, sidx, mesh, surv_cap=surv_cap
+                )
+                break
+            except CapacityError as e:
+                while surv_cap < e.needed:
+                    surv_cap *= 4
+        rows = np.stack(cols, axis=1)
+        rows[:, 0] += b0
+        all_rows.append(rows)
+
+    if not all_rows or not sum(len(x) for x in all_rows):
+        z = np.zeros(0, dtype=np.int32)
+        return pl.MatchResult(z, z, z, z)
+    rows = np.concatenate(all_rows)
+    r, g, s, nx, grp, grp2, win = (rows[:, i] for i in range(fused.NCOL))
+    r, g, s, nx = pl._apply_max_matches(cfg, r, g, s, nx, grp, grp2, win)
+    return pl._dedup_and_rank(cfg, r, g, s, nx)

@@ -74,15 +74,54 @@ def test_sharded_equals_single(dp, mp):
 
     mesh = pmesh.make_mesh(dp, mp)
     sidx = pmesh.shard_targets(ts, width, mp)
-    r, g, s, nx, k = pmesh.sharded_match_arrays(
-        cfg, rs.codes, rs.lengths, sidx, mesh, pair_cap=1 << 12, surv_cap=1 << 10
-    )
-    mr = pipeline._dedup_and_rank(cfg, r, g, s, nx)
+    mr = pmesh.run_matching_sharded(cfg, rs, sidx, mesh)
     got = set(
         zip(mr.read_row.tolist(), mr.gene.tolist(),
             mr.start.tolist(), mr.nmiss.tolist())
     )
     assert got == expected
+
+
+def test_sharded_nrun_read_no_phantom_matches():
+    """A read made of non-ACGT bases (encoded X) must not match shard
+    padding (which is X-filled): pad windows are invalid by construction.
+    Round-1 advisor finding: pad windows shared one pad gene id and could
+    emit phantom matches with out-of-range gene ids."""
+    width = 6
+    max_rl = 40
+    cfg = Config(
+        Windows=[0], WindowWidth=width, PMatch=0.9, MinDinuc=0,
+        MaxReadLength=max_rl, MMTol=1, MaxMatches=10**6, MatchMode="best",
+    )
+    rng = np.random.default_rng(11)
+    rs, ts = _mk_sets(rng, n_reads=6, n_genes=5, width=width, max_rl=max_rl)
+    # Append an all-N read (codes become X=4): with MinDinuc=0 its windows
+    # are seeded and would match an X-padded pad region byte-for-byte.
+    nread = b"N" * 20
+    codes = np.zeros((rs.codes.shape[0] + 1, rs.codes.shape[1]), rs.codes.dtype)
+    codes[:-1] = rs.codes
+    codes[-1, :20] = 4
+    rs.codes = codes
+    rs.lengths = np.concatenate([rs.lengths, [20]]).astype(np.int32)
+    rs.counts = np.concatenate([rs.counts, [1]])
+    rs.names.append(b"nrun")
+    rs.seqs.append(nread)
+    rs.num_total += 1
+
+    single = pipeline.run_matching(cfg, rs, ts)
+    expected = set(
+        zip(single.read_row.tolist(), single.gene.tolist(),
+            single.start.tolist(), single.nmiss.tolist())
+    )
+    mesh = pmesh.make_mesh(2, 4)
+    sidx = pmesh.shard_targets(ts, width, 4)
+    mr = pmesh.run_matching_sharded(cfg, rs, sidx, mesh)
+    got = set(
+        zip(mr.read_row.tolist(), mr.gene.tolist(),
+            mr.start.tolist(), mr.nmiss.tolist())
+    )
+    assert got == expected
+    assert all(g < ts.num_genes for _, g, _, _ in got)
 
 
 def test_shard_targets_partition():
@@ -115,7 +154,64 @@ def test_overflow_detection():
     )
     mesh = pmesh.make_mesh(1, 2)
     sidx = pmesh.shard_targets(ts, 4, 2)
-    with pytest.raises(ValueError, match="capacity exceeded"):
+    with pytest.raises(pmesh.CapacityError, match="capacity exceeded"):
         pmesh.sharded_match_arrays(
             cfg, codes, lengths, sidx, mesh, pair_cap=16, surv_cap=8
         )
+
+
+def test_sharded_capacity_regrow():
+    """run_matching_sharded regrows survivor capacity on overflow and still
+    matches the single-chip result (mirrors the single-chip driver loop)."""
+    rng = np.random.default_rng(13)
+    width = 6
+    max_rl = 40
+    cfg = Config(
+        Windows=[0, 4], WindowWidth=width, PMatch=0.9, MinDinuc=1,
+        MaxReadLength=max_rl, MMTol=1, MaxMatches=10**6, MatchMode="best",
+    )
+    rs, ts = _mk_sets(rng, n_reads=64, n_genes=8, width=width, max_rl=max_rl)
+    single = pipeline.run_matching(cfg, rs, ts)
+    expected = set(
+        zip(single.read_row.tolist(), single.gene.tolist(),
+            single.start.tolist(), single.nmiss.tolist())
+    )
+    mesh = pmesh.make_mesh(2, 2)
+    sidx = pmesh.shard_targets(ts, width, 2)
+    # Start tiny so at least one regrow is exercised.
+    mr = _run_sharded_with_cap(cfg, rs, sidx, mesh, start_cap=8)
+    got = set(
+        zip(mr.read_row.tolist(), mr.gene.tolist(),
+            mr.start.tolist(), mr.nmiss.tolist())
+    )
+    assert got == expected
+
+
+def _run_sharded_with_cap(cfg, rs, sidx, mesh, start_cap):
+    """run_matching_sharded with a tiny initial capacity (test hook)."""
+    from muscato_tpu.engine import pipeline as pl
+    from muscato_tpu.ops import fused
+
+    nreads = rs.codes.shape[0]
+    surv_cap = start_cap
+    all_rows = []
+    codes = np.asarray(rs.codes)
+    lengths = np.asarray(rs.lengths)
+    grew = 0
+    while True:
+        try:
+            cols = pmesh.sharded_match_arrays(
+                cfg, codes, lengths, sidx, mesh, surv_cap=surv_cap
+            )
+            break
+        except pmesh.CapacityError as e:
+            grew += 1
+            while surv_cap < e.needed:
+                surv_cap *= 4
+    assert grew >= 1, "test should exercise at least one regrow"
+    rows = np.stack(cols, axis=1)
+    all_rows.append(rows)
+    rows = np.concatenate(all_rows)
+    r, g, s, nx, grp, grp2, win = (rows[:, i] for i in range(fused.NCOL))
+    r, g, s, nx = pl._apply_max_matches(cfg, r, g, s, nx, grp, grp2, win)
+    return pl._dedup_and_rank(cfg, r, g, s, nx)

@@ -198,8 +198,6 @@ def test_packed_verify_matches_byte_verify():
         S = 4000
         tcat = rng.integers(0, 5, S).astype(np.uint8)
         gene_start = np.array([0, 1500, 2250, S], dtype=np.int32)
-        gene_of = np.repeat(np.arange(3, dtype=np.int32), np.diff(gene_start))
-        gene_len = np.diff(gene_start).astype(np.int32)
         codes = rng.integers(0, 5, (100, max_rl)).astype(np.uint8)
         lengths = rng.integers(width + q1, max_rl + 1, 100).astype(np.int32)
         for i in range(100):  # zero the padding
@@ -215,8 +213,7 @@ def test_packed_verify_matches_byte_verify():
         budget = vops.mismatch_budget_table(0.9, max_rl)
 
         args_common = (
-            jnp.asarray(gene_of), jnp.asarray(gene_start), jnp.asarray(gene_len),
-            jnp.asarray(budget), q1, width, max_rl,
+            jnp.asarray(gene_start), jnp.asarray(budget), q1, width, max_rl,
         )
         kb, nxb, gb, sb = vops.verify_pairs_dynq(
             jnp.asarray(r), jnp.asarray(p), jnp.asarray(codes),
@@ -226,7 +223,7 @@ def test_packed_verify_matches_byte_verify():
         tpacked = pops.pack_stream(tcat)
         kp, nxp, gp, sp = pops.verify_pairs_packed(
             jnp.asarray(r), jnp.asarray(p), rpacked,
-            jnp.asarray(lengths), tpacked, *args_common,
+            jnp.asarray(lengths), tpacked, *args_common, S,
         )
         np.testing.assert_array_equal(np.asarray(kb), np.asarray(kp))
         np.testing.assert_array_equal(
@@ -270,10 +267,12 @@ def test_max_matches_cap_binds():
                    [(nx, s) for (_, _, s, nx) in full])[:3]
     assert [nx for nx, _ in got] == best3
 
-    # 'first' keeps a deterministic cap of 3 as well.
+    # 'first' emits MaxMatches+1: the reference appends, then checks
+    # len(qvals) > MaxMatches (cmd/muscato_confirm/main.go:236-238), so the
+    # breaching match has already been written.
     cfg.MatchMode = "first"
     mr2 = pipeline.run_matching(cfg, rs, ts)
-    assert len(mr2.read_row) == 3
+    assert len(mr2.read_row) == 4
 
 
 def test_search_probe_equals_sort_probe():
@@ -282,7 +281,7 @@ def test_search_probe_equals_sort_probe():
     it here)."""
     import jax.numpy as jnp
     from muscato_tpu.engine.index import build_target_index
-    from muscato_tpu.ops import fused, packed as pops, search as sops
+    from muscato_tpu.ops import fused, packed as pops
     from muscato_tpu.ops import verify as vops
 
     rng = np.random.default_rng(5)
@@ -305,14 +304,12 @@ def test_search_probe_equals_sort_probe():
     budget = jnp.asarray(vops.mismatch_budget_table(0.9, max_rl))
     q1s = jnp.asarray(np.array([0, 7], np.int32))
     kw = dict(width=width, min_dinuc=1, max_read_length=max_rl,
-              pair_chunk=1 << 12, surv_cap=1 << 12)
+              pair_chunk=1 << 12, surv_cap=1 << 12, smax=idx.num_bases)
     args = (codes_j, rpacked, lengths, q1s, idx.skeys, idx.skeys2, idx.spos,
-            idx.tpacked, idx.gene_of, idx.gene_start, idx.gene_len, budget)
+            idx.tpacked, idx.gene_start, budget)
 
-    buf_a, n_a, t_a = fused.match_windows(*args, **kw)
-    aux = (idx.ukeys, idx.ukeys2, idx.ukk, idx.ustart, idx.ucount, idx.sbucket,
-           sops.bucket_shift(width), idx.probe_steps, idx.bucket_bits)
-    buf_b, n_b, t_b = fused.match_windows(*args, **kw, index_aux=aux)
+    buf_a, n_a, t_a, _ = fused.match_windows(*args, **kw)
+    buf_b, n_b, t_b, _ = fused.match_windows(*args, **kw, index_aux=idx.search_aux())
 
     assert int(n_a) == int(n_b)
     assert int(t_a) == int(t_b)
