@@ -55,6 +55,65 @@ def generate(
     return reads_path, genes_path
 
 
+def generate_arrays_realistic(
+    num_read: int,
+    read_len: int,
+    num_gene: int,
+    gene_len: int,
+    seed: int = 0,
+    sub_rate: float = 0.02,
+    frac_random: float = 0.1,
+):
+    """Realistic benchmark workload: reads are *sampled from the genes*
+    with random substitutions (plus a fraction of pure-random nonmatchers),
+    mirroring the intent of the reference's bigtest
+    (/root/reference/tests/bigtest/test.sh) and of real resequencing data.
+    Unlike generate_arrays (where ~all probes miss), this loads the
+    expansion and verify stages with realistic hit density.
+    """
+    from ..io.reads import ReadSet
+    from ..io.seqcodec import _B2C
+    from ..io.targets import TargetSet
+
+    rng = np.random.default_rng(seed)
+    genes = rng.integers(0, 4, size=(num_gene, gene_len), dtype=np.uint8)
+    flat = genes.reshape(-1)
+
+    g = rng.integers(0, num_gene, num_read)
+    off = rng.integers(0, gene_len - read_len, num_read)
+    start = g.astype(np.int64) * gene_len + off
+    codes = flat[start[:, None] + np.arange(read_len, dtype=np.int64)[None, :]]
+    # substitutions
+    mut = rng.random((num_read, read_len)) < sub_rate
+    codes = np.where(
+        mut, rng.integers(0, 4, (num_read, read_len), dtype=np.uint8), codes
+    )
+    # pure-random nonmatchers
+    nrand = int(num_read * frac_random)
+    if nrand:
+        codes[:nrand] = rng.integers(0, 4, (nrand, read_len), dtype=np.uint8)
+
+    # dedup like prep does (void-row sort over the code matrix)
+    view = np.ascontiguousarray(codes).view(f"V{read_len}").ravel()
+    uniq, counts = np.unique(view, return_counts=True)
+    ucodes = np.frombuffer(uniq.tobytes(), dtype=np.uint8).reshape(-1, read_len)
+    rs = ReadSet(
+        codes=ucodes,
+        lengths=np.full(len(uniq), read_len, np.int32),
+        counts=counts.astype(np.int64),
+        names=[b"read_u%d" % i for i in range(len(uniq))],
+        num_total=num_read,
+    )
+    gene_start = np.arange(num_gene + 1, dtype=np.int64) * gene_len
+    ts = TargetSet(
+        tcat=flat,
+        gene_start=gene_start,
+        names=[b"gene_%d" % i for i in range(num_gene)],
+        lengths=np.diff(gene_start),
+    )
+    return rs, ts
+
+
 def generate_arrays(
     num_read: int,
     read_len: int,

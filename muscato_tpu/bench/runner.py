@@ -1,14 +1,23 @@
 """Benchmark harness: reads/s on the screen+confirm (probe+verify) core.
 
 The reference publishes no numbers (BASELINE.md); the driver-set north star
-is 10M reads/s/host.  The benchmark workload follows tests/bigtest
-(/root/reference/tests/bigtest/test.sh): gendat-style synthetic reads vs
-genes, multiple windows, realistic window width.
+is 10M reads/s/host against a 100M-target index.  Two workloads are
+measured:
+
+  big    4M reads x 100bp sampled (with substitutions) from 100,000 genes
+         x 1000bp — a 100M-base index with realistic hit density.  This is
+         the workload the north star is defined against and the headline
+         number reported to the driver.
+  small  4M random reads vs 2,000 genes x 1000bp (2M bases) — the round-1
+         headline, kept for continuity; probes mostly miss, so it measures
+         window extraction + probe overhead.
 
 The timed region covers the per-batch work a production mapper would do
 against a prebuilt index: window key extraction, index probe, pair
 expansion, verification, and the on-device parts of dedup/rank.  Index
-build and host report formatting are reported separately.
+build and host report formatting are reported separately.  Iterations use
+distinct read batches where possible; on relay-backed devices identical
+redispatches can be cached and report impossible timings (BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -21,6 +30,8 @@ from ..config import Config
 from ..engine import pipeline
 from ..engine.index import build_target_index
 from . import gendat
+
+NORTH_STAR = 10_000_000.0
 
 
 @dataclass
@@ -35,26 +46,9 @@ class BenchResult:
     matches: int
 
 
-def run_bench(
-    num_read: int = 4_000_000,
-    read_len: int = 100,
-    num_gene: int = 2_000,
-    gene_len: int = 1_000,
-    windows=(10, 30, 50, 70),
-    window_width: int = 20,
-    pmatch: float = 0.96,
-    repeats: int = 3,
-    seed: int = 0,
-) -> BenchResult:
-    cfg = Config(
-        Windows=list(windows), WindowWidth=window_width, PMatch=pmatch,
-        MinDinuc=3, MaxReadLength=read_len * 2, MMTol=2,
-        MaxMatches=10**6, MatchMode="best",
-    )
-    rs, ts = gendat.generate_arrays(num_read, read_len, num_gene, gene_len, seed)
-
+def _bench_one(cfg: Config, rs, ts, num_read: int, repeats: int) -> BenchResult:
     t0 = time.perf_counter()
-    index = build_target_index(ts, window_width)
+    index = build_target_index(ts, cfg.WindowWidth)
     index.skeys.block_until_ready()
     index_build_s = time.perf_counter() - t0
 
@@ -74,45 +68,113 @@ def run_bench(
         reads_per_sec=num_read / best,
         unique_reads=rs.num_unique,
         total_reads=num_read,
-        num_genes=num_gene,
-        gene_bases=num_gene * gene_len,
+        num_genes=ts.num_genes,
+        gene_bases=int(ts.gene_start[-1]),
         index_build_s=index_build_s,
         match_s=best,
         matches=matches,
     )
 
 
+def run_bench_big(
+    num_read: int = 4_000_000,
+    read_len: int = 100,
+    num_gene: int = 100_000,
+    gene_len: int = 1_000,
+    windows=(10, 30, 50, 70),
+    window_width: int = 20,
+    pmatch: float = 0.96,
+    repeats: int = 3,
+    seed: int = 0,
+) -> BenchResult:
+    cfg = Config(
+        Windows=list(windows), WindowWidth=window_width, PMatch=pmatch,
+        MinDinuc=3, MaxReadLength=read_len * 2, MMTol=2,
+        MaxMatches=10**6, MatchMode="best",
+    )
+    rs, ts = gendat.generate_arrays_realistic(
+        num_read, read_len, num_gene, gene_len, seed
+    )
+    return _bench_one(cfg, rs, ts, num_read, repeats)
+
+
+def run_bench(
+    num_read: int = 4_000_000,
+    read_len: int = 100,
+    num_gene: int = 2_000,
+    gene_len: int = 1_000,
+    windows=(10, 30, 50, 70),
+    window_width: int = 20,
+    pmatch: float = 0.96,
+    repeats: int = 3,
+    seed: int = 0,
+) -> BenchResult:
+    cfg = Config(
+        Windows=list(windows), WindowWidth=window_width, PMatch=pmatch,
+        MinDinuc=3, MaxReadLength=read_len * 2, MMTol=2,
+        MaxMatches=10**6, MatchMode="best",
+    )
+    rs, ts = gendat.generate_arrays(num_read, read_len, num_gene, gene_len, seed)
+    return _bench_one(cfg, rs, ts, num_read, repeats)
+
+
 def main(argv=None) -> int:
     import argparse
 
     p = argparse.ArgumentParser()
+    p.add_argument("--Workload", choices=("big", "small", "both"), default="both")
     p.add_argument("--NumRead", type=int, default=4_000_000)
     p.add_argument("--ReadLen", type=int, default=100)
-    p.add_argument("--NumGene", type=int, default=2_000)
+    p.add_argument("--NumGene", type=int, default=0)  # 0 = workload default
     p.add_argument("--GeneLen", type=int, default=1_000)
     p.add_argument("--Repeats", type=int, default=3)
     ns = p.parse_args(argv)
 
-    r = run_bench(
-        num_read=ns.NumRead, read_len=ns.ReadLen,
-        num_gene=ns.NumGene, gene_len=ns.GeneLen, repeats=ns.Repeats,
-    )
-    # One JSON line, as the driver contract requires.
-    north_star = 10_000_000.0
+    detail = {}
+    headline = None
+    if ns.Workload in ("big", "both"):
+        r = run_bench_big(
+            num_read=ns.NumRead, read_len=ns.ReadLen,
+            num_gene=ns.NumGene or 100_000, gene_len=ns.GeneLen,
+            repeats=ns.Repeats,
+        )
+        headline = r
+        detail["big"] = {
+            "match_s": round(r.match_s, 4),
+            "index_build_s": round(r.index_build_s, 4),
+            "unique_reads": r.unique_reads,
+            "gene_bases": r.gene_bases,
+            "matches": r.matches,
+            "reads_per_sec": round(r.reads_per_sec, 1),
+        }
+    if ns.Workload in ("small", "both"):
+        r = run_bench(
+            num_read=ns.NumRead, read_len=ns.ReadLen,
+            num_gene=ns.NumGene or 2_000, gene_len=ns.GeneLen,
+            repeats=ns.Repeats,
+        )
+        if headline is None:
+            headline = r
+        detail["small"] = {
+            "match_s": round(r.match_s, 4),
+            "index_build_s": round(r.index_build_s, 4),
+            "unique_reads": r.unique_reads,
+            "gene_bases": r.gene_bases,
+            "matches": r.matches,
+            "reads_per_sec": round(r.reads_per_sec, 1),
+        }
+
+    # One JSON line, as the driver contract requires.  The headline is the
+    # 100M-base realistic workload — the number the north star is defined
+    # against (BASELINE.md; round-1 VERDICT item 1).
     print(
         json.dumps(
             {
                 "metric": "reads_per_sec_chip",
-                "value": round(r.reads_per_sec, 1),
+                "value": round(headline.reads_per_sec, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(r.reads_per_sec / north_star, 4),
-                "detail": {
-                    "match_s": round(r.match_s, 4),
-                    "index_build_s": round(r.index_build_s, 4),
-                    "unique_reads": r.unique_reads,
-                    "gene_bases": r.gene_bases,
-                    "matches": r.matches,
-                },
+                "vs_baseline": round(headline.reads_per_sec / NORTH_STAR, 4),
+                "detail": detail,
             }
         )
     )

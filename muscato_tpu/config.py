@@ -58,6 +58,20 @@ class Config:
     # Resume the match stage from a previous run's TempDir (expects its
     # matches.npz artifact; pair with NoCleanTemp on the producing run).
     ResumeDir: str = ""
+    # Device mesh: "" = single device ("auto" when several are visible),
+    # "auto", "off", or explicit "DPxMP" (e.g. "2x4": 2-way read data
+    # parallelism x 4 gene-range index shards).
+    Mesh: str = ""
+    # Persist/reuse the sorted target index (npz).  If the file exists it
+    # is loaded (skipping the build sort); otherwise it is written after
+    # the build.
+    IndexFile: str = ""
+    # Multi-host runtime (jax.distributed).  Coordinator "host:port" plus
+    # process count/index; leave unset on single-host runs.  ProcessIndex
+    # is a string so "0" is expressible under the zero-means-unset overlay.
+    Coordinator: str = ""
+    ProcessCount: int = 0
+    ProcessIndex: str = ""
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
@@ -151,6 +165,11 @@ _FLAG_SPECS = [
     ("MaxPairChunk", int, "Verification pair-chunk size override (0 = auto)"),
     ("ReadBatch", int, "Unique-read batch size streamed per device pass (0 = auto)"),
     ("ResumeDir", str, "Resume matching from a previous run's TempDir (matches.npz)"),
+    ("Mesh", str, "Device mesh: 'auto', 'off', or 'DPxMP' (e.g. '2x4')"),
+    ("IndexFile", str, "Persist/reuse the sorted target index (npz path)"),
+    ("Coordinator", str, "jax.distributed coordinator address (multi-host)"),
+    ("ProcessCount", int, "Number of hosts in the multi-host run"),
+    ("ProcessIndex", str, "This host's index in the multi-host run"),
 ]
 
 _BOOL_FLAGS = [

@@ -49,16 +49,32 @@ def make_run_dirs(cfg: Config) -> str:
 
 
 def _setup_logging(cfg: Config) -> logging.Logger:
-    logger = logging.getLogger("muscato")
-    logger.setLevel(logging.INFO)
-    logger.handlers.clear()
-    fh = logging.FileHandler(os.path.join(cfg.LogDir, "muscato.log"))
-    fh.setFormatter(logging.Formatter("%(asctime)s %(name)s: %(message)s"))
-    logger.addHandler(fh)
-    plog = logging.getLogger("muscato.pipeline")
-    plog.setLevel(logging.INFO)
-    plog.handlers.clear()
-    plog.addHandler(fh)
+    """One log file per stage plus the top-level muscato.log, mirroring the
+    reference's per-component files in muscato_logs/<uuid>/
+    (cmd/muscato/main.go:699-706, cmd/muscato_screen/main.go:482-490,
+    cmd/muscato_confirm/main.go:252-259)."""
+    fmt = logging.Formatter("%(asctime)s %(name)s: %(message)s")
+
+    def mk(name: str, filename: str, also=None) -> logging.Logger:
+        lg = logging.getLogger(name)
+        lg.setLevel(logging.INFO)
+        lg.handlers.clear()
+        lg.propagate = False
+        fh = logging.FileHandler(os.path.join(cfg.LogDir, filename))
+        fh.setFormatter(fmt)
+        lg.addHandler(fh)
+        if also is not None:
+            lg.addHandler(also)
+        return lg
+
+    logger = mk("muscato", "muscato.log")
+    main_fh = logger.handlers[0]
+    mk("muscato.prep", "muscato_prep.log", also=main_fh)
+    mk("muscato.index", "muscato_index.log", also=main_fh)
+    # The pipeline logger is the screen+confirm equivalent: per-batch
+    # heartbeats with candidate/survivor counts and throughput.
+    mk("muscato.pipeline", "muscato_screen.log")
+    mk("muscato.report", "muscato_report.log", also=main_fh)
     return logger
 
 
@@ -102,21 +118,95 @@ def run(cfg: Config) -> None:
             shutil.rmtree(cfg.TempDir, ignore_errors=True)
 
 
+def _choose_mesh(cfg: Config, n_bases: int):
+    """Pick the device mesh for this run, or None for the single-device
+    engine.  'auto' (the default whenever several devices are visible)
+    uses the fewest index shards that keep every shard under the int32
+    position limit and spends the remaining devices on read parallelism."""
+    import jax
+
+    spec = (cfg.Mesh or "").strip().lower()
+    if spec in ("off", "none", "single", "1x1"):
+        return None
+    ndev = len(jax.devices())
+    if spec in ("", "auto"):
+        if ndev <= 1:
+            return None
+        mp = 1
+        while n_bases / mp > 1.5e9 and mp < ndev:
+            mp *= 2
+        dp = max(1, ndev // mp)
+    else:
+        try:
+            dp_s, mp_s = spec.split("x")
+            dp, mp = int(dp_s), int(mp_s)
+        except ValueError:
+            raise SystemExit(f"Mesh must be 'auto', 'off', or 'DPxMP'; got {cfg.Mesh!r}")
+        if dp * mp == 1:
+            return None
+    from ..parallel import mesh as pmesh
+
+    return pmesh.make_mesh(dp, mp)
+
+
+def _build_or_load_index(cfg: Config, ts, logger):
+    from .index import TargetIndex, build_target_index
+
+    ilog = logging.getLogger("muscato.index")
+    if cfg.IndexFile and os.path.exists(cfg.IndexFile):
+        t0 = time.time()
+        index = TargetIndex.load(cfg.IndexFile, ts, cfg.WindowWidth)
+        ilog.info(
+            "loaded index %s: %d window keys in %.2fs",
+            cfg.IndexFile, index.num_valid, time.time() - t0,
+        )
+        return index
+    t0 = time.time()
+    index = build_target_index(ts, cfg.WindowWidth)
+    ilog.info(
+        "built index: %d bases -> %d window keys in %.2fs",
+        index.num_bases, index.num_valid, time.time() - t0,
+    )
+    if cfg.IndexFile:
+        index.save(cfg.IndexFile)
+        ilog.info("saved index to %s", cfg.IndexFile)
+    return index
+
+
 def _run_stages(cfg: Config, logger: logging.Logger) -> None:
     t0 = time.time()
+    plog = logging.getLogger("muscato.prep")
+    rlog = logging.getLogger("muscato.report")
+
+    if cfg.Coordinator or cfg.ProcessCount:
+        # Multi-host runtime (no-op on single host runs without flags).
+        from ..parallel import dist
+
+        dist.initialize(
+            coordinator_address=cfg.Coordinator or None,
+            num_processes=cfg.ProcessCount or None,
+            process_id=int(cfg.ProcessIndex) if cfg.ProcessIndex != "" else None,
+        )
+        logger.info("jax.distributed initialized (%s)", cfg.Coordinator)
 
     sys.stderr.write("Preparing reads...\n")
+    ts_prep = time.time()
     rs = reads_io.build_readset(cfg.ReadFileName, cfg.MinReadLength, cfg.MaxReadLength)
-    logger.info(
-        "prepared reads: %d total, %d unique", rs.num_total, rs.num_unique
+    plog.info(
+        "prepared reads: %d total, %d unique in %.2fs",
+        rs.num_total, rs.num_unique, time.time() - ts_prep,
     )
     with open(os.path.join(cfg.LogDir, "seqinfo.json"), "wt") as f:
         f.write('{"NumUnique":%d,"NumTotal":%d}\n' % (rs.num_unique, rs.num_total))
     reads_io.write_reads_sorted(rs, os.path.join(cfg.TempDir, "reads_sorted.txt.sz"))
 
     sys.stderr.write("Loading targets...\n")
+    ts_tgt = time.time()
     ts = targets_io.load_targets(cfg.GeneFileName, cfg.GeneIdFileName)
-    logger.info("loaded %d target genes, %d bases", ts.num_genes, ts.size)
+    plog.info(
+        "loaded %d target genes, %d bases in %.2fs",
+        ts.num_genes, ts.size, time.time() - ts_tgt,
+    )
 
     resume = os.path.join(cfg.ResumeDir, "matches.npz") if cfg.ResumeDir else ""
     if resume and os.path.exists(resume):
@@ -132,6 +222,20 @@ def _run_stages(cfg: Config, logger: logging.Logger) -> None:
         logger.info("resumed %d matches from %s", len(mr.read_row), resume)
     else:
         sys.stderr.write("Screening and confirming...\n")
+
+        def _match():
+            mesh = _choose_mesh(cfg, ts.size)
+            if mesh is not None:
+                from ..parallel import mesh as pmesh
+
+                logger.info(
+                    "mesh run: dp=%d mp=%d", mesh.shape["dp"], mesh.shape["mp"]
+                )
+                sidx = pmesh.shard_targets(ts, cfg.WindowWidth, mesh.shape["mp"])
+                return pmesh.run_matching_sharded(cfg, rs, sidx, mesh)
+            index = _build_or_load_index(cfg, ts, logger)
+            return pipeline.run_matching_indexed(cfg, rs, index)
+
         if cfg.CPUProfile:
             # The reference's --CPUProfile captures a pprof profile of the
             # screen (cmd/muscato_screen/main.go:530-538); here the
@@ -139,10 +243,10 @@ def _run_stages(cfg: Config, logger: logging.Logger) -> None:
             import jax
 
             with jax.profiler.trace(os.path.join(cfg.LogDir, "trace")):
-                mr = pipeline.run_matching(cfg, rs, ts)
+                mr = _match()
             logger.info("profiler trace written to %s", os.path.join(cfg.LogDir, "trace"))
         else:
-            mr = pipeline.run_matching(cfg, rs, ts)
+            mr = _match()
     logger.info("retained %d matches", len(mr.read_row))
     np.savez(
         os.path.join(cfg.TempDir, "matches.npz"),
@@ -150,8 +254,13 @@ def _run_stages(cfg: Config, logger: logging.Logger) -> None:
     )
 
     sys.stderr.write("Writing results...\n")
-    lines = report.write_results(cfg.ResultsFileName, mr, rs, ts)
+    rlog_t = time.time()
+    table = report.write_results(cfg.ResultsFileName, mr, rs, ts)
     report.write_nonmatch(cfg.ResultsFileName, mr, rs)
-    report.write_readstats(cfg.ResultsFileName, lines)
-    report.write_genestats(cfg.ResultsFileName, lines)
+    report.write_readstats(cfg.ResultsFileName, table)
+    report.write_genestats(cfg.ResultsFileName, table)
+    rlog.info(
+        "wrote %d result rows (+nonmatch/readstats/genestats) in %.2fs",
+        table.nrows, time.time() - rlog_t,
+    )
     logger.info("done in %.2fs", time.time() - t0)

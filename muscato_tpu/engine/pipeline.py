@@ -102,10 +102,13 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
     use_search = index.skeys.shape[0] > 8 * nflat
     index_aux = index.search_aux() if use_search else None
 
+    import time as _time
+
     surv_rows = []
     total_pairs = 0
     surv_cap = 1 << 16
     for b0 in range(0, nreads, batch):
+        t_batch = _time.perf_counter()
         b1 = min(b0 + batch, nreads)
         codes, rpacked, lengths = _device_read_batch(
             rs, b0, b0 + batch, l_eff, cache_ok=(nreads <= batch)
@@ -142,6 +145,14 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
             rows = np.asarray(buf[: _round_up(nsurv, 1024)])[:nsurv].copy()
             rows[:, 0] += b0  # batch-local read row -> global row
             surv_rows.append(rows)
+        dt = _time.perf_counter() - t_batch
+        # Heartbeat per batch (the reference logs every 1e5-1e6 records,
+        # cmd/muscato_screen/main.go:167-169, 442-444; a batch is this
+        # engine's unit of progress).
+        logger.info(
+            "batch reads [%d,%d): %d pairs, %d survivors, %.2fs (%.0f reads/s)",
+            b0, b1, int(total), nsurv, dt, (b1 - b0) / max(dt, 1e-9),
+        )
 
     logger.info(
         "windows %s: %d candidate pairs, %d verified",

@@ -22,47 +22,162 @@ byte-for-byte:
     (cmd/muscato_readstats/main.go:74-85; deterministic here);
   - <results>_genestats.<ext>: "gene<TAB>count<TAB>" per gene, grouped in
     the order of `sort -k5` over results (cmd/muscato_genestats/main.go:33-55).
+
+The round-1 implementation formatted each row in a Python loop; at
+"hundreds of millions of reads" scale that was the host-side tail wagging
+the device dog.  Everything here is numpy blob assembly: each output
+column is (byte source, starts, lengths), rows are materialized with one
+vectorized ranged copy per column, and the C-locale whole-line sort runs
+on a fixed-width NUL-padded view (numpy S-dtype comparison == C-locale
+byte order for NUL-free text).
 """
 
 from __future__ import annotations
 
 import os
-from typing import List
+from dataclasses import dataclass
 
 import numpy as np
 
-from ..io.reads import ReadSet
-from ..io.seqcodec import decode
+from ..io.reads import ReadSet, _gather_ranges
+from ..io.seqcodec import _C2B
 from ..io.targets import TargetSet
 from .pipeline import MatchResult
 
 
-def results_lines(mr: MatchResult, rs: ReadSet, ts: TargetSet) -> List[bytes]:
-    """The final 8-column rows, in results.txt order."""
-    gene_start = ts.gene_start
-    six_cols: List[bytes] = []
-    suffix: List[bytes] = []
-    for i in range(len(mr.read_row)):
-        r = int(mr.read_row[i])
-        g = int(mr.gene[i])
-        s = int(mr.start[i])
-        nx = int(mr.nmiss[i])
-        rseq = rs.seqs[r]
-        tsub = decode(ts.tcat[gene_start[g] + s : gene_start[g] + s + len(rseq)])
-        six_cols.append(
-            b"%s\t%s\t%d\t%d\t%s\t%d" % (rseq, tsub, s, nx, ts.names[g], int(ts.lengths[g]))
-        )
-        suffix.append(b"\t%d\t%s" % (int(rs.counts[r]), rs.names[r]))
-    order = sorted(range(len(six_cols)), key=lambda i: six_cols[i])
-    return [six_cols[i] + suffix[i] for i in order]
+@dataclass
+class Column:
+    """A per-row byte field: row i is blob[starts[i] : starts[i]+lens[i]]."""
+
+    blob: np.ndarray  # uint8
+    starts: np.ndarray  # int64
+    lens: np.ndarray  # int64
+
+    def reorder(self, order: np.ndarray) -> "Column":
+        return Column(self.blob, self.starts[order], self.lens[order])
 
 
-def write_results(path: str, mr: MatchResult, rs: ReadSet, ts: TargetSet) -> List[bytes]:
-    lines = results_lines(mr, rs, ts)
+def _int_column(vals: np.ndarray) -> Column:
+    s = vals.astype("S20")
+    lens = np.char.str_len(s).astype(np.int64)
+    blob = np.frombuffer(s.tobytes(), np.uint8)
+    starts = np.arange(len(vals), dtype=np.int64) * 20
+    return Column(blob, starts, lens)
+
+
+def _list_column(items, pick: np.ndarray) -> Column:
+    """Column over a list of bytes, one row per pick[i]."""
+    off = np.zeros(len(items) + 1, np.int64)
+    off[1:] = np.cumsum([len(x) for x in items])
+    blob = np.frombuffer(b"".join(items), np.uint8) if items else np.zeros(0, np.uint8)
+    return Column(blob, off[:-1][pick], (off[1:] - off[:-1])[pick])
+
+
+def _assemble(cols, sep: int, eol: int | None):
+    """Join columns with `sep` between fields (and `eol` after the last);
+    returns (blob, row_starts, row_lens)."""
+    n = len(cols[0].lens)
+    gaps = len(cols) - 1 + (1 if eol is not None else 0)
+    row_len = sum(c.lens for c in cols) + gaps
+    row_end = np.cumsum(row_len)
+    row_start = row_end - row_len
+    blob = np.zeros(int(row_end[-1]) if n else 0, np.uint8)
+    at = row_start.copy()
+    for i, c in enumerate(cols):
+        blob[_gather_ranges(at, c.lens)] = c.blob[_gather_ranges(c.starts, c.lens)]
+        at = at + c.lens
+        if i < len(cols) - 1:
+            blob[at] = sep
+            at = at + 1
+    if eol is not None:
+        blob[at] = eol
+    return blob, row_start, row_len
+
+
+def _fixed_view(cols, sep: int):
+    """Rows joined with sep into a fixed-width NUL-padded (n,) S-array —
+    numpy S comparison over it equals C-locale whole-line order."""
+    n = len(cols[0].lens)
+    row_len = sum(c.lens for c in cols) + (len(cols) - 1)
+    w = int(row_len.max(initial=1))
+    mat = np.zeros(n * w, np.uint8)
+    at = np.arange(n, dtype=np.int64) * w
+    for i, c in enumerate(cols):
+        mat[_gather_ranges(at, c.lens)] = c.blob[_gather_ranges(c.starts, c.lens)]
+        at = at + c.lens
+        if i < len(cols) - 1:
+            mat[at] = sep
+            at = at + 1
+    return mat.reshape(n, w).view(f"S{w}").ravel()
+
+
+@dataclass
+class ResultsTable:
+    """Per-row output fields of results.txt, already in final (C-locale
+    whole-line) order."""
+
+    rseq: Column
+    tsub: Column
+    pos: Column
+    nmiss: Column
+    gene: Column
+    glen: Column
+    copies: Column
+    names: Column
+    nrows: int
+
+    def cols(self):
+        return [self.rseq, self.tsub, self.pos, self.nmiss,
+                self.gene, self.glen, self.copies, self.names]
+
+
+def build_results(mr: MatchResult, rs: ReadSet, ts: TargetSet) -> ResultsTable:
+    n = len(mr.read_row)
+    r = mr.read_row.astype(np.int64)
+    g = mr.gene.astype(np.int64)
+    s = mr.start.astype(np.int64)
+    rl = rs.lengths.astype(np.int64)[r]
+
+    # read sequences: decode the matched rows once into a strided blob
+    lmax = rs.codes.shape[1]
+    rseq_blob = _C2B[rs.codes[r]].reshape(-1)
+    rseq = Column(rseq_blob, np.arange(n, dtype=np.int64) * lmax, rl)
+
+    # target subsequences: ranged decode straight from the gene stream
+    tcat = np.asarray(ts.tcat)
+    gstart = np.asarray(ts.gene_start, dtype=np.int64)[g]
+    tsub_starts = gstart + s
+    tsub = Column(_C2B[tcat], tsub_starts, rl)
+
+    pos = _int_column(mr.start)
+    nmiss = _int_column(mr.nmiss)
+    gene = _list_column(ts.names, g)
+    glen = _int_column(np.asarray(ts.lengths, dtype=np.int64)[g])
+    copies = _int_column(rs.counts[mr.read_row])
+    names = Column(rs.name_blob, rs.name_off[:-1][r], np.diff(rs.name_off)[r])
+
+    # C-locale whole-line order of the six pre-join columns
+    # (cmd/muscato/main.go:657-670 sorts before joining read names; the
+    # join appends copies+names per read, preserving that order).
+    prefix = _fixed_view([rseq, tsub, pos, nmiss, gene, glen], ord("\t"))
+    order = np.argsort(prefix, kind="stable")
+
+    t = ResultsTable(
+        rseq=rseq.reorder(order), tsub=tsub.reorder(order),
+        pos=pos.reorder(order), nmiss=nmiss.reorder(order),
+        gene=gene.reorder(order), glen=glen.reorder(order),
+        copies=copies.reorder(order), names=names.reorder(order),
+        nrows=n,
+    )
+    return t
+
+
+def write_results(path: str, mr: MatchResult, rs: ReadSet, ts: TargetSet) -> ResultsTable:
+    t = build_results(mr, rs, ts)
+    blob, _, _ = _assemble(t.cols(), ord("\t"), ord("\n"))
     with open(path, "wb") as f:
-        for ln in lines:
-            f.write(ln + b"\n")
-    return lines
+        f.write(blob.tobytes())
+    return t
 
 
 def nonmatch_path(results_path: str) -> str:
@@ -78,18 +193,48 @@ def nonmatch_path(results_path: str) -> str:
 
 
 def write_nonmatch(results_path: str, mr: MatchResult, rs: ReadSet) -> str:
-    matched = np.zeros(len(rs.seqs), dtype=bool)
+    """Fastq of unmatched unique reads: name#count / seq / + / '!'*len
+    (cmd/muscato_nonmatch/main.go:95-107), exact membership."""
+    matched = np.zeros(rs.num_unique, dtype=bool)
     if len(mr.read_row):
         matched[np.unique(mr.read_row)] = True
+    rows = np.flatnonzero(~matched).astype(np.int64)
     out = nonmatch_path(results_path)
+
+    n = len(rows)
+    rl = rs.lengths.astype(np.int64)[rows]
+    nlen = np.diff(rs.name_off)[rows]
+    cnt = rs.counts[rows].astype("S20")
+    clen = np.char.str_len(cnt).astype(np.int64)
+    # name#count\nseq\n+\n!!!\n
+    row_len = nlen + 1 + clen + 1 + rl + 3 + rl + 1
+    row_end = np.cumsum(row_len)
+    row_start = row_end - row_len
+    blob = np.zeros(int(row_end[-1]) if n else 0, np.uint8)
+    at = row_start
+    blob[_gather_ranges(at, nlen)] = rs.name_blob[
+        _gather_ranges(rs.name_off[:-1][rows], nlen)
+    ]
+    at = at + nlen
+    blob[at] = ord("#")
+    cbuf = np.frombuffer(cnt.tobytes(), np.uint8)
+    blob[_gather_ranges(at + 1, clen)] = cbuf[
+        _gather_ranges(np.arange(n, dtype=np.int64) * 20, clen)
+    ]
+    at = at + 1 + clen
+    blob[at] = ord("\n")
+    lmax = rs.codes.shape[1]
+    blob[_gather_ranges(at + 1, rl)] = _C2B[rs.codes[rows]].reshape(-1)[
+        _gather_ranges(np.arange(n, dtype=np.int64) * lmax, rl)
+    ]
+    at = at + 1 + rl
+    blob[at] = ord("\n")
+    blob[at + 1] = ord("+")
+    blob[at + 2] = ord("\n")
+    blob[_gather_ranges(at + 3, rl)] = ord("!")
+    blob[at + 3 + rl] = ord("\n")
     with open(out, "wb") as f:
-        for i in range(len(rs.seqs)):
-            if matched[i]:
-                continue
-            f.write(
-                b"%s#%d\n%s\n+\n%s\n"
-                % (rs.names[i], int(rs.counts[i]), rs.seqs[i], b"!" * len(rs.seqs[i]))
-            )
+        f.write(blob.tobytes())
     return out
 
 
@@ -101,59 +246,103 @@ def _stats_path(results_path: str, tag: str) -> str:
     return results_path + "_" + tag
 
 
-def write_readstats(results_path: str, lines: List[bytes]) -> str:
-    """Group results rows by the names column (field 7), in results order;
-    emit the distinct gene set per group."""
+def write_readstats(results_path: str, t: ResultsTable) -> str:
+    """Group results rows by the names column (field 7) over consecutive
+    runs in results order; emit the distinct gene set (sorted) per group:
+    "readid\\tg1;g2;...;" (cmd/muscato_readstats/main.go:74-108)."""
     out = _stats_path(results_path, "readstats")
-    with open(out, "wb") as f:
-        cur = None
-        genes: List[bytes] = []
-        seen = set()
-
-        def flush():
-            if cur is None:
-                return
-            f.write(cur + b"\t" + b"".join(g + b";" for g in sorted(seen)) + b"\n")
-
-        for ln in lines:
-            fields = ln.split(b"\t")
-            name, gene = fields[7], fields[4]
-            if cur is None or name != cur:
-                flush()
-                cur = name
-                seen = set()
-            seen.add(gene)
-        flush()
-        if not lines:
+    n = t.nrows
+    if n == 0:
+        with open(out, "wb") as f:
             # Degenerate empty-results row, as the reference emits
             # (cmd/muscato_readstats/main.go:109-114 writes the final
             # group unconditionally).
             f.write(b"\t\n")
+        return out
+
+    names_s = _fixed_view([t.names], 0)
+    genes_s = _fixed_view([t.gene], 0)
+    grp = np.concatenate([[True], names_s[1:] != names_s[:-1]])
+    gid = np.cumsum(grp) - 1
+    # distinct (group, gene), gene-sorted within group
+    order = np.lexsort((genes_s, gid))
+    gid_o, gene_o = gid[order], genes_s[order]
+    first = np.concatenate(
+        [[True], (gid_o[1:] != gid_o[:-1]) | (gene_o[1:] != gene_o[:-1])]
+    )
+    gid_u, gene_u = gid_o[first], gene_o[first]
+    glen_u = np.char.str_len(gene_u).astype(np.int64)
+    gblob = np.frombuffer(gene_u.tobytes(), np.uint8)
+    gw = gene_u.dtype.itemsize
+
+    # per output group: name \t gene; gene; ... \n
+    heads = np.flatnonzero(grp)  # first results-row of each group
+    ng = len(heads)
+    genes_per = np.bincount(gid_u, minlength=ng)
+    gene_bytes = np.zeros(ng, np.int64)
+    np.add.at(gene_bytes, gid_u, glen_u + 1)  # each gene gets a ';'
+    nm_len = t.names.lens[heads]
+    row_len = nm_len + 1 + gene_bytes + 1
+    row_end = np.cumsum(row_len)
+    row_start = row_end - row_len
+    blob = np.zeros(int(row_end[-1]), np.uint8)
+    blob[_gather_ranges(row_start, nm_len)] = t.names.blob[
+        _gather_ranges(t.names.starts[heads], nm_len)
+    ]
+    blob[row_start + nm_len] = ord("\t")
+    # gene list area: compute each distinct gene's output start
+    seg_end_per_gene = np.cumsum(glen_u + 1)
+    seg_start_per_gene = seg_end_per_gene - (glen_u + 1)
+    grp_base = np.zeros(ng, np.int64)
+    grp_first_gene = np.cumsum(genes_per) - genes_per
+    grp_base = (row_start + nm_len + 1) - seg_start_per_gene[grp_first_gene]
+    gdst = grp_base[gid_u] + seg_start_per_gene
+    blob[_gather_ranges(gdst, glen_u)] = gblob[
+        _gather_ranges(np.arange(len(gid_u), dtype=np.int64) * gw, glen_u)
+    ]
+    blob[gdst + glen_u] = ord(";")
+    blob[row_end - 1] = ord("\n")
+    with open(out, "wb") as f:
+        f.write(blob.tobytes())
     return out
 
 
-def write_genestats(results_path: str, lines: List[bytes]) -> str:
-    """Per-gene row counts over results sorted by `sort -k5`
-    (field 5 through end of line, /root/reference/cmd/muscato/main.go:103-108)."""
+def write_genestats(results_path: str, t: ResultsTable) -> str:
+    """Per-gene row counts over results sorted by `sort -k5` (field 5
+    through end of line, /root/reference/cmd/muscato/main.go:103-108):
+    "gene\\tcount\\t" (cmd/muscato_genestats/main.go:33-55)."""
     out = _stats_path(results_path, "genestats")
-
-    def k5(ln: bytes) -> bytes:
-        return b"\t".join(ln.split(b"\t")[4:])
-
-    with open(out, "wb") as f:
-        ordered = sorted(lines, key=k5)
-        cur = None
-        n = 0
-        for ln in ordered:
-            gene = ln.split(b"\t")[4]
-            if cur is None or gene != cur:
-                if cur is not None:
-                    f.write(b"%s\t%d\t\n" % (cur, n))
-                cur = gene
-                n = 0
-            n += 1
-        if cur is not None:
-            f.write(b"%s\t%d\t\n" % (cur, n))
-        else:
+    n = t.nrows
+    if n == 0:
+        with open(out, "wb") as f:
             f.write(b"\t0\t\n")
+        return out
+    k5 = _fixed_view([t.gene, t.glen, t.copies, t.names], ord("\t"))
+    order = np.argsort(k5, kind="stable")
+    gene_s = _fixed_view([t.gene], 0)[order]
+    first = np.concatenate([[True], gene_s[1:] != gene_s[:-1]])
+    uniq = gene_s[first]
+    counts = np.diff(np.append(np.flatnonzero(first), n))
+    glen = np.char.str_len(uniq).astype(np.int64)
+    gw = uniq.dtype.itemsize
+    gblob = np.frombuffer(uniq.tobytes(), np.uint8)
+    cnt = counts.astype("S20")
+    clen = np.char.str_len(cnt).astype(np.int64)
+    cbuf = np.frombuffer(cnt.tobytes(), np.uint8)
+    m = len(uniq)
+    row_len = glen + 1 + clen + 2
+    row_end = np.cumsum(row_len)
+    row_start = row_end - row_len
+    blob = np.zeros(int(row_end[-1]), np.uint8)
+    blob[_gather_ranges(row_start, glen)] = gblob[
+        _gather_ranges(np.arange(m, dtype=np.int64) * gw, glen)
+    ]
+    blob[row_start + glen] = ord("\t")
+    blob[_gather_ranges(row_start + glen + 1, clen)] = cbuf[
+        _gather_ranges(np.arange(m, dtype=np.int64) * 20, clen)
+    ]
+    blob[row_start + glen + 1 + clen] = ord("\t")
+    blob[row_end - 1] = ord("\n")
+    with open(out, "wb") as f:
+        f.write(blob.tobytes())
     return out

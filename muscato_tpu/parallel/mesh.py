@@ -302,9 +302,14 @@ def run_matching_sharded(cfg, rs, sidx: ShardedIndex, mesh: Mesh):
         if not pl._window_has_reads(rs, q1, cfg.WindowWidth, cfg.MinDinuc):
             raise SystemExit(f"Window {k} produced no valid reads, exiting")
 
+    import logging
+    import time as _time
+
+    logger = logging.getLogger("muscato.pipeline")
     surv_cap = 1 << 14
     all_rows = []
     for b0 in range(0, nreads, batch):
+        t_batch = _time.perf_counter()
         b1 = min(b0 + batch, nreads)
         codes = np.asarray(rs.codes[b0:b1])
         lengths = np.asarray(rs.lengths[b0:b1])
@@ -320,6 +325,11 @@ def run_matching_sharded(cfg, rs, sidx: ShardedIndex, mesh: Mesh):
         rows = np.stack(cols, axis=1)
         rows[:, 0] += b0
         all_rows.append(rows)
+        dt = _time.perf_counter() - t_batch
+        logger.info(
+            "mesh batch reads [%d,%d): %d survivors, %.2fs (%.0f reads/s)",
+            b0, b1, len(rows), dt, (b1 - b0) / max(dt, 1e-9),
+        )
 
     if not all_rows or not sum(len(x) for x in all_rows):
         z = np.zeros(0, dtype=np.int32)

@@ -143,3 +143,53 @@ def test_resume_from_artifacts(tmp_path):
         got = f.read()
     with open(os.path.join(REF, "02", "result_e.txt"), "rb") as f:
         assert got == f.read()
+
+
+def test_single_device_mode_golden(tmp_path):
+    """Mesh='off' forces the single-device engine even when several devices
+    are visible; outputs stay byte-identical."""
+    def mutate(raw):
+        raw["Mesh"] = "off"
+        return raw
+
+    work = run_case("03", tmp_path, mutate_cfg=mutate)
+    with open(work / "result.txt", "rb") as f:
+        got = f.read()
+    with open(os.path.join(REF, "03", "result_e.txt"), "rb") as f:
+        assert got == f.read()
+
+
+def test_explicit_mesh_golden(tmp_path):
+    """An explicit DPxMP mesh through the driver produces golden output."""
+    def mutate(raw):
+        raw["Mesh"] = "2x4"
+        return raw
+
+    work = run_case("03", tmp_path, mutate_cfg=mutate)
+    with open(work / "result.txt", "rb") as f:
+        got = f.read()
+    with open(os.path.join(REF, "03", "result_e.txt"), "rb") as f:
+        assert got == f.read()
+    with open(work / "result.nonmatch.txt.fastq", "rb") as f:
+        got_nm = f.read()
+    with open(os.path.join(REF, "03", "result.nonmatch_e.txt"), "rb") as f:
+        assert got_nm == f.read()
+
+
+def test_index_file_roundtrip(tmp_path):
+    """IndexFile persists the built index; a second run loads it (skipping
+    the build sort) and reproduces results byte-for-byte."""
+    idx_path = str(tmp_path / "genes.index.npz")
+
+    def mutate(raw):
+        raw["Mesh"] = "off"  # index cache applies to the single-device path
+        raw["IndexFile"] = idx_path
+        return raw
+
+    work = run_case("03", tmp_path, mutate_cfg=mutate)
+    assert os.path.exists(idx_path)
+    work2 = run_case("03", tmp_path / "again", mutate_cfg=mutate)
+    with open(work2 / "result.txt", "rb") as f:
+        got = f.read()
+    with open(os.path.join(REF, "03", "result_e.txt"), "rb") as f:
+        assert got == f.read()
