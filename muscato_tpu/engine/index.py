@@ -57,24 +57,43 @@ DEVICE_BUILD_THRESHOLD = 8_000_000
 INDEX_FORMAT_VERSION = 2
 
 
+DIRECT_BUCKET_WIDTH = 16  # max records fetched per direct probe
+MAX_DIRECT_BITS = 26  # 268MB bucket-table cap
+
+
 @dataclass
 class SearchAux:
-    """Unique-key view + bucket table for the binary-search probe.
+    """Unique-key view + bucket table for the search probe.
 
     Duplicate-key runs collapse to one entry so bucket depth tracks
-    *distinct* keys; both key words of an entry sit at adjacent addresses
-    in `ukk` so each probe step's two gathers share one HBM burst.
+    *distinct* keys.  Two probe modes:
+
+    mode='direct' — the bucket table is sized so that NO bucket holds more
+    than DIRECT_BUCKET_WIDTH distinct keys (possible whenever the key
+    distribution is hash-uniform, which wide windows guarantee).  A probe
+    is then exactly two dependent coalesced fetches: the bucket bounds
+    (adjacent table entries, one burst) and the bucket's records — 16-byte
+    interleaved (k1, k2, start, count) entries in `urec`, so equality
+    check and postings arrive in the same burst.  No search loop at all.
+
+    mode='binary' — fallback for skewed key distributions: per-bucket
+    bounded binary search over `ukk` interleaved key pairs (round-1
+    design, ~probe_steps dependent gather pairs per query).
     """
 
-    ukeys: jnp.ndarray  # (U,) uint32
-    ukeys2: jnp.ndarray  # (U,) uint32
-    ustart: jnp.ndarray  # (U,) int32 run start in spos
-    ucount: jnp.ndarray  # (U,) int32 run length
-    ukk: jnp.ndarray  # (2U,) uint32 interleaved [k1,k2] pairs
-    sbucket: jnp.ndarray  # (2**bucket_bits+1,) int32 per-bucket search bounds
-    probe_steps: int  # binary-search steps covering the largest bucket
+    mode: str
+    sbucket: jnp.ndarray  # (2**bucket_bits+1,) int32 per-bucket bounds
     bucket_bits: int
     upshift: int
+    # direct mode
+    urec: jnp.ndarray | None = None  # (U*4 + pad,) uint32 [k1,k2,start,count]
+    # binary mode
+    ukeys: jnp.ndarray | None = None  # (U,) uint32
+    ukeys2: jnp.ndarray | None = None  # (U,) uint32
+    ustart: jnp.ndarray | None = None  # (U,) int32 run start in spos
+    ucount: jnp.ndarray | None = None  # (U,) int32 run length
+    ukk: jnp.ndarray | None = None  # (2U,) uint32 interleaved [k1,k2]
+    probe_steps: int = 0
 
 
 @dataclass
@@ -104,19 +123,7 @@ class TargetIndex:
             starts = np.flatnonzero(new_run).astype(np.int32)
             counts = np.diff(np.append(starts, len(k1))).astype(np.int32)
             uk1, uk2 = k1[starts], k2[starts]
-            upshift = sops.bucket_shift(self.width)
-            bucket, probe_steps, bucket_bits = sops.build_buckets_host(uk1, upshift)
-            self._aux = SearchAux(
-                ukeys=jnp.asarray(uk1),
-                ukeys2=jnp.asarray(uk2),
-                ustart=jnp.asarray(starts),
-                ucount=jnp.asarray(counts),
-                ukk=jnp.asarray(np.stack([uk1, uk2], axis=1).reshape(-1)),
-                sbucket=jnp.asarray(bucket),
-                probe_steps=probe_steps,
-                bucket_bits=bucket_bits,
-                upshift=upshift,
-            )
+            self._aux = build_search_aux(uk1, uk2, starts, counts, self.width)
         return self._aux
 
     def save(self, path: str) -> None:
@@ -154,6 +161,59 @@ class TargetIndex:
             num_valid=int(d["num_valid"]),
             num_bases=int(d["num_bases"]),
         )
+
+
+def build_search_aux(uk1, uk2, starts, counts, width: int) -> SearchAux:
+    """Pick the search-probe layout for a unique-key table.
+
+    Prefers 'direct': the smallest bucket table whose largest bucket holds
+    at most DIRECT_BUCKET_WIDTH distinct keys.  Hash-uniform keys (wide
+    windows) virtually always qualify at ~4 keys/bucket mean; heavily
+    skewed distributions fall back to the bounded binary search."""
+    u = len(uk1)
+    upshift = sops.bucket_shift(width)
+    scaled_all = (uk1.astype(np.uint64) << np.uint64(upshift)) >> np.uint64(32)
+    # scaled_all is the key's top 32-bit image; bucket of key at `bits` is
+    # its top `bits` bits.
+    top32 = ((uk1.astype(np.uint64) << np.uint64(upshift)) & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32
+    )
+    del scaled_all
+    start_bits = max(16, int(np.ceil(np.log2(max(u, 1) / 4 + 1))))
+    for bits in range(start_bits, MAX_DIRECT_BITS + 1):
+        b = (top32 >> np.uint32(32 - bits)).astype(np.int64)
+        per = np.bincount(b, minlength=1 << bits)
+        if int(per.max(initial=0)) <= DIRECT_BUCKET_WIDTH:
+            bucket = np.zeros((1 << bits) + 1, np.int32)
+            np.cumsum(per, out=bucket[1:])
+            rec = np.empty((u, 4), np.uint32)
+            rec[:, 0] = uk1
+            rec[:, 1] = uk2
+            rec[:, 2] = starts.astype(np.uint32)
+            rec[:, 3] = counts.astype(np.uint32)
+            pad = np.zeros((DIRECT_BUCKET_WIDTH, 4), np.uint32)
+            pad[:, 0] = 0xFFFFFFFF  # never equal to a live query's key1+key2
+            pad[:, 1] = 0xFFFFFFFF
+            return SearchAux(
+                mode="direct",
+                sbucket=jnp.asarray(bucket),
+                bucket_bits=bits,
+                upshift=upshift,
+                urec=jnp.asarray(np.concatenate([rec, pad]).reshape(-1)),
+            )
+    bucket, probe_steps, bucket_bits = sops.build_buckets_host(uk1, upshift)
+    return SearchAux(
+        mode="binary",
+        sbucket=jnp.asarray(bucket),
+        bucket_bits=bucket_bits,
+        upshift=upshift,
+        ukeys=jnp.asarray(uk1),
+        ukeys2=jnp.asarray(uk2),
+        ustart=jnp.asarray(starts),
+        ucount=jnp.asarray(counts),
+        ukk=jnp.asarray(np.stack([uk1, uk2], axis=1).reshape(-1)),
+        probe_steps=probe_steps,
+    )
 
 
 def _boundary_cumsum_np(gene_start: np.ndarray, s: int) -> np.ndarray:

@@ -66,11 +66,68 @@ def run_matching(
     index: TargetIndex | None = None,
 ) -> MatchResult:
     if index is None:
+        if int(ts.gene_start[-1]) > np.iinfo(np.int32).max:
+            # Databases past the int32 position limit run as sequential
+            # gene-range shards on one device (a multi-device run shards
+            # them across "mp" instead, engine.driver._choose_mesh).
+            nsh = int(-(-int(ts.gene_start[-1]) // (3 << 29)))
+            return run_matching_gene_sharded(cfg, rs, ts, nsh)
         index = build_target_index(ts, cfg.WindowWidth)
     return run_matching_indexed(cfg, rs, index)
 
 
-def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchResult:
+def run_matching_gene_sharded(
+    cfg: Config, rs: ReadSet, ts: TargetSet, nshards: int
+) -> MatchResult:
+    """Sequential gene-range sharding on one device: build and probe one
+    contiguous gene-range index at a time, then run the usual cap/dedup/
+    rank over the union.  Handles databases larger than 2**31 positions
+    (and bounds index HBM) without a multi-device mesh; results are
+    identical to a single-index run because candidate sets are disjoint
+    across gene ranges."""
+    bounds = np.searchsorted(
+        np.asarray(ts.gene_start),
+        np.linspace(0, int(ts.gene_start[-1]), nshards + 1),
+    ).astype(np.int64)
+    bounds[0], bounds[-1] = 0, ts.num_genes
+    parts = []
+    for si in range(nshards):
+        lo, hi = int(bounds[si]), int(bounds[si + 1])
+        if hi <= lo:
+            continue
+        start = int(ts.gene_start[lo])
+        end = int(ts.gene_start[hi])
+        sub = TargetSet(
+            tcat=np.asarray(ts.tcat[start:end]),
+            gene_start=np.asarray(ts.gene_start[lo : hi + 1]) - start,
+            names=list(ts.names[lo:hi]),
+            lengths=np.asarray(ts.lengths[lo:hi]),
+        )
+        index = build_target_index(sub, cfg.WindowWidth)
+        rows = run_matching_indexed(cfg, rs, index, _defer_rank=True)
+        rows[:, 1] += lo
+        parts.append(rows)
+        logger.info(
+            "gene shard %d/%d (genes [%d,%d)): %d survivors",
+            si + 1, nshards, lo, hi, len(rows),
+        )
+    if not parts or not sum(len(p) for p in parts):
+        z = np.zeros(0, dtype=np.int32)
+        return MatchResult(z, z, z, z)
+    rows = np.concatenate(parts)
+    r, g, s, nx, grp, grp2, win = (rows[:, i] for i in range(fused.NCOL))
+    r, g, s, nx = _apply_max_matches(cfg, r, g, s, nx, grp, grp2, win)
+    return _dedup_and_rank(cfg, r, g, s, nx)
+
+
+def run_matching_indexed(
+    cfg: Config, rs: ReadSet, index: TargetIndex, probe: str | None = None,
+    _defer_rank: bool = False,
+):
+    """probe: None = auto-select, 'sort' = sort-merge join, 'search' =
+    bucketed search probe (direct or binary per the index's SearchAux).
+    _defer_rank returns the raw (N, NCOL) survivor rows instead of the
+    ranked MatchResult (gene-range sharding unions shards first)."""
     width = cfg.WindowWidth
     # Trim the read matrix to the longest actual read (padded to the lane
     # width) — verify cost is linear in the column count.
@@ -99,7 +156,10 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
     # search touches only the queried entries (best for a huge resident
     # index probed by a small batch).
     nflat = len(cfg.Windows) * min(batch, _round_up(nreads, 1024))
-    use_search = index.skeys.shape[0] > 8 * nflat
+    if probe is None:
+        use_search = index.skeys.shape[0] > 8 * nflat
+    else:
+        use_search = probe == "search"
     index_aux = index.search_aux() if use_search else None
 
     import time as _time
@@ -158,6 +218,11 @@ def run_matching_indexed(cfg: Config, rs: ReadSet, index: TargetIndex) -> MatchR
         "windows %s: %d candidate pairs, %d verified",
         cfg.Windows, total_pairs, sum(len(x) for x in surv_rows),
     )
+
+    if _defer_rank:
+        if not surv_rows:
+            return np.zeros((0, fused.NCOL), dtype=np.int32)
+        return np.concatenate(surv_rows)
 
     if not surv_rows:
         z = np.zeros(0, dtype=np.int32)

@@ -116,8 +116,8 @@ def _window_queries(codes, lengths, q1s, *, width, min_dinuc):
 
 
 def _probe_windows_impl(
-    codes, lengths, q1s, skeys, skeys2,
-    *, width, min_dinuc,
+    codes, lengths, q1s, skeys, skeys2, pre_key=None, pre_key2=None,
+    pre_valid=None, *, width, min_dinuc,
 ):
     """Sort-merge probe over the flat (K*R,) query space.
 
@@ -133,26 +133,30 @@ def _probe_windows_impl(
     nreads, lmax = codes.shape
     nwin = q1s.shape[0]
     nflat = nwin * nreads
-    keyf, key2f, validf = _window_queries(
-        codes, lengths, q1s, width=width, min_dinuc=min_dinuc
-    )
+    if pre_key is not None:
+        keyf, key2f, validf = pre_key, pre_key2, pre_valid
+    else:
+        keyf, key2f, validf = _window_queries(
+            codes, lengths, q1s, width=width, min_dinuc=min_dinuc
+        )
 
     nidx = skeys.shape[0]
     m1 = jnp.concatenate([skeys, keyf])
     m2 = jnp.concatenate([skeys2, key2f])
-    tag = jnp.concatenate(
-        [
-            jnp.zeros(nidx, jnp.int32),
-            jnp.where(validf, jnp.int32(1), jnp.int32(2)),
-        ]
-    )
+    # One payload word encodes row class (the round-1 version carried a
+    # separate tag operand; a 3-operand stable sort is ~25% cheaper than
+    # the 4-operand tagged sort at 100M+ rows):
+    #   -1        index entry (stability keeps it before equal-key queries,
+    #             because index rows precede queries in the concatenation)
+    #   >= 0      valid query, value = flat query id
+    #   -2        length-or-entropy-rejected query
     pay = jnp.concatenate(
         [
-            jnp.arange(nidx, dtype=jnp.int32),
-            jnp.arange(nflat, dtype=jnp.int32),
+            jnp.full(nidx, -1, jnp.int32),
+            jnp.where(validf, jnp.arange(nflat, dtype=jnp.int32), jnp.int32(-2)),
         ]
     )
-    m1s, m2s, tag_s, pay_s = lax.sort((m1, m2, tag, pay), num_keys=3)
+    m1s, m2s, pay_s = lax.sort((m1, m2, pay), num_keys=2, is_stable=True)
 
     seg = jnp.concatenate(
         [
@@ -160,23 +164,83 @@ def _probe_windows_impl(
             (m1s[1:] != m1s[:-1]) | (m2s[1:] != m2s[:-1]),
         ]
     )
-    isq = (tag_s >= 1).astype(jnp.int32)
-    m = m1s.shape[0]
-    iota = jnp.arange(m, dtype=jnp.int32)
-    ie = iota - (jnp.cumsum(isq) - isq)  # index entries strictly before j
+    is_idx = (pay_s == -1).astype(jnp.int32)
+    ie = jnp.cumsum(is_idx) - is_idx  # index entries strictly before j
     seg_ie = jax.lax.cummax(jnp.where(seg, ie, -1))  # ie at my segment start
-    counts_m = jnp.where(tag_s == 1, ie - seg_ie, 0).astype(jnp.int32)
+    counts_m = jnp.where(pay_s >= 0, ie - seg_ie, 0).astype(jnp.int32)
     lo_m = jnp.maximum(seg_ie, 0)
-    qid_m = jnp.where(isq > 0, pay_s, -1)
+    qid_m = jnp.where(pay_s >= 0, pay_s, -1)
 
     # Compact to the active (count > 0) slots so that consecutive pair
     # owners are consecutive array slots — this bounds every expansion
-    # chunk's owner span by the chunk size.
+    # chunk's owner span by the chunk size.  The group keys are not carried
+    # through this sort; they are re-gathered from the pre-merge query
+    # arrays by qid (saves two 100M+-row sort operands).
     inactive = (counts_m == 0).astype(jnp.int32)
-    _, counts_c, lo_c, qid_c, key_c, key2_c = lax.sort(
-        (inactive, counts_m, lo_m, qid_m, m1s, m2s), num_keys=1, is_stable=True
+    _, counts_c, lo_c, qid_c = lax.sort(
+        (inactive, counts_m, lo_m, qid_m), num_keys=1, is_stable=True
     )
-    return counts_c[:nflat], lo_c[:nflat], qid_c[:nflat], key_c[:nflat], key2_c[:nflat]
+    counts_c, lo_c, qid_c = counts_c[:nflat], lo_c[:nflat], qid_c[:nflat]
+    qc = jnp.clip(qid_c, 0, nflat - 1)
+    key_c = jnp.where(qid_c >= 0, keyf[qc], 0)
+    key2_c = jnp.where(qid_c >= 0, key2f[qc], 0)
+    return counts_c, lo_c, qid_c, key_c, key2_c
+
+
+def _probe_windows_direct_impl(
+    codes, lengths, q1s, urec, sbucket,
+    *, width, min_dinuc, upshift, bucket_bits, bucket_width,
+):
+    """Direct-bucket probe: the bucket table is sized (engine.index.
+    build_search_aux) so no bucket holds more than `bucket_width` distinct
+    keys, so a probe is TWO dependent coalesced fetches — bucket bounds
+    (adjacent int32s, one burst) and the bucket's 16-byte (k1, k2, start,
+    count) records — with no search loop.  Replaces ~12 dependent gather
+    rounds per query of the round-1 bucketed binary search; this is what
+    closes the big-index probe gap when the batch is small relative to the
+    index.  Same compacted return contract as _probe_windows_impl.
+    """
+    nreads, lmax = codes.shape
+    nwin = q1s.shape[0]
+    nflat = nwin * nreads
+    use_k2 = winops.uses_second_key(width)
+    keyf, key2f, validf = _window_queries(
+        codes, lengths, q1s, width=width, min_dinuc=min_dinuc
+    )
+
+    # Sort queries by key: neighboring lanes then fetch neighboring bucket
+    # lines (locality), and the active-compaction below stays cheap.
+    qid0 = jnp.arange(nflat, dtype=jnp.int32)
+    keyf, key2f, vi, qid = lax.sort(
+        (keyf, key2f, (~validf).astype(jnp.int32), qid0), num_keys=2
+    )
+    validf = vi == 0
+
+    b = ((keyf << jnp.uint32(upshift)) >> jnp.uint32(32 - bucket_bits)).astype(
+        jnp.int32
+    )
+    lo = sbucket[b]
+    nb = sbucket[b + 1] - lo
+    w = bucket_width
+    widx = lo[:, None] * 4 + jnp.arange(4 * w, dtype=jnp.int32)[None, :]
+    rec = urec[widx]  # (N, 4w) — one coalesced fetch per query
+    rk1 = rec[:, 0::4]
+    rk2 = rec[:, 1::4]
+    rstart = rec[:, 2::4].astype(jnp.int32)
+    rcount = rec[:, 3::4].astype(jnp.int32)
+    in_bucket = jnp.arange(w, dtype=jnp.int32)[None, :] < nb[:, None]
+    hit_j = in_bucket & (rk1 == keyf[:, None])
+    if use_k2:
+        hit_j = hit_j & (rk2 == key2f[:, None])
+    hit = validf & jnp.any(hit_j, axis=1)
+    counts = jnp.where(hit, jnp.sum(jnp.where(hit_j, rcount, 0), axis=1), 0)
+    loc = jnp.sum(jnp.where(hit_j, rstart, 0), axis=1)
+
+    inactive = (counts == 0).astype(jnp.int32)
+    _, counts_c, lo_c, qid_c, key_c, key2_c = lax.sort(
+        (inactive, counts, loc, qid, keyf, key2f), num_keys=1, is_stable=True
+    )
+    return counts_c, lo_c, qid_c, key_c, key2_c
 
 
 def _probe_windows_search_impl(
@@ -326,8 +390,36 @@ def match_windows(
     bucketed-search probe — the right choice when the index is much larger
     than the query batch and the batch is small.  Returns
     (surv (surv_cap, NCOL) int32, nsurv, total_pairs, total_pairs_f32).
+
+    MUSCATO_PALLAS=1 computes the window queries with the Pallas
+    extraction kernel (ops/pallas_windows.py) instead of the XLA gather
+    path — measured slightly slower on v5e (BENCHMARKS.md), kept as an
+    opt-in A/B hook; only the sort-merge probe consumes it.
     """
-    if index_aux is not None:
+    import os as _os
+
+    pre = (None, None, None)
+    if index_aux is None and _os.environ.get("MUSCATO_PALLAS") == "1":
+        from . import pallas_windows as pwin
+
+        q1s_host = tuple(int(x) for x in jax.device_get(q1s))
+        pre = pwin.window_queries_pallas(
+            codes, lengths, q1s_host, width=width, min_dinuc=min_dinuc
+        )
+    if index_aux is not None and index_aux.mode == "direct":
+        aux = index_aux
+        from ..engine.index import DIRECT_BUCKET_WIDTH
+
+        probe = _tpu_jit(
+            _probe_windows_direct_impl,
+            ("width", "min_dinuc", "upshift", "bucket_bits", "bucket_width"),
+        )
+        counts_m, lo_m, qid_m, key_m, key2_m = probe(
+            codes, lengths, q1s, aux.urec, aux.sbucket,
+            width=width, min_dinuc=min_dinuc, upshift=aux.upshift,
+            bucket_bits=aux.bucket_bits, bucket_width=DIRECT_BUCKET_WIDTH,
+        )
+    elif index_aux is not None:
         aux = index_aux
         probe = _tpu_jit(
             _probe_windows_search_impl,
@@ -342,7 +434,7 @@ def match_windows(
     else:
         probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))
         counts_m, lo_m, qid_m, key_m, key2_m = probe(
-            codes, lengths, q1s, skeys, skeys2,
+            codes, lengths, q1s, skeys, skeys2, *pre,
             width=width, min_dinuc=min_dinuc,
         )
     expand = _tpu_jit(

@@ -17,8 +17,12 @@ serves one window set — which a run's config fixes anyway.  Grid: one
 program per read tile; the caller pads reads to the tile size (padded rows
 carry length 0 and fail the gate).
 
-Opt-in on the TPU backend via MUSCATO_PALLAS=1; bit-identical to the XLA
-path (tests/test_pallas.py), which remains the default.
+Opt-in via MUSCATO_PALLAS=1 (consumed by ops.fused.match_windows on the
+sort-merge probe path); bit-identical to the XLA path (tests/test_pallas.py).
+The XLA path remains the default: the measured A/B on v5e has XLA slightly
+ahead (~27ms vs ~35ms per 1M-read 4-window batch, BENCHMARKS.md) because
+XLA fuses the extraction into the downstream sort's producer while this
+kernel materializes three (K, R) outputs through HBM.
 """
 
 from __future__ import annotations

@@ -317,3 +317,114 @@ def test_search_probe_equals_sort_probe():
     rows_b = {tuple(r) for r in np.asarray(buf_b)[: int(n_b)].tolist()}
     assert rows_a == rows_b
     assert int(n_a) > 0
+
+
+def test_direct_probe_mode_selected_and_equal():
+    """Hash-uniform keys get the direct-bucket probe; its survivors equal
+    the sort-merge probe's."""
+    import jax.numpy as jnp
+    from muscato_tpu.engine.index import build_target_index
+    from muscato_tpu.ops import fused, packed as pops
+    from muscato_tpu.ops import verify as vops
+
+    rng = np.random.default_rng(9)
+    genes = ["".join("ACGT"[i] for i in rng.integers(0, 4, 300)) for _ in range(30)]
+    reads = []
+    for _ in range(80):
+        g = genes[int(rng.integers(30))]
+        a = int(rng.integers(0, 250))
+        reads.append(g[a : a + int(rng.integers(20, 50))])
+    width, max_rl = 16, 64
+    rs, lmax = _mk_readset(reads)
+    codes = np.zeros((len(reads), max_rl), dtype=np.uint8)
+    codes[:, :lmax] = rs.codes[:, :lmax]
+    ts = _mk_targetset(genes)
+    idx = build_target_index(ts, width)
+    aux = idx.search_aux()
+    assert aux.mode == "direct"
+
+    codes_j = jnp.asarray(codes)
+    rpacked = pops.pack_rows(codes_j)
+    lengths = jnp.asarray(rs.lengths)
+    budget = jnp.asarray(vops.mismatch_budget_table(0.9, max_rl))
+    q1s = jnp.asarray(np.array([0, 7], np.int32))
+    kw = dict(width=width, min_dinuc=1, max_read_length=max_rl,
+              pair_chunk=1 << 12, surv_cap=1 << 12, smax=idx.num_bases)
+    args = (codes_j, rpacked, lengths, q1s, idx.skeys, idx.skeys2, idx.spos,
+            idx.tpacked, idx.gene_start, budget)
+    buf_a, n_a, t_a, _ = fused.match_windows(*args, **kw)
+    buf_b, n_b, t_b, _ = fused.match_windows(*args, **kw, index_aux=aux)
+    assert int(n_a) == int(n_b) and int(t_a) == int(t_b)
+    rows_a = {tuple(r) for r in np.asarray(buf_a)[: int(n_a)].tolist()}
+    rows_b = {tuple(r) for r in np.asarray(buf_b)[: int(n_b)].tolist()}
+    assert rows_a == rows_b and int(n_a) > 0
+
+
+def test_binary_probe_fallback_on_skewed_keys():
+    """Skewed exact-width keys (all in one bucket) fall back to the binary
+    probe and still match the sort-merge probe."""
+    import jax.numpy as jnp
+    from muscato_tpu.engine.index import build_target_index
+    from muscato_tpu.ops import fused, packed as pops
+    from muscato_tpu.ops import verify as vops
+
+    rng = np.random.default_rng(21)
+    # width-13 windows that are all 'A'*10 + 3 random chars: every distinct
+    # key is a tiny base-5 number -> one bucket holds them all.
+    genes = []
+    for _ in range(40):
+        tail = "".join("ACGT"[i] for i in rng.integers(0, 4, 3))
+        genes.append("A" * 10 + tail + "A" * 10 + tail)
+    reads = [g[:20] for g in genes[:25]]
+    width, max_rl = 13, 32
+    rs, lmax = _mk_readset(reads)
+    codes = np.zeros((len(reads), max_rl), dtype=np.uint8)
+    codes[:, :lmax] = rs.codes[:, :lmax]
+    ts = _mk_targetset(genes)
+    idx = build_target_index(ts, width)
+    aux = idx.search_aux()
+    assert aux.mode == "binary"
+
+    codes_j = jnp.asarray(codes)
+    rpacked = pops.pack_rows(codes_j)
+    lengths = jnp.asarray(rs.lengths)
+    budget = jnp.asarray(vops.mismatch_budget_table(1.0, max_rl))
+    q1s = jnp.asarray(np.array([0], np.int32))
+    kw = dict(width=width, min_dinuc=0, max_read_length=max_rl,
+              pair_chunk=1 << 12, surv_cap=1 << 12, smax=idx.num_bases)
+    args = (codes_j, rpacked, lengths, q1s, idx.skeys, idx.skeys2, idx.spos,
+            idx.tpacked, idx.gene_start, budget)
+    buf_a, n_a, _, _ = fused.match_windows(*args, **kw)
+    buf_b, n_b, _, _ = fused.match_windows(*args, **kw, index_aux=aux)
+    rows_a = {tuple(r) for r in np.asarray(buf_a)[: int(n_a)].tolist()}
+    rows_b = {tuple(r) for r in np.asarray(buf_b)[: int(n_b)].tolist()}
+    assert rows_a == rows_b and int(n_a) > 0
+
+
+def test_gene_sharded_single_device_equals_whole():
+    """Sequential gene-range sharding (the >2**31-position path) must give
+    identical results to the single-index run."""
+    rng = np.random.default_rng(17)
+    genes = ["".join("ACGT"[i] for i in rng.integers(0, 4, 120)) for _ in range(13)]
+    reads = []
+    for _ in range(30):
+        g = genes[int(rng.integers(13))]
+        a = int(rng.integers(0, 80))
+        reads.append(g[a : a + 30])
+    width, max_rl = 6, 40
+    rs, lmax = _mk_readset(reads)
+    codes = np.zeros((len(reads), max_rl), dtype=np.uint8)
+    codes[:, :lmax] = rs.codes[:, :lmax]
+    rs.codes = codes
+    ts = _mk_targetset(genes)
+    cfg = Config(
+        Windows=[0, 4], WindowWidth=width, PMatch=0.9, MinDinuc=1,
+        MaxReadLength=max_rl, MMTol=1, MaxMatches=10**6, MatchMode="best",
+    )
+    whole = pipeline.run_matching(cfg, rs, ts)
+    exp = set(zip(whole.read_row.tolist(), whole.gene.tolist(),
+                  whole.start.tolist(), whole.nmiss.tolist()))
+    sharded = pipeline.run_matching_gene_sharded(cfg, rs, ts, 4)
+    got = set(zip(sharded.read_row.tolist(), sharded.gene.tolist(),
+                  sharded.start.tolist(), sharded.nmiss.tolist()))
+    assert got == exp and len(got) > 0
