@@ -52,6 +52,11 @@ def _round_up(n: int, to: int) -> int:
     return max(to, -(-n // to) * to)
 
 
+# Process-wide survivor-capacity hint: overflow regrows persist across
+# batches and runs so right-sized executables are reused.
+_CAP_HINT = [1 << 16]
+
+
 def _window_has_reads(rs: ReadSet, q1: int, width: int, min_dinuc: int) -> bool:
     """The reference's per-window abort counts reads passing the *length*
     gate only (cmd/muscato_window_reads/main.go:108-112 increments before
@@ -166,7 +171,8 @@ def run_matching_indexed(
 
     surv_rows = []
     total_pairs = 0
-    surv_cap = 1 << 16
+    nbatches = -(-nreads // batch)
+    surv_cap = max(_CAP_HINT[0], 1 << 16)
     for b0 in range(0, nreads, batch):
         t_batch = _time.perf_counter()
         b1 = min(b0 + batch, nreads)
@@ -174,7 +180,7 @@ def run_matching_indexed(
             rs, b0, b0 + batch, l_eff, cache_ok=(nreads <= batch)
         )
         while True:
-            buf, nsurv, total, totalf = fused.match_windows(
+            buf, nsurv_d, total, totalf = fused.match_windows(
                 codes, rpacked, lengths, q1s,
                 index.skeys, index.skeys2, index.spos,
                 index.tpacked, index.gene_start, budget,
@@ -194,15 +200,27 @@ def run_matching_indexed(
                     "batch exceeds the 2**30 expansion limit; re-run with a "
                     "smaller ReadBatch (or raise MinDinuc)"
                 )
-            nsurv = int(nsurv)
+            nsurv = int(nsurv_d)
             if nsurv <= surv_cap:
                 break
             # Overflow: grow to the next bucket and re-run this batch.
+            # The grown capacity persists process-wide so later runs and
+            # batches start right-sized (regrows force a fresh executable,
+            # which remote-compile backends make expensive).
             while surv_cap < nsurv:
                 surv_cap *= 4
+            _CAP_HINT[0] = surv_cap
         total_pairs += int(total)
         if nsurv:
-            rows = np.asarray(buf[: _round_up(nsurv, 1024)])[:nsurv].copy()
+            # Cap + dedup + best+MMTol run on device; the host fetches the
+            # retained rows only (at realistic hit density the raw
+            # survivor buffer is several times larger).
+            rows_dev, count_d = fused.rank_survivors(
+                buf, nsurv_d, cfg.MaxMatches, cfg.MMTol,
+                match_mode=cfg.MatchMode, surv_cap=surv_cap,
+            )
+            count = int(count_d)
+            rows = np.array(rows_dev[: _round_up(count, 1024)])[:count]
             rows[:, 0] += b0  # batch-local read row -> global row
             surv_rows.append(rows)
         dt = _time.perf_counter() - t_batch
@@ -210,12 +228,14 @@ def run_matching_indexed(
         # cmd/muscato_screen/main.go:167-169, 442-444; a batch is this
         # engine's unit of progress).
         logger.info(
-            "batch reads [%d,%d): %d pairs, %d survivors, %.2fs (%.0f reads/s)",
-            b0, b1, int(total), nsurv, dt, (b1 - b0) / max(dt, 1e-9),
+            "batch reads [%d,%d): %d pairs, %d survivors, %d retained, "
+            "%.2fs (%.0f reads/s)",
+            b0, b1, int(total), nsurv, len(surv_rows[-1]) if nsurv else 0,
+            dt, (b1 - b0) / max(dt, 1e-9),
         )
 
     logger.info(
-        "windows %s: %d candidate pairs, %d verified",
+        "windows %s: %d candidate pairs, %d retained",
         cfg.Windows, total_pairs, sum(len(x) for x in surv_rows),
     )
 
@@ -229,6 +249,17 @@ def run_matching_indexed(
         return MatchResult(z, z, z, z)
 
     rows = np.concatenate(surv_rows)
+    if nbatches == 1:
+        # Single batch: the device pipeline already produced the final
+        # retained set in canonical (read, gene, start) order.
+        return MatchResult(
+            rows[:, 0].copy(), rows[:, 1].copy(),
+            rows[:, 2].copy(), rows[:, 3].copy(),
+        )
+    # Multiple batches: k-mer cap groups span batches, so re-apply the cap
+    # (a group's global top-MaxMatches is a subset of the union of its
+    # per-batch top-MaxMatches) and re-rank; both passes are idempotent on
+    # already-filtered rows.
     r, g, s, nx, grp, grp2, win = (rows[:, i] for i in range(fused.NCOL))
     r, g, s, nx = _apply_max_matches(cfg, r, g, s, nx, grp, grp2, win)
     return _dedup_and_rank(cfg, r, g, s, nx)

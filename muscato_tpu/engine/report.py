@@ -39,7 +39,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..io.reads import ReadSet, _gather_ranges
+from ..io.blob import decode_rows_blob, gather_ranges as _gather_ranges, ranged_copy
+from ..io.reads import ReadSet
 from ..io.seqcodec import _C2B
 from ..io.targets import TargetSet
 from .pipeline import MatchResult
@@ -84,7 +85,7 @@ def _assemble(cols, sep: int, eol: int | None):
     blob = np.zeros(int(row_end[-1]) if n else 0, np.uint8)
     at = row_start.copy()
     for i, c in enumerate(cols):
-        blob[_gather_ranges(at, c.lens)] = c.blob[_gather_ranges(c.starts, c.lens)]
+        ranged_copy(blob, at, c.blob, c.starts, c.lens)
         at = at + c.lens
         if i < len(cols) - 1:
             blob[at] = sep
@@ -103,7 +104,7 @@ def _fixed_view(cols, sep: int):
     mat = np.zeros(n * w, np.uint8)
     at = np.arange(n, dtype=np.int64) * w
     for i, c in enumerate(cols):
-        mat[_gather_ranges(at, c.lens)] = c.blob[_gather_ranges(c.starts, c.lens)]
+        ranged_copy(mat, at, c.blob, c.starts, c.lens)
         at = at + c.lens
         if i < len(cols) - 1:
             mat[at] = sep
@@ -138,16 +139,19 @@ def build_results(mr: MatchResult, rs: ReadSet, ts: TargetSet) -> ResultsTable:
     s = mr.start.astype(np.int64)
     rl = rs.lengths.astype(np.int64)[r]
 
-    # read sequences: decode the matched rows once into a strided blob
-    lmax = rs.codes.shape[1]
-    rseq_blob = _C2B[rs.codes[r]].reshape(-1)
-    rseq = Column(rseq_blob, np.arange(n, dtype=np.int64) * lmax, rl)
+    # read sequences: decode the matched rows into a compact blob
+    starts_out = np.cumsum(rl, dtype=np.int64) - rl
+    rseq_blob = np.zeros(int(rl.sum()), np.uint8)
+    decode_rows_blob(rseq_blob, starts_out, rs.codes, rs.codes.shape[1], r, rl, _C2B)
+    rseq = Column(rseq_blob, starts_out, rl)
 
     # target subsequences: ranged decode straight from the gene stream
     tcat = np.asarray(ts.tcat)
     gstart = np.asarray(ts.gene_start, dtype=np.int64)[g]
     tsub_starts = gstart + s
-    tsub = Column(_C2B[tcat], tsub_starts, rl)
+    tsub_blob = np.zeros(int(rl.sum()), np.uint8)
+    decode_rows_blob(tsub_blob, starts_out, tcat, 1, tsub_starts, rl, _C2B)
+    tsub = Column(tsub_blob, starts_out, rl)
 
     pos = _int_column(mr.start)
     nmiss = _int_column(mr.nmiss)
@@ -212,21 +216,14 @@ def write_nonmatch(results_path: str, mr: MatchResult, rs: ReadSet) -> str:
     row_start = row_end - row_len
     blob = np.zeros(int(row_end[-1]) if n else 0, np.uint8)
     at = row_start
-    blob[_gather_ranges(at, nlen)] = rs.name_blob[
-        _gather_ranges(rs.name_off[:-1][rows], nlen)
-    ]
+    ranged_copy(blob, at, rs.name_blob, rs.name_off[:-1][rows], nlen)
     at = at + nlen
     blob[at] = ord("#")
     cbuf = np.frombuffer(cnt.tobytes(), np.uint8)
-    blob[_gather_ranges(at + 1, clen)] = cbuf[
-        _gather_ranges(np.arange(n, dtype=np.int64) * 20, clen)
-    ]
+    ranged_copy(blob, at + 1, cbuf, np.arange(n, dtype=np.int64) * 20, clen)
     at = at + 1 + clen
     blob[at] = ord("\n")
-    lmax = rs.codes.shape[1]
-    blob[_gather_ranges(at + 1, rl)] = _C2B[rs.codes[rows]].reshape(-1)[
-        _gather_ranges(np.arange(n, dtype=np.int64) * lmax, rl)
-    ]
+    decode_rows_blob(blob, at + 1, rs.codes, rs.codes.shape[1], rows, rl, _C2B)
     at = at + 1 + rl
     blob[at] = ord("\n")
     blob[at + 1] = ord("+")

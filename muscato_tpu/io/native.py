@@ -2,8 +2,11 @@
 
 Provides CRC-32C and the snappy block/framed codecs at C speed; sz.py
 dispatches here when the library is available and falls back to its pure
-Python implementation otherwise.  `python native/build.py` builds it; this
-module also attempts a one-time lazy build when a compiler is present.
+Python implementation otherwise.  Build it explicitly with
+`python native/build.py`; set MUSCATO_NATIVE_BUILD=1 to allow a one-time
+lazy build on first use (off by default: a silent g++ subprocess at import
+time surprises restricted environments, and two processes could race on
+the .so — round-1 advisor finding).
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ def get_lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO) and os.environ.get("MUSCATO_NO_NATIVE_BUILD") != "1":
+    if not os.path.exists(_SO) and os.environ.get("MUSCATO_NATIVE_BUILD") == "1":
         _try_build()
     if not os.path.exists(_SO):
         return None
@@ -67,8 +70,124 @@ def get_lib():
     lib.mn_frame_decompressed_bound.argtypes = [u8p, ctypes.c_size_t]
     lib.mn_frame_decompress.restype = ctypes.c_longlong
     lib.mn_frame_decompress.argtypes = [u8p, ctypes.c_size_t, u8p, ctypes.c_size_t]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    try:
+        lib.mn_line_offsets.restype = ctypes.c_size_t
+        lib.mn_line_offsets.argtypes = [u8p, ctypes.c_size_t, u64p, ctypes.c_size_t]
+        lib.mn_encode_rows.restype = None
+        lib.mn_encode_rows.argtypes = [
+            u8p, i64p, i32p, ctypes.c_size_t, ctypes.c_size_t, u8p,
+            ctypes.c_uint8, u8p,
+        ]
+        lib.mn_ranged_copy.restype = None
+        lib.mn_ranged_copy.argtypes = [u8p, i64p, u8p, i64p, i64p, ctypes.c_size_t]
+        lib.mn_decode_rows.restype = None
+        lib.mn_decode_rows.argtypes = [
+            u8p, i64p, u8p, ctypes.c_size_t, i64p, i64p, u8p, ctypes.c_size_t,
+        ]
+        lib.mn_permute_rows.restype = None
+        lib.mn_permute_rows.argtypes = [
+            u8p, i64p, ctypes.c_size_t, ctypes.c_size_t, u8p,
+        ]
+        lib.mn_rows_differ.restype = None
+        lib.mn_rows_differ.argtypes = [u8p, ctypes.c_size_t, ctypes.c_size_t, u8p]
+    except AttributeError:
+        # older .so without the bulk row transforms; codec entry points
+        # still work, numpy fallbacks cover the rest
+        pass
     _LIB = lib
     return _LIB
+
+
+def permute_rows_native(rows, perm, out) -> bool:
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mn_permute_rows"):
+        return False
+    import ctypes as ct
+
+    n, w = rows.shape
+    lib.mn_permute_rows(_np_u8(rows), _np_p(perm, ct.c_int64), n, w, _np_u8(out))
+    return True
+
+
+def rows_differ_native(rows, out) -> bool:
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mn_rows_differ"):
+        return False
+    n, w = rows.shape
+    lib.mn_rows_differ(_np_u8(rows), n, w, _np_u8(out))
+    return True
+
+
+def _np_u8(a):
+    import ctypes as ct
+
+    return a.ctypes.data_as(ct.POINTER(ct.c_uint8))
+
+
+def _np_p(a, ctype):
+    import ctypes as ct
+
+    return a.ctypes.data_as(ct.POINTER(ctype))
+
+
+def encode_rows_native(src, starts, lens, width, table, pad, out) -> bool:
+    """C fast path for the dense row encode; False = caller falls back."""
+    import ctypes as ct
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mn_encode_rows"):
+        return False
+    lib.mn_encode_rows(
+        _np_u8(src), _np_p(starts, ct.c_int64), _np_p(lens, ct.c_int32),
+        len(starts), width, _np_u8(table), pad, _np_u8(out),
+    )
+    return True
+
+
+def ranged_copy_native(dst, dst_starts, src, src_starts, lens) -> bool:
+    import ctypes as ct
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mn_ranged_copy"):
+        return False
+    lib.mn_ranged_copy(
+        _np_u8(dst), _np_p(dst_starts, ct.c_int64),
+        _np_u8(src), _np_p(src_starts, ct.c_int64),
+        _np_p(lens, ct.c_int64), len(dst_starts),
+    )
+    return True
+
+
+def decode_rows_native(dst, dst_starts, rows, stride, row_idx, lens, table) -> bool:
+    import ctypes as ct
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mn_decode_rows"):
+        return False
+    lib.mn_decode_rows(
+        _np_u8(dst), _np_p(dst_starts, ct.c_int64), _np_u8(rows), stride,
+        _np_p(row_idx, ct.c_int64), _np_p(lens, ct.c_int64), _np_u8(table),
+        len(dst_starts),
+    )
+    return True
+
+
+def line_offsets_native(buf) -> "object":
+    """Line-start offsets via the C scanner, or None to fall back."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mn_line_offsets"):
+        return None
+    cap = len(buf) + 1
+    out = np.empty(cap, np.uint64)
+    import ctypes as ct
+
+    n = lib.mn_line_offsets(_np_u8(buf), len(buf), _np_p(out, ct.c_uint64), cap)
+    return out[:n].astype(np.int64)
 
 
 def _buf(data: bytes):

@@ -41,7 +41,8 @@ from typing import List
 
 import numpy as np
 
-from . import seqcodec, sz
+from . import native, seqcodec, sz
+from .blob import decode_rows_blob, encode_rows_matrix, gather_ranges, ranged_copy
 
 _MAX_NAME = 1000
 ENCODE_CHUNK = 1 << 20  # reads encoded per gather chunk
@@ -122,23 +123,19 @@ class ReadSet:
         return self.codes.shape[0]
 
 
-def _gather_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Index array concatenating [starts[i], starts[i]+lens[i]) ranges."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(0, np.int64)
-    out_start = np.cumsum(lens, dtype=np.int64) - lens
-    return (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(out_start, lens)
-        + np.repeat(starts.astype(np.int64), lens)
-    )
+_gather_ranges = gather_ranges  # shared primitive (io.blob)
 
 
 def _line_bounds(buf: np.ndarray):
     """(starts, ends) of every newline-terminated line in buf; a trailing
     chunk without '\\n' is treated as a final line (the reference's scanner
-    yields it too)."""
+    yields it too).  Uses the native memchr scanner when available."""
+    starts = native.line_offsets_native(buf)
+    if starts is not None and len(buf):
+        ends = np.empty(len(starts), np.int64)
+        ends[:-1] = starts[1:] - 1
+        ends[-1] = len(buf) - (1 if buf[-1] == 10 else 0)
+        return starts, ends
     nl = np.flatnonzero(buf == 10)
     if len(buf) and (len(nl) == 0 or nl[-1] != len(buf) - 1):
         nl = np.append(nl, len(buf))
@@ -188,24 +185,24 @@ def build_readset(
     # then equals `LC_ALL=C sort` order of the sequences (pad sorts before
     # every base, so a prefix sorts first, exactly like the '\t' delimiter
     # in the reference's "seq\tname" lines).
-    sortable = np.zeros((n, max_read_length), dtype=np.uint8)
-    cols = np.arange(max_read_length, dtype=np.int64)
-    for a in range(0, n, ENCODE_CHUNK):
-        b = min(a + ENCODE_CHUNK, n)
-        idx = seq_s[a:b, None] + cols[None, :]
-        np.clip(idx, 0, len(buf) - 1, out=idx)
-        chunk = seqcodec._B2C[buf[idx]] + np.uint8(1)
-        chunk[cols[None, :] >= lens[a:b, None]] = 0
-        sortable[a:b] = chunk
+    sortable = np.empty((n, max_read_length), dtype=np.uint8)
+    encode_rows_matrix(
+        buf, seq_s, lens, max_read_length, seqcodec._B2C + np.uint8(1), 0,
+        sortable,
+    )
 
     order = np.argsort(
         np.ascontiguousarray(sortable).view(f"V{max_read_length}").ravel(),
         kind="stable",
     )
-    srt = sortable[order]
+    srt = np.empty_like(sortable)
+    perm = np.ascontiguousarray(order, dtype=np.int64)
+    if not native.permute_rows_native(sortable, perm, srt):
+        srt = sortable[order]
     boundary = np.empty(n, dtype=bool)
-    boundary[0] = True
-    np.any(srt[1:] != srt[:-1], axis=1, out=boundary[1:])
+    if not native.rows_differ_native(srt, boundary.view(np.uint8)):
+        boundary[0] = True
+        np.any(srt[1:] != srt[:-1], axis=1, out=boundary[1:])
     starts_u = np.flatnonzero(boundary)
     counts_u = np.diff(np.append(starts_u, n)).astype(np.int64)
     group_of = np.cumsum(boundary) - 1  # per sorted row
@@ -273,7 +270,7 @@ def _join_group_names(buf, name_s, name_e, group_of):
     blob = np.zeros(total, np.uint8)
     blob[out_start[~first] - 1] = ord(";")
     copy_len = np.minimum(tlen, np.where(trunc, _MAX_NAME - 5, nlen))
-    blob[_gather_ranges(out_start, copy_len)] = buf[_gather_ranges(name_s, copy_len)]
+    ranged_copy(blob, out_start, buf, name_s, copy_len)
     for i in np.flatnonzero(trunc):  # patch '...' on truncated names
         blob[out_start[i] + _MAX_NAME - 5 : out_start[i] + _MAX_NAME - 2] = np.frombuffer(
             b"...", np.uint8
@@ -291,9 +288,7 @@ def _join_group_names(buf, name_s, name_e, group_of):
         new_off = np.zeros(ngroups + 1, np.int64)
         new_off[1:] = np.cumsum(new_len)
         nblob = np.zeros(int(new_off[-1]), np.uint8)
-        nblob[_gather_ranges(new_off[:-1], keep_len)] = blob[
-            _gather_ranges(goff[:-1], keep_len)
-        ]
+        ranged_copy(nblob, new_off[:-1], blob, goff[:-1], keep_len)
         dots = np.frombuffer(b"...", np.uint8)
         for gi in long:
             a = new_off[gi] + _MAX_NAME - 4
@@ -318,25 +313,19 @@ def write_reads_sorted(rs: ReadSet, path: str) -> None:
     out_start = out_end - row_len
     blob = np.zeros(int(out_end[-1]), np.uint8)
 
-    # sequence bytes
-    dst = _gather_ranges(out_start, slen)
-    src_rows = np.repeat(np.arange(n, dtype=np.int64), slen)
-    src_cols = np.arange(int(slen.sum()), dtype=np.int64) - np.repeat(
-        np.cumsum(slen) - slen, slen
+    # sequence bytes (decode codes straight into the output blob)
+    decode_rows_blob(
+        blob, out_start, rs.codes, rs.codes.shape[1],
+        np.arange(n, dtype=np.int64), slen, seqcodec._C2B,
     )
-    blob[dst] = seqcodec._C2B[rs.codes[src_rows, src_cols]]
     blob[out_start + slen] = ord("\t")
     # counts (fixed-width S20 buffer, actual decimal length clen)
-    cbuf = np.frombuffer(counts_b.tobytes(), np.uint8).reshape(n, 20)
-    blob[_gather_ranges(out_start + slen + 1, clen)] = cbuf[
-        np.repeat(np.arange(n, dtype=np.int64), clen),
-        np.arange(int(clen.sum()), dtype=np.int64)
-        - np.repeat(np.cumsum(clen) - clen, clen),
-    ]
+    cbuf = np.frombuffer(counts_b.tobytes(), np.uint8)
+    ranged_copy(blob, out_start + slen + 1, cbuf,
+                np.arange(n, dtype=np.int64) * 20, clen)
     blob[out_start + slen + 1 + clen] = ord("\t")
     # names
-    blob[_gather_ranges(out_start + slen + 2 + clen, nlen)] = rs.name_blob[
-        _gather_ranges(rs.name_off[:-1], nlen)
-    ]
+    ranged_copy(blob, out_start + slen + 2 + clen,
+                rs.name_blob, rs.name_off[:-1], nlen)
     blob[out_end - 1] = ord("\n")
     sz.write_bytes(path, blob.tobytes())

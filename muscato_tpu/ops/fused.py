@@ -378,6 +378,103 @@ def _expand_verify_impl(
     return buf, nsurv, total, totalf
 
 
+def _rank_survivors_live_impl(buf, live, mm, mmtol, *, match_mode):
+    """Like _rank_survivors_impl but with an explicit live-row mask (the
+    mesh path ranks an mp-gathered buffer whose live rows are per-block
+    prefixes, not one global prefix)."""
+    return _rank_core(buf, live, mm, mmtol, match_mode=match_mode)
+
+
+def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap):
+    """Device-side cap + dedup + best+MMTol over one batch's survivors.
+
+    Replicates engine.pipeline._apply_max_matches and _dedup_and_rank
+    exactly, in the same stage order as the reference (confirm's
+    per-group cap BEFORE combine's dedup, cmd/muscato/main.go:387-505),
+    so the host only fetches the retained rows.  Per-batch capping is
+    safe: a group's global top-MaxMatches rows are a subset of the union
+    of its per-batch top-MaxMatches rows, and the engine re-applies the
+    cap over the (small) union across batches.
+
+    Returns (rows (surv_cap, NCOL) int32 — retained prefix, in canonical
+    (read, gene, start) order — and the retained count)."""
+    live = jnp.arange(surv_cap, dtype=jnp.int32) < nsurv
+    return _rank_core(buf, live, mm, mmtol, match_mode=match_mode)
+
+
+def _rank_core(buf, live, mm, mmtol, *, match_mode):
+    n = buf.shape[0]
+    r, g, s, nx = buf[:, 0], buf[:, 1], buf[:, 2], buf[:, 3]
+    grp, grp2, win = buf[:, 4], buf[:, 5], buf[:, 6]
+    dead = (~live).astype(jnp.int32)
+
+    # 1. MaxMatches cap per (window, key1, key2) group
+    #    ('first' emits MaxMatches+1 like the reference's append-then-check).
+    if match_mode == "first":
+        ops = (dead, win, grp, grp2, g, s, r, nx)
+    else:
+        ops = (dead, win, grp, grp2, nx, g, s, r)
+    sorted_ops = lax.sort(ops, num_keys=len(ops))
+    dead_s = sorted_ops[0]
+    if match_mode == "first":
+        _, win, grp, grp2, g, s, r, nx = sorted_ops
+    else:
+        _, win, grp, grp2, nx, g, s, r = sorted_ops
+    iota = jnp.arange(n, dtype=jnp.int32)
+    newgrp = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (win[1:] != win[:-1]) | (grp[1:] != grp[:-1]) | (grp2[1:] != grp2[:-1])]
+    )
+    seg_start = lax.cummax(jnp.where(newgrp, iota, 0))
+    rank = iota - seg_start
+    cap = mm + jnp.int32(1 if match_mode == "first" else 0)
+    keep = (dead_s == 0) & (rank < cap)
+
+    # 2. exact dedup on (read, gene, start)
+    dead2 = (~keep).astype(jnp.int32)
+    dead2, r, g, s, nx, grp, grp2, win = lax.sort(
+        (dead2, r, g, s, nx, grp, grp2, win), num_keys=4
+    )
+    first_rgs = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (r[1:] != r[:-1]) | (g[1:] != g[:-1]) | (s[1:] != s[:-1])]
+    )
+    keep = (dead2 == 0) & first_rgs
+
+    # 3. per-read best + MMTol (order by (read, nmiss); the best fills down)
+    dead3 = (~keep).astype(jnp.int32)
+    dead3, r, nx, g, s, grp, grp2, win = lax.sort(
+        (dead3, r, nx, g, s, grp, grp2, win), num_keys=3
+    )
+    new_read = jnp.concatenate(
+        [jnp.ones(1, bool), (r[1:] != r[:-1]) | (dead3[1:] != dead3[:-1])]
+    )
+    best = lax.cummax(jnp.where(new_read, nx, -1))
+    keep = (dead3 == 0) & (nx <= best + mmtol)
+
+    # 4. compact to canonical (read, gene, start) order
+    dead4 = (~keep).astype(jnp.int32)
+    dead4, r, g, s, nx, grp, grp2, win = lax.sort(
+        (dead4, r, g, s, nx, grp, grp2, win), num_keys=4
+    )
+    rows = jnp.stack([r, g, s, nx, grp, grp2, win], axis=1)
+    count = jnp.sum(keep.astype(jnp.int32))
+    return rows, count
+
+
+def rank_survivors(buf, nsurv, mm, mmtol, *, match_mode, surv_cap):
+    fn = _tpu_jit(_rank_survivors_impl, ("match_mode", "surv_cap"))
+    return fn(
+        buf, nsurv, jnp.int32(mm), jnp.int32(mmtol),
+        match_mode=match_mode, surv_cap=surv_cap,
+    )
+
+
+def rank_survivors_live(buf, live, mm, mmtol, *, match_mode):
+    fn = _tpu_jit(_rank_survivors_live_impl, ("match_mode",))
+    return fn(buf, live, jnp.int32(mm), jnp.int32(mmtol), match_mode=match_mode)
+
+
 def match_windows(
     codes, rpacked, lengths, q1s, skeys, skeys2, spos,
     tpacked, gene_start, budget,

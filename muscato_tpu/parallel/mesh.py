@@ -147,12 +147,15 @@ def make_mesh(dp: int, mp: int, devices=None) -> Mesh:
 def _shard_step(
     codes, rpacked, lengths, gene_start, skeys, skeys2,
     spos, tpacked, gene_base, budget, q1s, *, width, min_dinuc,
-    max_read_length, pair_chunk, surv_cap, smax,
+    max_read_length, pair_chunk, surv_cap, smax, mm, mmtol, match_mode,
 ):
     """Per-device body (runs under shard_map): sort-merge probe + SWAR
     verify of the local read block against the local index shard, then an
     all_gather of the survivor buffers along "mp" only — reads are disjoint
-    across "dp", so read-keyed downstream stages need no dp traffic."""
+    across "dp", so read-keyed downstream stages need no dp traffic.  The
+    gathered buffer is ranked ON DEVICE (cap + dedup + best+MMTol: every
+    row of a dp-block's reads is present after the mp gather), so the host
+    fetches retained rows only."""
     # codes/rpacked/lengths are sharded along their leading (reads) axis and
     # arrive as full local blocks; the index arrays are sharded along an
     # explicit shard axis of size 1 per device, which we strip here.
@@ -181,7 +184,15 @@ def _shard_step(
     surv = jax.lax.all_gather(buf, "mp", axis=0)  # (mp, surv_cap, NCOL)
     nsurv_all = jax.lax.all_gather(nsurv, "mp", axis=0)  # (mp,)
     totalf_all = jax.lax.all_gather(totalf, "mp", axis=0)  # (mp,)
-    return surv[None], nsurv_all[None], totalf_all[None]
+
+    mp = surv.shape[0]
+    flat = surv.reshape(mp * surv_cap, surv.shape[-1])
+    off = jnp.arange(mp * surv_cap, dtype=jnp.int32)
+    live_flat = (off % surv_cap) < nsurv_all[off // surv_cap]
+    rows, count = fused._rank_survivors_live_impl(
+        flat, live_flat, jnp.int32(mm), jnp.int32(mmtol), match_mode=match_mode
+    )
+    return rows[None], count[None], nsurv_all[None], totalf_all[None]
 
 
 def sharded_match_arrays(
@@ -219,6 +230,9 @@ def sharded_match_arrays(
         pair_chunk=pair_cap,
         surv_cap=surv_cap,
         smax=sidx.smax,
+        mm=cfg.MaxMatches,
+        mmtol=cfg.MMTol,
+        match_mode=cfg.MatchMode,
     )
     mapped = jax.shard_map(
         fn,
@@ -236,11 +250,11 @@ def sharded_match_arrays(
             P(),  # budget (replicated)
             P(),  # q1s (replicated)
         ),
-        out_specs=(P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
         check_vma=False,
     )
 
-    surv, nsurv, totalf = jax.jit(mapped)(
+    rows_d, count_d, nsurv, totalf = jax.jit(mapped)(
         codes, rpacked, lengths, sidx.gene_start,
         sidx.skeys, sidx.skeys2, sidx.spos, sidx.tpacked, sidx.gene_base,
         budget, q1s,
@@ -254,24 +268,23 @@ def sharded_match_arrays(
     if int(nsurv_np.max(initial=0)) > surv_cap:
         raise CapacityError(int(nsurv_np.max()))
 
-    # Fetch only the live survivor prefixes: traffic tracks real survivor
-    # counts, not dp*mp*capacity.
+    # Fetch only the retained-row prefixes (ranked on device): traffic
+    # tracks real matches, not dp*mp*capacity.
+    counts = np.asarray(count_d)  # (dp,)
     per = codes.shape[0] // dp
     out = []
     for d in range(dp):
-        for m in range(sidx.num_shards):
-            n = int(nsurv_np[d, m])
-            if not n:
-                continue
-            rows = np.array(surv[d, m, :n])
-            rows[:, 0] += d * per  # local read row -> global row
-            out.append(rows)
+        n = int(counts[d])
+        if not n:
+            continue
+        rows = np.array(rows_d[d, :n])
+        rows[:, 0] += d * per  # local read row -> global row
+        out.append(rows)
     if not out:
         z = np.zeros((0, fused.NCOL), dtype=np.int32)
     else:
         z = np.concatenate(out)
-    live = (z[:, 0] >= 0) & (z[:, 0] < r_total)
-    z = z[live]
+    z = z[(z[:, 0] >= 0) & (z[:, 0] < r_total)]
     return tuple(z[:, i].astype(np.int32) for i in range(fused.NCOL))
 
 

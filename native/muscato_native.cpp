@@ -319,13 +319,76 @@ size_t mn_line_offsets(const uint8_t* data, size_t n,
     size_t cnt = 0;
     if (n == 0 || cap == 0) return 0;
     offsets[cnt++] = 0;
-    for (size_t i = 0; i + 1 < n; i++) {
-        if (data[i] == '\n') {
-            if (cnt >= cap) return cnt;
-            offsets[cnt++] = i + 1;
-        }
+    const uint8_t* p = data;
+    const uint8_t* end = data + (n > 0 ? n - 1 : 0);
+    while (p < end) {
+        const uint8_t* nl = (const uint8_t*)memchr(p, '\n', (size_t)(end - p));
+        if (!nl) break;
+        if (cnt >= cap) return cnt;
+        offsets[cnt++] = (uint64_t)(nl - data) + 1;
+        p = nl + 1;
     }
     return cnt;
+}
+
+// ------------------------------------------------- bulk row transforms
+// These replace numpy fancy-indexing hot loops in the host prep/report
+// paths: generic 2-D gathers in numpy run ~10M cells/s, these run at
+// memory bandwidth.
+
+// Translate n variable-offset rows of `src` through `table` into a dense
+// (n, width) matrix; bytes beyond lens[i] are set to `pad`.
+void mn_encode_rows(const uint8_t* src, const int64_t* starts,
+                    const int32_t* lens, size_t n, size_t width,
+                    const uint8_t* table, uint8_t pad, uint8_t* out) {
+    for (size_t i = 0; i < n; i++) {
+        const uint8_t* s = src + starts[i];
+        uint8_t* o = out + i * width;
+        size_t l = (size_t)(lens[i] < 0 ? 0 : lens[i]);
+        if (l > width) l = width;
+        for (size_t j = 0; j < l; j++) o[j] = table[s[j]];
+        if (l < width) memset(o + l, pad, width - l);
+    }
+}
+
+// dst[dst_starts[i] : +lens[i]] = src[src_starts[i] : +lens[i]] for each i.
+void mn_ranged_copy(uint8_t* dst, const int64_t* dst_starts,
+                    const uint8_t* src, const int64_t* src_starts,
+                    const int64_t* lens, size_t n) {
+    for (size_t i = 0; i < n; i++) {
+        memcpy(dst + dst_starts[i], src + src_starts[i], (size_t)lens[i]);
+    }
+}
+
+// dst[dst_starts[i] : +lens[i]] = table[rows[i*stride : +lens[i]]] —
+// decode matrix rows (e.g. read codes) straight into an output blob.
+void mn_decode_rows(uint8_t* dst, const int64_t* dst_starts,
+                    const uint8_t* rows, size_t stride,
+                    const int64_t* row_idx, const int64_t* lens,
+                    const uint8_t* table, size_t n) {
+    for (size_t i = 0; i < n; i++) {
+        const uint8_t* s = rows + (size_t)row_idx[i] * stride;
+        uint8_t* o = dst + dst_starts[i];
+        size_t l = (size_t)lens[i];
+        for (size_t j = 0; j < l; j++) o[j] = table[s[j]];
+    }
+}
+
+// out[i] = rows[perm[i]] for (n, w) row-major byte matrices.
+void mn_permute_rows(const uint8_t* rows, const int64_t* perm,
+                     size_t n, size_t w, uint8_t* out) {
+    for (size_t i = 0; i < n; i++) {
+        memcpy(out + i * w, rows + (size_t)perm[i] * w, w);
+    }
+}
+
+// out[i] = 1 iff row i differs from row i-1 (out[0] = 1).
+void mn_rows_differ(const uint8_t* rows, size_t n, size_t w, uint8_t* out) {
+    if (n == 0) return;
+    out[0] = 1;
+    for (size_t i = 1; i < n; i++) {
+        out[i] = memcmp(rows + i * w, rows + (i - 1) * w, w) != 0;
+    }
 }
 
 }  // extern "C"
