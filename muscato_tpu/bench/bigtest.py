@@ -60,6 +60,16 @@ def main(argv=None) -> int:
         f"{nlines} result rows",
         flush=True,
     )
+    # Per-stage breakdown (host prep/report vs device match) from the
+    # run's log files.
+    logroot = cfg.LogDir  # driver rewrote it to LogDir/<uuid>
+    for name in ("muscato_prep.log", "muscato_index.log",
+                 "muscato_screen.log", "muscato_report.log"):
+        path = os.path.join(logroot, name)
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    print("  " + line.rstrip(), flush=True)
     return 0
 
 

@@ -22,6 +22,25 @@ from ..io import sz
 _BASES = np.frombuffer(b"ATGC", dtype=np.uint8)
 
 
+def _name_blob(prefix: bytes, n: int):
+    """(blob, starts, lens) for prefix+decimal names 0..n-1 (vectorized)."""
+    from ..io.blob import ranged_copy
+
+    digits = np.arange(n).astype("S20")
+    dl = np.char.str_len(digits).astype(np.int64)
+    lens = dl + len(prefix)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    blob = np.zeros(int(ends[-1]) if n else 0, np.uint8)
+    pre = np.frombuffer(prefix, np.uint8)
+    for k, ch in enumerate(pre):
+        blob[starts + k] = ch
+    dbuf = np.frombuffer(digits.tobytes(), np.uint8)
+    ranged_copy(blob, starts + len(prefix), dbuf,
+                np.arange(n, dtype=np.int64) * 20, dl)
+    return blob, starts, lens
+
+
 def generate(
     num_read: int,
     read_len: int,
@@ -30,28 +49,57 @@ def generate(
     out_dir: str = ".",
     seed: int = 0,
 ) -> tuple[str, str]:
+    from ..io.blob import ranged_copy
+
     if num_read < 10:
         raise ValueError("num_read must be at least 10")
     rng = np.random.default_rng(seed)
 
     read_mat = _BASES[rng.integers(0, 4, size=(num_read, read_len))]
     reads_path = os.path.join(out_dir, "reads.fastq")
-    qual = b"!" * read_len
+    # record = name \n seq \n + \n qual \n  — assembled as one blob
+    nblob, nstarts, nlens = _name_blob(b"read_", num_read)
+    rec_len = nlens + 1 + read_len + 3 + read_len + 1
+    rec_end = np.cumsum(rec_len)
+    rec_start = rec_end - rec_len
+    blob = np.zeros(int(rec_end[-1]), np.uint8)
+    ranged_copy(blob, rec_start, nblob, nstarts, nlens)
+    at = rec_start + nlens
+    blob[at] = ord("\n")
+    seq_lens = np.full(num_read, read_len, np.int64)
+    ranged_copy(blob, at + 1, read_mat.reshape(-1),
+                np.arange(num_read, dtype=np.int64) * read_len, seq_lens)
+    at = at + 1 + read_len
+    blob[at] = ord("\n")
+    blob[at + 1] = ord("+")
+    blob[at + 2] = ord("\n")
+    from ..io.blob import gather_ranges
+
+    blob[gather_ranges(at + 3, seq_lens)] = ord("!")
+    blob[at + 3 + read_len] = ord("\n")
     with open(reads_path, "wb") as f:
-        for i in range(num_read):
-            f.write(b"read_%d\n%s\n+\n%s\n" % (i, read_mat[i].tobytes(), qual))
+        f.write(blob.tobytes())
 
     genes_path = os.path.join(out_dir, "genes.txt.sz")
-    out = bytearray()
+    genes = _BASES[rng.integers(0, 4, size=(num_gene, gene_len))]
+    half = num_gene // 2
     planted = read_mat[:10]
-    for i in range(num_gene):
-        seq = _BASES[rng.integers(0, 4, size=gene_len)]
-        if i < num_gene // 2:
-            j = i % 10
-            end = min(gene_len, j + read_len)
-            seq[j:end] = planted[j][: end - j]
-        out += b"gene_%d\t" % i + seq.tobytes() + b"\n"
-    sz.write_bytes(genes_path, bytes(out))
+    for i in range(half):
+        j = i % 10
+        end = min(gene_len, j + read_len)
+        genes[i, j:end] = planted[j][: end - j]
+    gblob, gstarts, glens = _name_blob(b"gene_", num_gene)
+    row_len = glens + 1 + gene_len + 1
+    row_end = np.cumsum(row_len)
+    row_start = row_end - row_len
+    out = np.zeros(int(row_end[-1]), np.uint8)
+    ranged_copy(out, row_start, gblob, gstarts, glens)
+    out[row_start + glens] = ord("\t")
+    ranged_copy(out, row_start + glens + 1, genes.reshape(-1),
+                np.arange(num_gene, dtype=np.int64) * gene_len,
+                np.full(num_gene, gene_len, np.int64))
+    out[row_end - 1] = ord("\n")
+    sz.write_bytes(genes_path, out.tobytes())
     return reads_path, genes_path
 
 

@@ -39,10 +39,10 @@ def main():
     print(f"unique reads {rs.num_unique}, gene bases {num_gene*gene_len}", flush=True)
 
     t0 = time.perf_counter()
-    index = build_target_index(ts, cfg.WindowWidth, device_build=True)
+    index = build_target_index(ts, cfg.WindowWidth)
     int(np.asarray(index.skeys[-1]))  # force completion through the relay
     t_build = time.perf_counter() - t0
-    print(f"device index build: {t_build:.2f}s ({index.num_valid} keys)", flush=True)
+    print(f"index build: {t_build:.2f}s ({index.num_valid} keys)", flush=True)
 
     t0 = time.perf_counter()
     aux = index.search_aux()

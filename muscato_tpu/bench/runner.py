@@ -46,20 +46,38 @@ class BenchResult:
     matches: int
 
 
+def _subset(rs, shift: int, n: int):
+    """A shifted n-read window of the pool: each timing repetition sees
+    different data, so a relay-backed device cannot replay a cached
+    dispatch (BENCHMARKS.md measurement rules)."""
+    from ..io.reads import ReadSet
+
+    nu = rs.num_unique
+    lo = min(shift, max(nu - n, 0))
+    return ReadSet(
+        codes=rs.codes[lo : lo + n], lengths=rs.lengths[lo : lo + n],
+        counts=rs.counts[lo : lo + n],
+        name_blob=rs.name_blob, name_off=rs.name_off[lo : lo + n + 1],
+        num_total=n,
+    )
+
+
 def _bench_one(cfg: Config, rs, ts, num_read: int, repeats: int) -> BenchResult:
     t0 = time.perf_counter()
     index = build_target_index(ts, cfg.WindowWidth)
     index.skeys.block_until_ready()
     index_build_s = time.perf_counter() - t0
 
-    # Warmup (compile all shapes).
-    pipeline.run_matching_indexed(cfg, rs, index)
+    n = rs.num_unique
+    # Warmup (compile all shapes) on a subset none of the reps reuse.
+    pipeline.run_matching_indexed(cfg, _subset(rs, repeats, n - repeats), index)
 
     best = float("inf")
     matches = 0
-    for _ in range(repeats):
+    for rep in range(repeats):
+        sub = _subset(rs, rep, n - repeats)
         t0 = time.perf_counter()
-        mr = pipeline.run_matching_indexed(cfg, rs, index)
+        mr = pipeline.run_matching_indexed(cfg, sub, index)
         dt = time.perf_counter() - t0
         best = min(best, dt)
         matches = len(mr.read_row)

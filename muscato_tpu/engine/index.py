@@ -50,10 +50,6 @@ from ..ops import windows as winops
 
 INVALID_KEY = np.uint32(0xFFFFFFFF)
 
-# Above this many bases the index is sorted on device (the host np.lexsort
-# build is single-threaded and becomes the dominant cost).
-DEVICE_BUILD_THRESHOLD = 8_000_000
-
 INDEX_FORMAT_VERSION = 2
 
 
@@ -106,6 +102,10 @@ class TargetIndex:
     width: int
     num_valid: int
     num_bases: int
+    # Host copies of (skeys, skeys2, spos) — populated by the host build
+    # and by load(); save() and search_aux() read these instead of pulling
+    # 12 bytes/window back across the device link.
+    host_arrays: tuple | None = field(default=None, repr=False)
     _aux: SearchAux | None = field(default=None, repr=False)
 
     @property
@@ -115,8 +115,11 @@ class TargetIndex:
     def search_aux(self) -> SearchAux:
         """Build (once) the unique-key + bucket view for the search probe."""
         if self._aux is None:
-            k1 = np.asarray(self.skeys)
-            k2 = np.asarray(self.skeys2)
+            if self.host_arrays is not None:
+                k1, k2, _ = self.host_arrays
+            else:
+                k1 = np.asarray(self.skeys)
+                k2 = np.asarray(self.skeys2)
             new_run = np.concatenate(
                 [[True], (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])]
             )
@@ -131,15 +134,20 @@ class TargetIndex:
 
         tpacked/gene_start are cheap to recompute from the TargetSet and are
         not stored."""
+        if self.host_arrays is not None:
+            k1, k2, sp = self.host_arrays
+        else:
+            k1, k2, sp = (
+                np.asarray(self.skeys), np.asarray(self.skeys2),
+                np.asarray(self.spos),
+            )
         np.savez(
             path,
             version=np.int64(INDEX_FORMAT_VERSION),
             width=np.int64(self.width),
             num_valid=np.int64(self.num_valid),
             num_bases=np.int64(self.num_bases),
-            skeys=np.asarray(self.skeys),
-            skeys2=np.asarray(self.skeys2),
-            spos=np.asarray(self.spos),
+            skeys=k1, skeys2=k2, spos=sp,
         )
 
     @classmethod
@@ -151,15 +159,17 @@ class TargetIndex:
             raise ValueError(
                 f"index file {path} was built for a different width/target set"
             )
+        k1, k2, sp = d["skeys"], d["skeys2"], d["spos"]
         return cls(
             tpacked=pops.pack_stream(np.asarray(ts.tcat)),
             gene_start=jnp.asarray(np.asarray(ts.gene_start, np.int64).astype(np.int32)),
-            skeys=jnp.asarray(d["skeys"]),
-            skeys2=jnp.asarray(d["skeys2"]),
-            spos=jnp.asarray(d["spos"]),
+            skeys=jnp.asarray(k1),
+            skeys2=jnp.asarray(k2),
+            spos=jnp.asarray(sp),
             width=width,
             num_valid=int(d["num_valid"]),
             num_bases=int(d["num_bases"]),
+            host_arrays=(k1, k2, sp),
         )
 
 
@@ -265,45 +275,62 @@ def _index_arrays(tcat, gene_start, nreal, width):
 
 
 def _host_index_arrays(tcat: np.ndarray, gene_start: np.ndarray, width: int):
-    """NumPy twin of _index_arrays — identical results, no XLA compile.
+    """Host twin of _index_arrays — identical results, no XLA compile.
 
-    Kept for small indexes where a device round trip plus compile costs
-    more than the host sort."""
+    The hot parts run in C when the native lib is present (one-pass window
+    keys; LSD radix sort of the valid (k1, k2, pos) rows — ~10x
+    np.lexsort, which made round 1's 100M-base build take 128s); numpy
+    fallbacks cover the rest.  Only valid windows are sorted, so the
+    sorted arrays are exactly the valid set (no invalid tail to trim)."""
+    from ..io import native
+
     s = len(tcat)
     mult = np.uint32(winops.key_multiplier(width))
-    padded = np.concatenate([tcat.astype(np.uint32), np.zeros(width - 1, np.uint32)])
-    with np.errstate(over="ignore"):
-        keys = np.zeros(s, np.uint32)
-        for i in range(width):
-            keys = keys * mult + padded[i : i + s]
-        if winops.uses_second_key(width):
-            keys2 = np.zeros(s, np.uint32)
-            m2 = np.uint32(winops.HASH_MULT2)
+    use_k2 = winops.uses_second_key(width)
+    m2 = np.uint32(winops.HASH_MULT2) if use_k2 else np.uint32(0)
+    keys = np.empty(s, np.uint32)
+    keys2 = np.zeros(s, np.uint32)
+    tcat_c = np.ascontiguousarray(tcat, dtype=np.uint8)
+    if not native.window_keys_native(tcat_c, width, mult, m2, keys, keys2):
+        padded = np.concatenate(
+            [tcat.astype(np.uint32), np.zeros(width - 1, np.uint32)]
+        )
+        with np.errstate(over="ignore"):
+            keys[:] = 0
             for i in range(width):
-                keys2 = keys2 * m2 + padded[i : i + s]
-        else:
-            keys2 = np.zeros(s, np.uint32)
+                keys *= mult
+                keys += padded[i : i + s]
+            if use_k2:
+                keys2[:] = 0
+                for i in range(width):
+                    keys2 *= m2
+                    keys2 += padded[i : i + s]
     pos = np.arange(s, dtype=np.int32)
     cum = _boundary_cumsum_np(gene_start, s)
     endc = np.minimum(pos + width - 1, s)
     crossing = cum[endc] - cum[pos]
     valid = (pos + width - 1 < s) & (crossing == 0)
-    k1 = np.where(valid, keys, INVALID_KEY)
-    k2 = np.where(valid, keys2, INVALID_KEY)
-    rank = (~valid).astype(np.int32)
-    spos = np.where(valid, pos, np.int32(-1))
-    order = np.lexsort((spos, rank, k2, k1))
-    return k1[order], k2[order], spos[order], int(valid.sum())
+    nvalid = int(valid.sum())
+
+    k1 = np.ascontiguousarray(keys[valid])
+    k2 = np.ascontiguousarray(keys2[valid])
+    spos = np.ascontiguousarray(pos[valid])
+    if not native.sort_index_native(k1, k2, spos):
+        order = np.lexsort((spos, k2, k1))
+        k1, k2, spos = k1[order], k2[order], spos[order]
+    return k1, k2, spos, nvalid
 
 
 def build_target_index(
-    ts: TargetSet, width: int, device_build: bool | None = None
+    ts: TargetSet, width: int, device_build: bool = False
 ) -> TargetIndex:
     """Compile a TargetSet into a device-resident TargetIndex.
 
-    device_build=None picks the device sort for large databases (the host
-    np.lexsort is single-threaded; the device radix sort is ~50x faster at
-    100M rows) and the host build for small ones (skips a compile)."""
+    The default host build runs the window keys and the (k1, k2, pos)
+    radix sort in C (native lib) — seconds per 100M bases, no XLA compile
+    — and uploads the sorted arrays once.  device_build=True computes and
+    sorts on the accelerator instead (no index upload; worth it when host
+    cores are scarce and the one-time compile is amortized)."""
     s = int(ts.gene_start[-1])
     gene_start64 = np.asarray(ts.gene_start, dtype=np.int64)
     if s > np.iinfo(np.int32).max:
@@ -312,8 +339,6 @@ def build_target_index(
             "shard by gene range (muscato_tpu.parallel) for larger databases"
         )
     gene_start_np = gene_start64.astype(np.int32)
-    if device_build is None:
-        device_build = s >= DEVICE_BUILD_THRESHOLD
     gene_start = jnp.asarray(gene_start_np)
     if device_build:
         tcat = jnp.asarray(np.asarray(ts.tcat, dtype=np.uint8))
@@ -330,10 +355,14 @@ def build_target_index(
         k1, k2, sp, nvalid = _host_index_arrays(
             np.asarray(ts.tcat), gene_start_np, width
         )
-        nkeep = max(1, nvalid)
-        skeys = jnp.asarray(k1[:nkeep])
-        skeys2 = jnp.asarray(k2[:nkeep])
-        spos = jnp.asarray(sp[:nkeep])
+        if nvalid == 0:
+            k1 = np.array([INVALID_KEY], np.uint32)
+            k2 = np.array([INVALID_KEY], np.uint32)
+            sp = np.array([-1], np.int32)
+        skeys = jnp.asarray(k1)
+        skeys2 = jnp.asarray(k2)
+        spos = jnp.asarray(sp)
+        host_arrays = (k1, k2, sp)
 
     return TargetIndex(
         tpacked=pops.pack_stream(np.asarray(ts.tcat)),
@@ -344,4 +373,5 @@ def build_target_index(
         width=width,
         num_valid=nvalid,
         num_bases=s,
+        host_arrays=None if device_build else host_arrays,
     )

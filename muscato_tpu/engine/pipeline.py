@@ -281,8 +281,10 @@ def _device_read_batch(rs: ReadSet, b0: int, b1: int, l_eff: int, cache_ok: bool
     codes_np[: real.shape[0]] = real
     lengths_np = np.zeros(n, dtype=np.int32)
     lengths_np[: real.shape[0]] = rs.lengths[b0:b1]
-    codes = jnp.asarray(codes_np)
-    rpacked = packed_ops.pack_rows(codes)
+    # Ship nibbles, not bytes: 8x less host->device transfer; the device
+    # unpacks the code matrix (relay/PCIe bandwidth is a per-batch cost).
+    rpacked = jnp.asarray(packed_ops.pack_rows_np(codes_np))
+    codes = packed_ops.unpack_rows(rpacked, l_eff)
     lengths = jnp.asarray(lengths_np)
     if cache_ok:
         if cache is None:

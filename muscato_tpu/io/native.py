@@ -29,7 +29,8 @@ def _try_build() -> None:
         return
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, src],
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+             "-o", _SO, src],
             check=True,
             capture_output=True,
             timeout=120,
@@ -93,6 +94,14 @@ def get_lib():
         ]
         lib.mn_rows_differ.restype = None
         lib.mn_rows_differ.argtypes = [u8p, ctypes.c_size_t, ctypes.c_size_t, u8p]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.mn_window_keys.restype = None
+        lib.mn_window_keys.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_uint32, ctypes.c_uint32, u32p, u32p,
+        ]
+        lib.mn_sort_index.restype = None
+        lib.mn_sort_index.argtypes = [u32p, u32p, i32p, ctypes.c_size_t]
     except AttributeError:
         # older .so without the bulk row transforms; codec entry points
         # still work, numpy fallbacks cover the rest
@@ -171,6 +180,33 @@ def decode_rows_native(dst, dst_starts, rows, stride, row_idx, lens, table) -> b
         _np_u8(dst), _np_p(dst_starts, ct.c_int64), _np_u8(rows), stride,
         _np_p(row_idx, ct.c_int64), _np_p(lens, ct.c_int64), _np_u8(table),
         len(dst_starts),
+    )
+    return True
+
+
+def window_keys_native(tcat, width, m1, m2, k1, k2) -> bool:
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mn_window_keys"):
+        return False
+    import ctypes as ct
+
+    lib.mn_window_keys(
+        _np_u8(tcat), len(tcat), width, int(m1), int(m2),
+        _np_p(k1, ct.c_uint32), _np_p(k2, ct.c_uint32),
+    )
+    return True
+
+
+def sort_index_native(k1, k2, pos) -> bool:
+    """In-place stable sort of (k1, k2) composite keys with pos payload."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mn_sort_index"):
+        return False
+    import ctypes as ct
+
+    lib.mn_sort_index(
+        _np_p(k1, ct.c_uint32), _np_p(k2, ct.c_uint32),
+        _np_p(pos, ct.c_int32), len(k1),
     )
     return True
 

@@ -51,6 +51,27 @@ def pack_rows(codes: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(w << shifts[None, None, :], axis=2, dtype=jnp.uint32)
 
 
+def pack_rows_np(codes: np.ndarray) -> np.ndarray:
+    """NumPy twin of pack_rows — lets the host ship 4-bit nibbles to the
+    device (8x less transfer than the byte codes; the device unpacks)."""
+    nrows, l = codes.shape
+    nw = packed_width(l)
+    pad = nw * BASES_PER_WORD - l
+    if pad:
+        codes = np.pad(codes, ((0, 0), (0, pad)))
+    w = codes.reshape(nrows, nw, BASES_PER_WORD).astype(np.uint32)
+    shifts = (np.arange(BASES_PER_WORD, dtype=np.uint32) * 4).astype(np.uint32)
+    return np.sum(w << shifts[None, None, :], axis=2, dtype=np.uint32)
+
+
+@partial(jax.jit, static_argnames=("l",))
+def unpack_rows(rpacked: jnp.ndarray, l: int) -> jnp.ndarray:
+    """(R, NW) uint32 nibble-packed -> (R, l) uint8 codes."""
+    shifts = jnp.arange(BASES_PER_WORD, dtype=jnp.uint32) * 4
+    nib = (rpacked[:, :, None] >> shifts[None, None, :]) & jnp.uint32(0xF)
+    return nib.reshape(rpacked.shape[0], -1)[:, :l].astype(jnp.uint8)
+
+
 # Tail padding on the packed target stream: enough words that a full
 # max-length read slice starting at the last base stays in bounds
 # (supports MaxReadLength up to 4096).

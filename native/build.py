@@ -16,7 +16,7 @@ OUT = os.path.join(HERE, "libmuscato_native.so")
 
 def build(verbose: bool = True) -> str:
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
         "-o", OUT, SRC,
     ]
     if verbose:

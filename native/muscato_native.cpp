@@ -15,9 +15,14 @@
 // Exposed as a C ABI consumed through ctypes (muscato_tpu/io/native.py).
 // Build: python native/build.py  (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -388,6 +393,138 @@ void mn_rows_differ(const uint8_t* rows, size_t n, size_t w, uint8_t* out) {
     out[0] = 1;
     for (size_t i = 1; i < n; i++) {
         out[i] = memcmp(rows + i * w, rows + (i - 1) * w, w) != 0;
+    }
+}
+
+// ------------------------------------------------- index build kernels
+
+// Window keys at every position of a code stream: Horner folds with
+// multipliers m1 (and m2 when nonzero), one pass.  Positions within
+// width-1 of the end read zero padding (callers mask by validity).
+void mn_window_keys(const uint8_t* tcat, size_t n, size_t width,
+                    uint32_t m1, uint32_t m2, uint32_t* k1, uint32_t* k2) {
+    if (n == 0) return;
+    // rolling evaluation: k(p) = sum tcat[p+i] * m^(width-1-i)
+    // computed directly per position over the (short) width loop —
+    // width <= ~32, and the stream stays in cache line order.
+    std::vector<uint8_t> padded(n + width);
+    memcpy(padded.data(), tcat, n);
+    memset(padded.data() + n, 0, width);
+    for (size_t p = 0; p < n; p++) {
+        uint32_t a = 0, b = 0;
+        const uint8_t* s = padded.data() + p;
+        for (size_t i = 0; i < width; i++) {
+            a = a * m1 + s[i];
+            if (m2) b = b * m2 + s[i];
+        }
+        k1[p] = a;
+        if (m2) k2[p] = b;
+    }
+}
+
+// LSD radix sort of (k1, k2) 64-bit composite keys with an int32 payload,
+// 8 x 8-bit digits.  Parallel per-block histograms + scatter (OpenMP when
+// compiled in); digit passes where every key shares one digit value are
+// skipped (e.g. k2 == 0 for exact-width indexes halves the passes).
+// ~25x np.lexsort at 100M rows.
+void mn_sort_index(uint32_t* k1, uint32_t* k2, int32_t* pos, size_t n) {
+    if (n < 2) return;
+    const int BITS = 8;
+    const size_t RADIX = (size_t)1 << BITS;
+    const int NPASS = 8;
+    int nthreads = 1;
+#ifdef _OPENMP
+    nthreads = omp_get_max_threads();
+    if (nthreads < 1) nthreads = 1;
+#endif
+    std::vector<uint32_t> t1(n), t2(n);
+    std::vector<int32_t> tp(n);
+    uint32_t* a1 = k1; uint32_t* a2 = k2; int32_t* ap = pos;
+    uint32_t* b1 = t1.data(); uint32_t* b2 = t2.data(); int32_t* bp = tp.data();
+
+    // One sweep computes all 8 digit histograms up front; trivial digits
+    // (a single occupied bucket) need no pass.
+    std::vector<size_t> hist(NPASS * RADIX, 0);
+    {
+        std::vector<size_t> local((size_t)nthreads * NPASS * RADIX, 0);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nthreads)
+#endif
+        {
+            int t = 0;
+#ifdef _OPENMP
+            t = omp_get_thread_num();
+#endif
+            size_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+            size_t* h = local.data() + (size_t)t * NPASS * RADIX;
+            for (size_t i = lo; i < hi; i++) {
+                uint64_t key = ((uint64_t)a1[i] << 32) | a2[i];
+                for (int p = 0; p < NPASS; p++)
+                    h[p * RADIX + ((key >> (p * BITS)) & (RADIX - 1))]++;
+            }
+        }
+        for (int t = 0; t < nthreads; t++)
+            for (size_t j = 0; j < (size_t)NPASS * RADIX; j++)
+                hist[j] += local[(size_t)t * NPASS * RADIX + j];
+    }
+
+    int done = 0;  // number of executed (swapping) passes
+    std::vector<size_t> offs((size_t)nthreads * RADIX);
+    for (int pass = 0; pass < NPASS; pass++) {
+        size_t* h = hist.data() + (size_t)pass * RADIX;
+        size_t occupied = 0;
+        for (size_t d = 0; d < RADIX; d++) occupied += (h[d] != 0);
+        if (occupied <= 1) continue;  // all keys share this digit
+        int s = pass * BITS;
+
+        // per-block digit counts -> per-block write offsets
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nthreads)
+#endif
+        {
+            int t = 0;
+#ifdef _OPENMP
+            t = omp_get_thread_num();
+#endif
+            size_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+            size_t* o = offs.data() + (size_t)t * RADIX;
+            memset(o, 0, RADIX * sizeof(size_t));
+            for (size_t i = lo; i < hi; i++) {
+                uint64_t key = ((uint64_t)a1[i] << 32) | a2[i];
+                o[(key >> s) & (RADIX - 1)]++;
+            }
+        }
+        size_t acc = 0;
+        for (size_t d = 0; d < RADIX; d++) {
+            for (int t = 0; t < nthreads; t++) {
+                size_t c = offs[(size_t)t * RADIX + d];
+                offs[(size_t)t * RADIX + d] = acc;
+                acc += c;
+            }
+        }
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nthreads)
+#endif
+        {
+            int t = 0;
+#ifdef _OPENMP
+            t = omp_get_thread_num();
+#endif
+            size_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+            size_t* o = offs.data() + (size_t)t * RADIX;
+            for (size_t i = lo; i < hi; i++) {
+                uint64_t key = ((uint64_t)a1[i] << 32) | a2[i];
+                size_t dst = o[(key >> s) & (RADIX - 1)]++;
+                b1[dst] = a1[i]; b2[dst] = a2[i]; bp[dst] = ap[i];
+            }
+        }
+        std::swap(a1, b1); std::swap(a2, b2); std::swap(ap, bp);
+        done++;
+    }
+    if (done & 1) {  // odd pass count: copy back into the caller's arrays
+        memcpy(b1, a1, n * sizeof(uint32_t));
+        memcpy(b2, a2, n * sizeof(uint32_t));
+        memcpy(bp, ap, n * sizeof(int32_t));
     }
 }
 

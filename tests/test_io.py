@@ -200,3 +200,58 @@ def test_native_codec_cross_validation():
         assert native.frame_decompress(_compress_py(data)) == data
         assert native.frame_decompress(c_nat) == data
     assert native.crc32c(b"123456789") == 0xE3069283
+
+
+def test_blob_primitives_numpy_fallback(monkeypatch):
+    """The numpy fallbacks must match the native implementations."""
+    import numpy as np
+    from muscato_tpu.io import blob, native
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 255, 5000).astype(np.uint8)
+    starts = np.sort(rng.choice(4000, 50, replace=False)).astype(np.int64)
+    lens = rng.integers(0, 20, 50).astype(np.int64)
+    table = rng.integers(0, 255, 256).astype(np.uint8)
+
+    def run_all():
+        out_starts = np.cumsum(lens) - lens
+        dst = np.zeros(int(lens.sum()) + 10, np.uint8)
+        blob.ranged_copy(dst, out_starts, src, starts, lens)
+        enc = np.zeros((50, 24), np.uint8)
+        blob.encode_rows_matrix(src, starts, lens.astype(np.int32), 24, table, 7, enc)
+        dec = np.zeros(int(lens.sum()) + 10, np.uint8)
+        blob.decode_rows_blob(dec, out_starts, src, 1, starts, lens, table)
+        return dst.copy(), enc.copy(), dec.copy()
+
+    native_res = run_all()
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    np_res = run_all()
+    for a, b in zip(native_res, np_res):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_readset_build_numpy_fallback(monkeypatch, tmp_path):
+    """build_readset must give identical results without the native lib."""
+    import numpy as np
+    from muscato_tpu.io import native, reads as rio
+
+    fq = tmp_path / "r.fastq"
+    fq.write_bytes(
+        b"@a\nACGTNN\n+\n!!!!!!\n"
+        b"@b\nACGTNN\n+\n!!!!!!\n"
+        b"@c\nTTT\n+\n!!!\n"
+        b"@d\nACGTACGTACGT\n+\n!!!!!!!!!!!!\n"
+    )
+    rs1 = rio.build_readset(str(fq), 4, 8)
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    rs2 = rio.build_readset(str(fq), 4, 8)
+    np.testing.assert_array_equal(rs1.codes, rs2.codes)
+    np.testing.assert_array_equal(rs1.counts, rs2.counts)
+    assert rs1.names == rs2.names
+    assert rs1.seqs == rs2.seqs
+    assert rs1.num_total == rs2.num_total == 3  # 'c' fails MinReadLength
+    assert rs1.counts.sum() == 3
+    # C-locale order: 'ACGTACGT' (read d, truncated at 8) < 'ACGTXX' (a+b)
+    assert rs1.seqs == [b"ACGTACGT", b"ACGTXX"]
+    assert rs1.names == [b"@d", b"@a;@b"]
+    assert rs1.counts.tolist() == [1, 2]
