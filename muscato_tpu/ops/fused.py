@@ -216,25 +216,43 @@ def _probe_windows_direct_impl(
     )
     validf = vi == 0
 
-    b = ((keyf << jnp.uint32(upshift)) >> jnp.uint32(32 - bucket_bits)).astype(
-        jnp.int32
-    )
-    lo = sbucket[b]
-    nb = sbucket[b + 1] - lo
     w = bucket_width
-    widx = lo[:, None] * 4 + jnp.arange(4 * w, dtype=jnp.int32)[None, :]
-    rec = urec[widx]  # (N, 4w) — one coalesced fetch per query
-    rk1 = rec[:, 0::4]
-    rk2 = rec[:, 1::4]
-    rstart = rec[:, 2::4].astype(jnp.int32)
-    rcount = rec[:, 3::4].astype(jnp.int32)
-    in_bucket = jnp.arange(w, dtype=jnp.int32)[None, :] < nb[:, None]
-    hit_j = in_bucket & (rk1 == keyf[:, None])
-    if use_k2:
-        hit_j = hit_j & (rk2 == key2f[:, None])
-    hit = validf & jnp.any(hit_j, axis=1)
-    counts = jnp.where(hit, jnp.sum(jnp.where(hit_j, rcount, 0), axis=1), 0)
-    loc = jnp.sum(jnp.where(hit_j, rstart, 0), axis=1)
+
+    def _chunk(args):
+        # The (C, 4w) record fetch is the big temp; chunking bounds it so
+        # large batches cannot blow HBM (queries are processed in ~1M-query
+        # slices under lax.map, one compiled body).
+        keyc, key2c, validc = args
+        b = ((keyc << jnp.uint32(upshift)) >> jnp.uint32(32 - bucket_bits)).astype(
+            jnp.int32
+        )
+        lo = sbucket[b]
+        nb = sbucket[b + 1] - lo
+        widx = lo[:, None] * 4 + jnp.arange(4 * w, dtype=jnp.int32)[None, :]
+        rec = urec[widx]  # (C, 4w)
+        rk1 = rec[:, 0::4]
+        rk2 = rec[:, 1::4]
+        rstart = rec[:, 2::4].astype(jnp.int32)
+        rcount = rec[:, 3::4].astype(jnp.int32)
+        in_bucket = jnp.arange(w, dtype=jnp.int32)[None, :] < nb[:, None]
+        hit_j = in_bucket & (rk1 == keyc[:, None])
+        if use_k2:
+            hit_j = hit_j & (rk2 == key2c[:, None])
+        hit = validc & jnp.any(hit_j, axis=1)
+        c = jnp.where(hit, jnp.sum(jnp.where(hit_j, rcount, 0), axis=1), 0)
+        lo_q = jnp.sum(jnp.where(hit_j, rstart, 0), axis=1)
+        return c, lo_q
+
+    chunk = min(nflat, 1 << 20)
+    padq = (-nflat) % chunk
+    def _padded(x, fill):
+        return jnp.concatenate([x, jnp.full(padq, fill, x.dtype)]) if padq else x
+    kq = _padded(keyf, 0).reshape(-1, chunk)
+    k2q = _padded(key2f, 0).reshape(-1, chunk)
+    vq = _padded(validf, False).reshape(-1, chunk)
+    counts, loc = jax.lax.map(_chunk, (kq, k2q, vq))
+    counts = counts.reshape(-1)[:nflat]
+    loc = loc.reshape(-1)[:nflat]
 
     inactive = (counts == 0).astype(jnp.int32)
     _, counts_c, lo_c, qid_c, key_c, key2_c = lax.sort(
@@ -378,14 +396,16 @@ def _expand_verify_impl(
     return buf, nsurv, total, totalf
 
 
-def _rank_survivors_live_impl(buf, live, mm, mmtol, *, match_mode):
+def _rank_survivors_live_impl(buf, live, mm, mmtol, *, match_mode, full_cols=True):
     """Like _rank_survivors_impl but with an explicit live-row mask (the
     mesh path ranks an mp-gathered buffer whose live rows are per-block
     prefixes, not one global prefix)."""
-    return _rank_core(buf, live, mm, mmtol, match_mode=match_mode)
+    return _rank_core(buf, live, mm, mmtol, match_mode=match_mode,
+                      full_cols=full_cols)
 
 
-def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap):
+def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
+                         full_cols=True):
     """Device-side cap + dedup + best+MMTol over one batch's survivors.
 
     Replicates engine.pipeline._apply_max_matches and _dedup_and_rank
@@ -399,10 +419,11 @@ def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap):
     Returns (rows (surv_cap, NCOL) int32 — retained prefix, in canonical
     (read, gene, start) order — and the retained count)."""
     live = jnp.arange(surv_cap, dtype=jnp.int32) < nsurv
-    return _rank_core(buf, live, mm, mmtol, match_mode=match_mode)
+    return _rank_core(buf, live, mm, mmtol, match_mode=match_mode,
+                      full_cols=full_cols)
 
 
-def _rank_core(buf, live, mm, mmtol, *, match_mode):
+def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True):
     n = buf.shape[0]
     r, g, s, nx = buf[:, 0], buf[:, 1], buf[:, 2], buf[:, 3]
     grp, grp2, win = buf[:, 4], buf[:, 5], buf[:, 6]
@@ -457,16 +478,23 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode):
     dead4, r, g, s, nx, grp, grp2, win = lax.sort(
         (dead4, r, g, s, nx, grp, grp2, win), num_keys=4
     )
-    rows = jnp.stack([r, g, s, nx, grp, grp2, win], axis=1)
+    if full_cols:
+        rows = jnp.stack([r, g, s, nx, grp, grp2, win], axis=1)
+    else:
+        # Single-batch callers never re-cap across batches, so the group
+        # columns stay on device (the retained-row fetch is the dominant
+        # per-batch transfer at realistic hit density).
+        rows = jnp.stack([r, g, s, nx], axis=1)
     count = jnp.sum(keep.astype(jnp.int32))
     return rows, count
 
 
-def rank_survivors(buf, nsurv, mm, mmtol, *, match_mode, surv_cap):
-    fn = _tpu_jit(_rank_survivors_impl, ("match_mode", "surv_cap"))
+def rank_survivors(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
+                   full_cols=True):
+    fn = _tpu_jit(_rank_survivors_impl, ("match_mode", "surv_cap", "full_cols"))
     return fn(
         buf, nsurv, jnp.int32(mm), jnp.int32(mmtol),
-        match_mode=match_mode, surv_cap=surv_cap,
+        match_mode=match_mode, surv_cap=surv_cap, full_cols=full_cols,
     )
 
 
