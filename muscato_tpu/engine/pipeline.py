@@ -226,9 +226,10 @@ def run_matching_indexed(
                 full_cols=(_defer_rank or nbatches > 1),
             )
             count = int(count_d)
-            rows = np.array(rows_dev[: _round_up(count, 1024)])[:count]
-            rows[:, 0] += b0  # batch-local read row -> global row
-            surv_rows.append(rows)
+            # Defer the row fetch: the device slice is queued now, the
+            # host copy happens after the loop, overlapping later batches'
+            # device compute (device->host latency is a per-batch cost).
+            surv_rows.append((rows_dev[: _round_up(count, 1024)], count, b0))
         dt = _time.perf_counter() - t_batch
         # Heartbeat per batch (the reference logs every 1e5-1e6 records,
         # cmd/muscato_screen/main.go:167-169, 442-444; a batch is this
@@ -236,9 +237,16 @@ def run_matching_indexed(
         logger.info(
             "batch reads [%d,%d): %d pairs, %d survivors, %d retained, "
             "%.2fs (%.0f reads/s)",
-            b0, b1, int(total), nsurv, len(surv_rows[-1]) if nsurv else 0,
+            b0, b1, int(total), nsurv, surv_rows[-1][1] if nsurv else 0,
             dt, (b1 - b0) / max(dt, 1e-9),
         )
+
+    fetched = []
+    for rows_dev, count, b0 in surv_rows:
+        rows = np.array(rows_dev)[:count]
+        rows[:, 0] += b0  # batch-local read row -> global row
+        fetched.append(rows)
+    surv_rows = fetched
 
     logger.info(
         "windows %s: %d candidate pairs, %d retained",
