@@ -72,6 +72,10 @@ class Config:
     Coordinator: str = ""
     ProcessCount: int = 0
     ProcessIndex: str = ""
+    # Disable the diagonal-dedup verify (A/B hook; results are identical
+    # either way — the dedup path just verifies each (read, diagonal)
+    # once instead of once per window).
+    NoDedup: bool = False
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
@@ -175,6 +179,7 @@ _FLAG_SPECS = [
 _BOOL_FLAGS = [
     ("NoCleanTemp", "Do not delete temporary files from TempDir"),
     ("CPUProfile", "Capture a device profiler trace of the matching stage"),
+    ("NoDedup", "Disable the diagonal-dedup verify (A/B; same results)"),
 ]
 
 

@@ -56,6 +56,13 @@ def _round_up(n: int, to: int) -> int:
 # batches and runs so right-sized executables are reused.
 _CAP_HINT = [1 << 16]
 
+# Pair-buffer capacity hint for the diagonal-dedup expand path, and the
+# ceiling beyond which a batch falls back to the streaming expand+verify
+# (the dedup path materializes every candidate pair; extreme low-entropy
+# batches would blow HBM, the streaming path handles them in O(chunk)).
+_PAIR_HINT = [1 << 20]
+_MAX_PAIR_CAP = 1 << 26
+
 
 def _window_has_reads(rs: ReadSet, q1: int, width: int, min_dinuc: int) -> bool:
     """The reference's per-window abort counts reads passing the *length*
@@ -184,16 +191,34 @@ def run_matching_indexed(
         codes, rpacked, lengths = _device_read_batch(
             rs, b0, b0 + batch, l_eff, cache_ok=(nreads <= batch)
         )
+        # Diagonal-dedup expand path: verify each (read, diagonal) once
+        # across all windows.  Streaming fallback for >31 windows (the
+        # verdict bitmask is an int32) or when a batch's pair count
+        # exceeds the materialization ceiling.
+        use_dedup = len(cfg.Windows) <= 31 and not cfg.NoDedup
+        pair_cap = max(_PAIR_HINT[0], 1 << 18)
         while True:
-            buf, nsurv_d, total, totalf = fused.match_windows(
-                codes, rpacked, lengths, q1s,
-                index.skeys, index.skeys2, index.spos,
-                index.tpacked, index.gene_start, budget,
-                width=width, min_dinuc=cfg.MinDinuc,
-                max_read_length=cfg.MaxReadLength,
-                pair_chunk=pair_chunk, surv_cap=surv_cap,
-                smax=index.num_bases, index_aux=index_aux,
-            )
+            if use_dedup:
+                buf, nsurv_d, total, totalf = fused.match_windows_dedup(
+                    codes, rpacked, lengths, q1s,
+                    index.skeys, index.skeys2, index.spos,
+                    index.tpacked, index.gene_start, budget,
+                    width=width, min_dinuc=cfg.MinDinuc,
+                    max_read_length=cfg.MaxReadLength,
+                    pair_cap=pair_cap, vchunk=pair_chunk,
+                    surv_cap=surv_cap,
+                    smax=index.num_bases, index_aux=index_aux,
+                )
+            else:
+                buf, nsurv_d, total, totalf = fused.match_windows(
+                    codes, rpacked, lengths, q1s,
+                    index.skeys, index.skeys2, index.spos,
+                    index.tpacked, index.gene_start, budget,
+                    width=width, min_dinuc=cfg.MinDinuc,
+                    max_read_length=cfg.MaxReadLength,
+                    pair_chunk=pair_chunk, surv_cap=surv_cap,
+                    smax=index.num_bases, index_aux=index_aux,
+                )
             if float(totalf) > float(2**30):
                 # The expansion offsets are int32 cumsums; beyond ~2**30
                 # candidate pairs per batch they would wrap.  This only
@@ -206,6 +231,15 @@ def run_matching_indexed(
                     "smaller ReadBatch (or raise MinDinuc)"
                 )
             nsurv = int(nsurv_d)
+            if use_dedup and int(total) > pair_cap:
+                # Pair-buffer overflow: regrow (persisting the hint) or,
+                # past the materialization ceiling, stream this batch.
+                while pair_cap < int(total) and pair_cap < _MAX_PAIR_CAP:
+                    pair_cap *= 4
+                _PAIR_HINT[0] = pair_cap
+                if pair_cap < int(total):
+                    use_dedup = False
+                continue
             if nsurv <= surv_cap:
                 break
             # Overflow: grow to the next bucket and re-run this batch.

@@ -396,6 +396,141 @@ def _expand_verify_impl(
     return buf, nsurv, total, totalf
 
 
+def _expand_pairs_impl(
+    counts_m, lo_m, qid_m, key_m, key2_m, q1s, spos, *, nreads, pair_cap
+):
+    """Vectorized pair expansion into a (pair_cap,) column buffer, sorted
+    by (read, diagonal) with run-start bookkeeping for the diagonal-dedup
+    verify.
+
+    Expansion is one scatter + one cummax (no chunk loop): each active
+    slot's id is scattered at its first pair lane and forward-filled, so
+    every pair lane knows its owning query in O(pair_cap) dense work.
+    Pairs are then sorted by (read row, diagonal d = site - q1); several
+    windows of one read landing on the same diagonal become adjacent
+    duplicates, which the verify stage resolves once per unique (r, d).
+
+    Returns (r_s, k_s, grp_s, grp2_s, u_idx, ur, ud, nuniq, total, totalf):
+      r_s      (pair_cap,) read row per pair, (r, d)-sorted; -1 = inactive
+      k_s      window id per pair
+      grp_s/grp2_s  k-mer cap-group key words per pair
+      u_idx    index of the pair's unique (r, d) in (ur, ud)
+      ur/ud    compacted unique read rows / diagonals (prefix of nuniq)
+      total    exact pair count (overflow if > pair_cap — caller regrows)
+    """
+    m = counts_m.shape[0]
+    offsets = jnp.cumsum(counts_m)
+    total = offsets[-1]
+    totalf = jnp.sum(counts_m.astype(jnp.float32))
+    oexcl = offsets - counts_m
+
+    inf = jnp.int32(0x7FFFFFFF)
+    lanes = jnp.full(pair_cap, -1, jnp.int32)
+    tgt = jnp.where(counts_m > 0, oexcl, pair_cap + 1)
+    lanes = lanes.at[tgt].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    owner = jnp.clip(lax.cummax(lanes), 0, m - 1)
+    pid = jnp.arange(pair_cap, dtype=jnp.int32)
+    qid = qid_m[owner]
+    act = (pid < total) & (qid >= 0)
+    k_lane = jnp.maximum(qid, 0) // nreads
+    r_lane = jnp.maximum(qid, 0) - k_lane * nreads
+    within = pid - oexcl[owner]
+    site = spos[jnp.clip(lo_m[owner] + within, 0, spos.shape[0] - 1)]
+    d = site.astype(jnp.int32) - q1s[k_lane]
+    grp = key_m[owner].astype(jnp.int32)
+    grp2 = key2_m[owner].astype(jnp.int32)
+
+    # Sort by (read, diagonal); inactive lanes key to int32-max and sink
+    # to the end (no real read row reaches 2**31-1).
+    rkey = jnp.where(act, r_lane, inf)
+    rkey_s, d_s, k_s, grp_s, grp2_s = lax.sort(
+        (rkey, d, k_lane, grp, grp2), num_keys=2
+    )
+    r_s = jnp.where(rkey_s == inf, -1, rkey_s)
+
+    act_s = rkey_s != inf
+    run_start = (
+        jnp.concatenate(
+            [jnp.ones(1, bool),
+             (rkey_s[1:] != rkey_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        )
+        & act_s
+    )
+    u_idx = jnp.cumsum(run_start.astype(jnp.int32)) - 1
+    nuniq = u_idx[-1] + 1
+    utgt = jnp.where(run_start, u_idx, pair_cap + 1)
+    ur = jnp.full(pair_cap, -1, jnp.int32).at[utgt].set(r_s, mode="drop")
+    ud = jnp.zeros(pair_cap, jnp.int32).at[utgt].set(d_s, mode="drop")
+    return r_s, k_s, grp_s, grp2_s, u_idx, ur, ud, nuniq, total, totalf
+
+
+def _verify_diagonals_impl(
+    r_s, k_s, grp_s, grp2_s, u_idx, ur, ud, nuniq, q1s,
+    rpacked, lengths, tpacked, gene_start, budget,
+    *, width, max_read_length, vchunk, surv_cap, smax,
+):
+    """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
+    to the pair lanes, and survivor compaction.  Work in the gather-heavy
+    verify is proportional to the number of UNIQUE diagonals (dynamic
+    while_loop trip count), not to pair capacity.
+
+    Returns (surv (surv_cap, NCOL) int32, nsurv)."""
+    cap = ur.shape[0]
+    nwin = q1s.shape[0]
+    pad = jnp.zeros(vchunk, jnp.int32)
+    ur_p = jnp.concatenate([ur, jnp.full(vchunk, -1, jnp.int32)])
+    ud_p = jnp.concatenate([ud, pad])
+    nxb = jnp.zeros(cap + vchunk, jnp.int32)
+    gb = jnp.zeros(cap + vchunk, jnp.int32)
+    sb = jnp.zeros(cap + vchunk, jnp.int32)
+    okb = jnp.zeros(cap + vchunk, jnp.int32)
+
+    nchunks = lax.div(nuniq + (vchunk - 1), jnp.int32(vchunk))
+
+    def body(st):
+        ci, nxb, gb, sb, okb = st
+        off = ci * vchunk
+        rch = lax.dynamic_slice(ur_p, (off,), (vchunk,))
+        dch = lax.dynamic_slice(ud_p, (off,), (vchunk,))
+        nx, g, s, ok = pops.verify_diagonals_packed(
+            rch, dch, rpacked, lengths, tpacked, gene_start, budget,
+            q1s, width, max_read_length, smax,
+        )
+        nxb = lax.dynamic_update_slice(nxb, nx, (off,))
+        gb = lax.dynamic_update_slice(gb, g, (off,))
+        sb = lax.dynamic_update_slice(sb, s, (off,))
+        okb = lax.dynamic_update_slice(okb, ok, (off,))
+        return ci + 1, nxb, gb, sb, okb
+
+    _, nxb, gb, sb, okb = lax.while_loop(
+        lambda st: st[0] < nchunks, body, (jnp.int32(0), nxb, gb, sb, okb)
+    )
+
+    # Map verdicts back to pair lanes (u_idx is nondecreasing — these
+    # gathers ride sequential HBM lines).
+    uix = jnp.clip(u_idx, 0, cap - 1)
+    kc = jnp.clip(k_s, 0, nwin - 1)
+    ok = (okb[uix] >> kc) & 1
+    keep = (r_s >= 0) & (ok == 1)
+    nx = nxb[uix]
+    g = gb[uix]
+    s = sb[uix]
+
+    dead = (~keep).astype(jnp.int32)
+    dead, r2, g2, s2, nx2, gr1, gr2, k2 = lax.sort(
+        (dead, r_s, g, s, nx, grp_s, grp2_s, kc), num_keys=1, is_stable=True
+    )
+    take = min(surv_cap, cap)
+    surv = jnp.zeros((surv_cap, NCOL), jnp.int32)
+    rows = jnp.stack(
+        [r2[:take], g2[:take], s2[:take], nx2[:take],
+         gr1[:take], gr2[:take], k2[:take]], axis=1,
+    )
+    surv = lax.dynamic_update_slice(surv, rows, (0, 0))
+    nsurv = jnp.sum(keep.astype(jnp.int32))
+    return surv, nsurv
+
+
 def _rank_survivors_live_impl(buf, live, mm, mmtol, *, match_mode, full_cols=True):
     """Like _rank_survivors_impl but with an explicit live-row mask (the
     mesh path ranks an mp-gathered buffer whose live rows are per-block
@@ -573,3 +708,67 @@ def match_windows(
         pair_chunk=pair_chunk, surv_cap=surv_cap, smax=smax,
     )
     return buf, nsurv, total, totalf
+
+
+def match_windows_dedup(
+    codes, rpacked, lengths, q1s, skeys, skeys2, spos,
+    tpacked, gene_start, budget,
+    *, width, min_dinuc, max_read_length, pair_cap, vchunk, surv_cap, smax,
+    index_aux=None,
+):
+    """Diagonal-dedup variant of match_windows: three async dispatches
+    (probe -> expand/sort -> verify/compact).  Pairs are materialized into
+    a (pair_cap,) buffer and verified once per unique (read, diagonal);
+    the heavy SWAR gathers drop ~K-fold when K windows hit one site, and
+    the (r, d)-sorted order gives the read-row gathers sequential
+    locality.  Returns (surv, nsurv, total, totalf); total > pair_cap
+    signals pair-buffer overflow (caller regrows and re-runs, mirroring
+    the surv_cap protocol)."""
+    if index_aux is not None and index_aux.mode == "direct":
+        from ..engine.index import DIRECT_BUCKET_WIDTH
+
+        probe = _tpu_jit(
+            _probe_windows_direct_impl,
+            ("width", "min_dinuc", "upshift", "bucket_bits", "bucket_width"),
+        )
+        counts_m, lo_m, qid_m, key_m, key2_m = probe(
+            codes, lengths, q1s, index_aux.urec, index_aux.sbucket,
+            width=width, min_dinuc=min_dinuc, upshift=index_aux.upshift,
+            bucket_bits=index_aux.bucket_bits,
+            bucket_width=DIRECT_BUCKET_WIDTH,
+        )
+    elif index_aux is not None:
+        probe = _tpu_jit(
+            _probe_windows_search_impl,
+            ("width", "min_dinuc", "upshift", "probe_steps", "bucket_bits"),
+        )
+        counts_m, lo_m, qid_m, key_m, key2_m = probe(
+            codes, lengths, q1s, index_aux.ukeys, index_aux.ukeys2,
+            index_aux.ukk, index_aux.ustart, index_aux.ucount,
+            index_aux.sbucket,
+            width=width, min_dinuc=min_dinuc, upshift=index_aux.upshift,
+            probe_steps=index_aux.probe_steps,
+            bucket_bits=index_aux.bucket_bits,
+        )
+    else:
+        probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))
+        counts_m, lo_m, qid_m, key_m, key2_m = probe(
+            codes, lengths, q1s, skeys, skeys2, None, None, None,
+            width=width, min_dinuc=min_dinuc,
+        )
+    expand = _tpu_jit(_expand_pairs_impl, ("nreads", "pair_cap"))
+    r_s, k_s, grp_s, grp2_s, u_idx, ur, ud, nuniq, total, totalf = expand(
+        counts_m, lo_m, qid_m, key_m, key2_m, q1s, spos,
+        nreads=codes.shape[0], pair_cap=pair_cap,
+    )
+    verify = _tpu_jit(
+        _verify_diagonals_impl,
+        ("width", "max_read_length", "vchunk", "surv_cap", "smax"),
+    )
+    surv, nsurv = verify(
+        r_s, k_s, grp_s, grp2_s, u_idx, ur, ud, nuniq, q1s,
+        rpacked, lengths, tpacked, gene_start, budget,
+        width=width, max_read_length=max_read_length,
+        vchunk=vchunk, surv_cap=surv_cap, smax=smax,
+    )
+    return surv, nsurv, total, totalf

@@ -116,6 +116,94 @@ def _nibble_mask(k: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(full, jnp.uint32(0xFFFFFFFF), m)
 
 
+def verify_diagonals_packed(
+    r: jnp.ndarray,  # (C,) int32 read rows (-1 = inactive lane)
+    d: jnp.ndarray,  # (C,) int32 global read-start positions (diagonals)
+    rpacked: jnp.ndarray,  # (R, NW) uint32 nibble-packed reads
+    lengths: jnp.ndarray,  # (R,) int32
+    tpacked: jnp.ndarray,  # (SW+pad,) uint32 nibble-packed target stream
+    gene_start: jnp.ndarray,  # (G+1,) int32
+    budget: jnp.ndarray,  # (max_read_length+1,) int32
+    q1s: jnp.ndarray,  # (K,) int32 window offsets (traced)
+    width: int,
+    max_read_length: int,
+    smax: int,
+):
+    """Verify one (read, diagonal) once for ALL windows at once.
+
+    Several windows of a read routinely land on the same diagonal (the
+    planted site), and the expensive part of verification — the packed
+    target gather, the xor, and the full-length mismatch popcount —
+    depends only on (read, diagonal).  The per-window residue is cheap
+    VPU work: the exact-window-region mask, the left/fit checks, and the
+    reference's pos-0 cap quirk (see verify.py for the file:line
+    contract).  Returns (nx, g, s, okbits) where bit k of okbits says
+    "a pair from window k on this diagonal passes verification".
+
+    Equivalences with verify_pairs_packed (fuzz-tested):
+      left_ok   <=> d >= 0 and d + q1_k < gene_end(gene(d))
+      fit_ok    <=> rlen + s <= glen   (the max_read_length arm of the
+                 reference cap is always true since rlen <= MaxReadLength),
+                 except the pos-0 quirk: q1_k == 0 and s == 0 caps at
+                 rlen <= min(glen, 100 - width)
+      win_ok    <=> zero mismatching nibbles under window k's mask
+      budget/nx are diagonal-level by definition.
+    """
+    nwords = rpacked.shape[1]
+    nwin = q1s.shape[0]
+    active = (r >= 0) & (d >= 0)
+    rc = jnp.clip(r, 0, rpacked.shape[0] - 1)
+    dc = jnp.clip(d, 0, smax - 1)
+
+    g = gene_of_pos(gene_start, dc)
+    gstart = gene_start[g]
+    gend = gene_start[g + 1]
+    glen = gend - gstart
+    s_local = dc - gstart
+    rlen = lengths[rc]
+
+    # ---- SWAR mismatch count over the aligned diagonal (once) ----
+    base = dc >> 3
+    rshift = (dc & 7).astype(jnp.uint32) * 4
+    widx = jnp.arange(nwords + 1, dtype=jnp.int32)
+    gidx = jnp.clip(base[:, None] + widx[None, :], 0, tpacked.shape[0] - 1)
+    tw = tpacked[gidx]  # (C, NW+1)
+    lowpart = tw[:, :-1] >> rshift[:, None]
+    hipart = jnp.where(
+        (rshift == 0)[:, None],
+        jnp.uint32(0),
+        tw[:, 1:] << (jnp.uint32(32) - rshift[:, None]),
+    )
+    taligned = lowpart | hipart
+
+    rw = rpacked[rc]
+    x = taligned ^ rw
+    wordbase = jnp.arange(nwords, dtype=jnp.int32) * BASES_PER_WORD
+    mask_len = _nibble_mask(rlen[:, None] - wordbase[None, :])
+    x = x & mask_len
+    nz = (x | (x >> 1) | (x >> 2) | (x >> 3)) & _NIB1
+    nx = jnp.sum(lax.population_count(nz), axis=1).astype(jnp.int32)
+
+    budget_ok = nx <= budget[jnp.clip(rlen, 0, budget.shape[0] - 1)]
+    fit_norm = (rlen + s_local) <= glen
+    fit_pos0 = rlen <= jnp.minimum(glen, jnp.int32(100 - width))
+
+    okbits = jnp.zeros(r.shape, jnp.int32)
+    for k in range(nwin):
+        q1k = q1s[k]
+        q2k = q1k + width
+        left_ok = (dc + q1k) < gend
+        is_pos0 = (q1k == 0) & (s_local == 0)
+        fit_ok = jnp.where(is_pos0, fit_pos0, fit_norm)
+        wmask = _nibble_mask(q2k - wordbase) & ~_nibble_mask(q1k - wordbase)
+        win_mm = jnp.sum(lax.population_count(nz & wmask[None, :] & _NIB1), axis=1)
+        bit = left_ok & fit_ok & (win_mm == 0)
+        okbits = okbits | (bit.astype(jnp.int32) << k)
+
+    okbits = jnp.where(active & budget_ok, okbits, 0)
+    return nx, g.astype(jnp.int32), s_local.astype(jnp.int32), okbits
+
+
 def verify_pairs_packed(
     r: jnp.ndarray,  # (P,) int32 read rows (-1 = inactive lane)
     p: jnp.ndarray,  # (P,) int32 global window positions (-1 = inactive)

@@ -166,6 +166,85 @@ def test_fuzz_engine_matches_oracle(seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_dedup_verify_equals_streaming(seed):
+    """The diagonal-dedup expand path (verify once per (read, diagonal))
+    must emit exactly the streaming path's matches — including when
+    several windows of one read land on the same diagonal (the case the
+    dedup collapses) and when the pos-0 cap quirk binds on one window of
+    a shared diagonal."""
+    rng = random.Random(1000 + seed)
+    width = rng.choice([4, 6, 14])
+    windows = sorted(rng.sample(range(0, 10), rng.randint(2, 4)))
+    max_rl = rng.choice([30, 140])
+    genes = [
+        "".join(rng.choice(ALPHAX) for _ in range(rng.randint(width, 80)))
+        for _ in range(rng.randint(1, 6))
+    ]
+    reads = []
+    for _ in range(rng.randint(2, 10)):
+        if rng.random() < 0.8 and genes:
+            g = rng.choice(genes)
+            if len(g) >= width + max(windows) + 1:
+                a = rng.randrange(0, len(g) - width - max(windows))
+                b = rng.randrange(a + width, min(len(g), a + max_rl) + 1)
+                reads.append(g[a:b])
+                continue
+        reads.append(
+            "".join(rng.choice(ALPHAX) for _ in range(rng.randint(width, 25)))
+        )
+    reads = [r[:max_rl] for r in reads]
+
+    def _run(no_dedup):
+        rs, lmax = _mk_readset(reads)
+        codes = np.zeros((len(reads), max_rl), dtype=np.uint8)
+        codes[:, :lmax] = rs.codes[:, :lmax]
+        rs.codes = codes
+        ts = _mk_targetset(genes)
+        cfg = Config(
+            Windows=list(windows), WindowWidth=width, PMatch=0.9,
+            MinDinuc=0, MaxReadLength=max_rl, MMTol=2,
+            MaxMatches=10**6, MatchMode="best", NoDedup=no_dedup,
+        )
+        try:
+            mr = pipeline.run_matching(cfg, rs, ts)
+        except SystemExit:
+            return None  # a window seeded no reads; both paths abort alike
+        return {
+            (int(r), int(g), int(s), int(nx))
+            for r, g, s, nx in zip(mr.read_row, mr.gene, mr.start, mr.nmiss)
+        }
+
+    assert _run(False) == _run(True)
+
+
+def test_dedup_verify_pos0_shared_diagonal():
+    """Windows 0 and 4 both hit diagonal 0 of a long read at gene start:
+    the pos-0 cap must suppress only window 0's pair, and the dedup path
+    must still emit the window-4 match for the same (read, diagonal)."""
+    width = 8
+    read = "".join("ACGT"[(i * 7 + 3) % 4] for i in range(120))
+    gene = read + "ACGTACGT" * 5
+    for no_dedup in (False, True):
+        rs, lmax = _mk_readset([read])
+        codes = np.zeros((1, 200), dtype=np.uint8)
+        codes[:, :lmax] = rs.codes[:, :lmax]
+        rs.codes = codes
+        ts = _mk_targetset([gene])
+        cfg = Config(
+            Windows=[0, 4], WindowWidth=width, PMatch=1.0, MinDinuc=0,
+            MaxReadLength=200, MMTol=0, MaxMatches=10**6,
+            MatchMode="best", NoDedup=no_dedup,
+        )
+        mr = pipeline.run_matching(cfg, rs, ts)
+        got = {
+            (int(r), int(g), int(s), int(nx))
+            for r, g, s, nx in zip(mr.read_row, mr.gene, mr.start, mr.nmiss)
+        }
+        # Window 4 rescues the diagonal the pos-0 cap kills for window 0.
+        assert got == {(0, 0, 0, 0)}, (no_dedup, got)
+
+
 def test_pos0_quirk_long_read():
     """A read longer than 100 matching at target position 0 via window
     offset 0 is dropped (the reference's hard-coded jz=100-q2 right-tail
