@@ -70,17 +70,27 @@ def _report(trace_dir):
     with gzip.open(sorted(paths)[-1], "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    # device pid: the one whose events carry XLA op names
+    # device pid: the one whose events carry XLA op names (fusion.12,
+    # sort.3, dynamic-update-slice.7, ...) — NOT the host python thread,
+    # which can have a larger duration total (blocking np.asarray waits).
+    import re
+
+    xla_name = re.compile(r"^[a-z][a-z0-9_-]*(\.[0-9]+)?$")
     by_name = defaultdict(float)
     pid_time = defaultdict(float)
+    pid_xla = defaultdict(float)
     for e in events:
         if e.get("ph") != "X":
             continue
         pid_time[e.get("pid")] += e.get("dur", 0)
+        if xla_name.match(e.get("name", "")):
+            pid_xla[e.get("pid")] += e.get("dur", 0)
     if not pid_time:
         print("no duration events", flush=True)
         return
-    dev_pid = max(pid_time, key=pid_time.get)
+    dev_pid = max(pid_xla, key=pid_xla.get) if pid_xla else max(
+        pid_time, key=pid_time.get
+    )
     for e in events:
         if e.get("ph") != "X" or e.get("pid") != dev_pid:
             continue

@@ -16,7 +16,11 @@ array here is one the HBM budget pays for:
   gene_start (G+1,) int32  gene offsets into the stream
   skeys      (V,)  uint32  window key of every *valid* window position,
                            sorted ascending (ties by position)
-  skeys2     (V,)  uint32  second hash word (zeros for width <= 13)
+  skeys2     second hash word (zeros for width <= 13).  Host-side only on
+             the default build: the sort-merge probe joins on key1 alone
+             (collisions die in the byte-true verify), so the device
+             carries a 1-element placeholder; the host copy feeds the
+             search-probe aux and save().
   spos       (V,)  int32   the window positions, aligned with skeys
 
 There is deliberately no per-base gene id array (4 bytes/base of HBM) —
@@ -164,7 +168,7 @@ class TargetIndex:
             tpacked=pops.pack_stream(np.asarray(ts.tcat)),
             gene_start=jnp.asarray(np.asarray(ts.gene_start, np.int64).astype(np.int32)),
             skeys=jnp.asarray(k1),
-            skeys2=jnp.asarray(k2),
+            skeys2=_skeys2_placeholder(),
             spos=jnp.asarray(sp),
             width=width,
             num_valid=int(d["num_valid"]),
@@ -232,6 +236,13 @@ def _boundary_cumsum_np(gene_start: np.ndarray, s: int) -> np.ndarray:
     interior = gene_start[1:-1]
     np.add.at(b, interior, 1)
     return np.cumsum(b, dtype=np.int32)
+
+
+def _skeys2_placeholder() -> jnp.ndarray:
+    """1-element stand-in for the device skeys2 array: the sort-merge
+    probe traces but never uses it (key1-only join), and the search-probe
+    aux is built from the host copies."""
+    return jnp.zeros(1, dtype=jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("width",))
@@ -360,7 +371,12 @@ def build_target_index(
             k2 = np.array([INVALID_KEY], np.uint32)
             sp = np.array([-1], np.int32)
         skeys = jnp.asarray(k1)
-        skeys2 = jnp.asarray(k2)
+        # The sort-merge probe joins on key1 alone (ops/fused.py — key2
+        # collisions are resolved by the byte-true verify), so the second
+        # key word never goes to the device: the host copy serves the
+        # search-probe aux build and save(); the device placeholder saves
+        # 4 bytes/window of HBM and upload.
+        skeys2 = _skeys2_placeholder()
         spos = jnp.asarray(sp)
         host_arrays = (k1, k2, sp)
 

@@ -61,6 +61,7 @@ _CAP_HINT = [1 << 16]
 # (the dedup path materializes every candidate pair; extreme low-entropy
 # batches would blow HBM, the streaming path handles them in O(chunk)).
 _PAIR_HINT = [1 << 20]
+_PAIR_FLOOR = 1 << 18
 _MAX_PAIR_CAP = 1 << 26
 
 
@@ -185,6 +186,16 @@ def run_matching_indexed(
     total_pairs = 0
     nbatches = -(-nreads // batch)
     surv_cap = max(_CAP_HINT[0], 1 << 16)
+    # Single-batch retained rows are fetched 64-bit-packed (8 bytes/match
+    # instead of 16) when (read, gene, start, nmiss) fit: field widths are
+    # derived from the batch size, gene count, longest gene, and the
+    # mismatch-budget maximum.  The multi-batch path re-caps across
+    # batches and needs the group columns, so it stays unpacked.
+    pack_bits = None
+    if not (_defer_rank or nbatches > 1):
+        pack_bits = _fetch_pack_bits(index, batch, cfg)
+        if pack_bits is not None and sum(pack_bits) > 64:
+            pack_bits = None
     for b0 in range(0, nreads, batch):
         t_batch = _time.perf_counter()
         b1 = min(b0 + batch, nreads)
@@ -196,7 +207,7 @@ def run_matching_indexed(
         # verdict bitmask is an int32) or when a batch's pair count
         # exceeds the materialization ceiling.
         use_dedup = len(cfg.Windows) <= 31 and not cfg.NoDedup
-        pair_cap = max(_PAIR_HINT[0], 1 << 18)
+        pair_cap = max(_PAIR_HINT[0], _PAIR_FLOOR)
         while True:
             if use_dedup:
                 buf, nsurv_d, total, totalf = fused.match_windows_dedup(
@@ -235,7 +246,7 @@ def run_matching_indexed(
                 # Pair-buffer overflow: regrow (persisting the hint) or,
                 # past the materialization ceiling, stream this batch.
                 while pair_cap < int(total) and pair_cap < _MAX_PAIR_CAP:
-                    pair_cap *= 4
+                    pair_cap *= 2
                 _PAIR_HINT[0] = pair_cap
                 if pair_cap < int(total):
                     use_dedup = False
@@ -258,6 +269,7 @@ def run_matching_indexed(
                 buf, nsurv_d, cfg.MaxMatches, cfg.MMTol,
                 match_mode=cfg.MatchMode, surv_cap=surv_cap,
                 full_cols=(_defer_rank or nbatches > 1),
+                pack_bits=pack_bits,
             )
             count = int(count_d)
             # Defer the row fetch: the device slice is queued now, the
@@ -278,6 +290,8 @@ def run_matching_indexed(
     fetched = []
     for rows_dev, count, b0 in surv_rows:
         rows = np.array(rows_dev)[:count]
+        if pack_bits is not None:
+            rows = _unpack_rows64(rows, pack_bits)
         rows[:, 0] += b0  # batch-local read row -> global row
         fetched.append(rows)
     surv_rows = fetched
@@ -311,6 +325,43 @@ def run_matching_indexed(
     r, g, s, nx, grp, grp2, win = (rows[:, i] for i in range(fused.NCOL))
     r, g, s, nx = _apply_max_matches(cfg, r, g, s, nx, grp, grp2, win)
     return _dedup_and_rank(cfg, r, g, s, nx)
+
+
+def _fetch_pack_bits(index: TargetIndex, batch: int, cfg: Config):
+    """Static bit widths (rbits, gbits, sbits, xbits) for the 64-bit packed
+    retained-row fetch, or None when the fields cannot fit.  All bounds are
+    known before dispatch: read rows are batch-local, gene ids index the
+    TargetSet, start offsets are bounded by the longest gene, and nmiss is
+    bounded by the mismatch-budget maximum."""
+    maxg = getattr(index, "_max_gene_len", None)
+    if maxg is None:
+        gs = np.asarray(index.gene_start)
+        maxg = int(np.max(np.diff(gs))) if len(gs) > 1 else 1
+        index._max_gene_len = maxg
+    ngenes = int(index.gene_start.shape[0]) - 1
+    bmax = int(
+        vops.mismatch_budget_table(cfg.PMatch, cfg.MaxReadLength).max()
+    )
+    rb = max(1, (batch - 1).bit_length())
+    gb = max(1, (max(ngenes, 1) - 1).bit_length() or 1)
+    sb = max(1, maxg.bit_length())
+    xb = max(1, bmax.bit_length())
+    bits = (rb, gb, sb, xb)
+    return bits if sum(bits) <= 64 else None
+
+
+def _unpack_rows64(rows: np.ndarray, pack_bits) -> np.ndarray:
+    """Host-side inverse of ops.fused._pack_rows64: (n, 2) int32 lo/hi
+    words -> (n, 4) int32 (read, gene, start, nmiss) rows."""
+    rb, gb, sb, xb = pack_bits
+    u = rows[:, 0].astype(np.uint32).astype(np.uint64) | (
+        rows[:, 1].astype(np.uint32).astype(np.uint64) << np.uint64(32)
+    )
+    out = np.empty((len(rows), 4), dtype=np.int32)
+    for col, b in ((3, xb), (2, sb), (1, gb), (0, rb)):
+        out[:, col] = (u & np.uint64((1 << b) - 1)).astype(np.int32)
+        u >>= np.uint64(b)
+    return out
 
 
 def preload_device_batch(cfg: Config, rs: ReadSet) -> None:

@@ -13,9 +13,11 @@ class, XLA sorts run near memory bandwidth (radix) while dynamic gathers
 run at well under 1 GB/s, so a probe built from log2(V) dependent gathers
 per query loses badly to one sort.  The join is:
 
-  1. concatenate (index keys, tag=0) with (query keys, tag=1 valid /
-     tag=2 length-or-entropy-rejected) and sort by (key1, key2, tag) —
-     index entries precede the queries that equal them;
+  1. concatenate index key1s with query key1s (payload encodes row class)
+     and stable-sort by key1 alone — index entries precede the queries
+     that equal them; key2 never rides the sort (hash collisions between
+     distinct wide k-mers only add candidates the byte-true verify
+     rejects);
   2. ie[j] = number of index entries before merged position j (a cumsum),
      L[j] = ie at the start of j's equal-key segment (a cummax over
      segment starts — valid because ie is nondecreasing);
@@ -142,10 +144,16 @@ def _probe_windows_impl(
 
     nidx = skeys.shape[0]
     m1 = jnp.concatenate([skeys, keyf])
-    m2 = jnp.concatenate([skeys2, key2f])
-    # One payload word encodes row class (the round-1 version carried a
-    # separate tag operand; a 3-operand stable sort is ~25% cheaper than
-    # the 4-operand tagged sort at 100M+ rows):
+    # The merge joins on key1 ALONE (key2 never rides the sort): for
+    # width <= 13 key1 is exact, and for hashed widths a key1 collision
+    # between distinct k-mers only adds candidate pairs that the byte-true
+    # verify rejects (expected extras ~ Q*V/2**32 — a fraction of a
+    # percent).  A 2-operand 1-key stable sort runs ~30% faster than the
+    # 3-operand 2-key sort at 100M+ rows, drops a third of the sort
+    # traffic, and lets the index skip uploading skeys2 entirely
+    # (engine.index keeps a host-side placeholder).
+    #
+    # The payload word encodes row class:
     #   -1        index entry (stability keeps it before equal-key queries,
     #             because index rows precede queries in the concatenation)
     #   >= 0      valid query, value = flat query id
@@ -156,13 +164,10 @@ def _probe_windows_impl(
             jnp.where(validf, jnp.arange(nflat, dtype=jnp.int32), jnp.int32(-2)),
         ]
     )
-    m1s, m2s, pay_s = lax.sort((m1, m2, pay), num_keys=2, is_stable=True)
+    m1s, pay_s = lax.sort((m1, pay), num_keys=1, is_stable=True)
 
     seg = jnp.concatenate(
-        [
-            jnp.ones(1, bool),
-            (m1s[1:] != m1s[:-1]) | (m2s[1:] != m2s[:-1]),
-        ]
+        [jnp.ones(1, bool), m1s[1:] != m1s[:-1]]
     )
     is_idx = (pay_s == -1).astype(jnp.int32)
     ie = jnp.cumsum(is_idx) - is_idx  # index entries strictly before j
@@ -531,6 +536,36 @@ def _verify_diagonals_impl(
     return surv, nsurv
 
 
+def _pack_rows64(r, g, s, nx, pack_bits):
+    """Pack (r, g, s, nx) into two int32 words (a 64-bit value split
+    lo/hi), LSB-first field order (nx, s, g, r).  pack_bits is the static
+    (rbits, gbits, sbits, xbits) tuple; the caller guarantees the fields
+    fit (engine.pipeline derives the widths from the batch size, gene
+    count, longest gene, and the mismatch-budget maximum).  Halves the
+    retained-row fetch (8 bytes/match vs 16) — the dominant per-batch
+    device->host transfer at realistic hit density."""
+    rb, gb, sb, xb = pack_bits
+    lo = jnp.zeros_like(r, dtype=jnp.uint32)
+    hi = jnp.zeros_like(r, dtype=jnp.uint32)
+    pos = 0
+    for v, b in ((nx, xb), (s, sb), (g, gb), (r, rb)):
+        vu = v.astype(jnp.uint32)
+        if b < 32:
+            vu = vu & jnp.uint32((1 << b) - 1)
+        if pos < 32:
+            lo = lo | (vu << jnp.uint32(pos))
+            if pos + b > 32:
+                hi = hi | (vu >> jnp.uint32(32 - pos))
+        else:
+            hi = hi | (vu << jnp.uint32(pos - 32))
+        pos += b
+    return jnp.stack(
+        [lax.bitcast_convert_type(lo, jnp.int32),
+         lax.bitcast_convert_type(hi, jnp.int32)],
+        axis=1,
+    )
+
+
 def _rank_survivors_live_impl(buf, live, mm, mmtol, *, match_mode, full_cols=True):
     """Like _rank_survivors_impl but with an explicit live-row mask (the
     mesh path ranks an mp-gathered buffer whose live rows are per-block
@@ -540,7 +575,7 @@ def _rank_survivors_live_impl(buf, live, mm, mmtol, *, match_mode, full_cols=Tru
 
 
 def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
-                         full_cols=True):
+                         full_cols=True, pack_bits=None):
     """Device-side cap + dedup + best+MMTol over one batch's survivors.
 
     Replicates engine.pipeline._apply_max_matches and _dedup_and_rank
@@ -555,10 +590,11 @@ def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
     (read, gene, start) order — and the retained count)."""
     live = jnp.arange(surv_cap, dtype=jnp.int32) < nsurv
     return _rank_core(buf, live, mm, mmtol, match_mode=match_mode,
-                      full_cols=full_cols)
+                      full_cols=full_cols, pack_bits=pack_bits)
 
 
-def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True):
+def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
+               pack_bits=None):
     n = buf.shape[0]
     r, g, s, nx = buf[:, 0], buf[:, 1], buf[:, 2], buf[:, 3]
     grp, grp2, win = buf[:, 4], buf[:, 5], buf[:, 6]
@@ -615,6 +651,8 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True):
     )
     if full_cols:
         rows = jnp.stack([r, g, s, nx, grp, grp2, win], axis=1)
+    elif pack_bits is not None:
+        rows = _pack_rows64(r, g, s, nx, pack_bits)
     else:
         # Single-batch callers never re-cap across batches, so the group
         # columns stay on device (the retained-row fetch is the dominant
@@ -625,11 +663,15 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True):
 
 
 def rank_survivors(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
-                   full_cols=True):
-    fn = _tpu_jit(_rank_survivors_impl, ("match_mode", "surv_cap", "full_cols"))
+                   full_cols=True, pack_bits=None):
+    fn = _tpu_jit(
+        _rank_survivors_impl,
+        ("match_mode", "surv_cap", "full_cols", "pack_bits"),
+    )
     return fn(
         buf, nsurv, jnp.int32(mm), jnp.int32(mmtol),
         match_mode=match_mode, surv_cap=surv_cap, full_cols=full_cols,
+        pack_bits=pack_bits,
     )
 
 

@@ -507,3 +507,71 @@ def test_gene_sharded_single_device_equals_whole():
     got = set(zip(sharded.read_row.tolist(), sharded.gene.tolist(),
                   sharded.start.tolist(), sharded.nmiss.tolist()))
     assert got == exp and len(got) > 0
+
+
+def test_packed_fetch_roundtrip():
+    """_pack_rows64 (device) and _unpack_rows64 (host) are inverses,
+    including fields straddling the 32-bit word seam."""
+    from muscato_tpu.ops import fused
+
+    rng = np.random.default_rng(23)
+    for bits in [(22, 17, 10, 4), (20, 20, 20, 4), (31, 11, 11, 11), (1, 1, 1, 1)]:
+        rb, gb, sb, xb = bits
+        n = 257
+        r = rng.integers(0, 1 << rb, n).astype(np.int32)
+        g = rng.integers(0, 1 << gb, n).astype(np.int32)
+        s = rng.integers(0, 1 << sb, n).astype(np.int32)
+        nx = rng.integers(0, 1 << xb, n).astype(np.int32)
+        packed = np.asarray(
+            fused._pack_rows64(
+                jnp.asarray(r), jnp.asarray(g), jnp.asarray(s),
+                jnp.asarray(nx), bits,
+            )
+        )
+        out = pipeline._unpack_rows64(packed, bits)
+        assert np.array_equal(out[:, 0], r)
+        assert np.array_equal(out[:, 1], g)
+        assert np.array_equal(out[:, 2], s)
+        assert np.array_equal(out[:, 3], nx)
+
+
+def test_dedup_pair_cap_regrow_and_fallback(monkeypatch):
+    """A batch whose pair count overflows the dedup pair buffer must
+    (a) regrow the buffer and still produce exact results, and (b) fall
+    back to the streaming expand+verify past the materialization ceiling
+    — again with exact results."""
+    # One 6-mer repeated across every gene and read: pairs = queries x
+    # positions, far beyond a 1<<10 starting cap.
+    unit = "ACGTCA"
+    genes = [unit * 30 for _ in range(8)]  # 8 genes x 175 valid positions
+    reads = [unit * 3 for _ in range(40)]
+    rs, lmax = _mk_readset(reads)
+    ts = _mk_targetset(genes)
+    cfg = Config(
+        Windows=[0, 6], WindowWidth=6, PMatch=0.9, MinDinuc=0,
+        MaxReadLength=30, MMTol=2, MaxMatches=10**6, MatchMode="best",
+    )
+    expected = pipeline.run_matching(cfg, rs, ts)
+    exp = set(zip(expected.read_row.tolist(), expected.gene.tolist(),
+                  expected.start.tolist(), expected.nmiss.tolist()))
+    assert len(exp) > 0
+
+    # (a) tiny starting hint: the engine must regrow until the ~56k pairs
+    # fit, persisting the grown hint.
+    monkeypatch.setattr(pipeline, "_PAIR_HINT", [1])
+    monkeypatch.setattr(pipeline, "_PAIR_FLOOR", 1 << 10)
+    monkeypatch.setattr(pipeline, "_MAX_PAIR_CAP", 1 << 26)
+    mr = pipeline.run_matching(cfg, rs, ts)
+    got = set(zip(mr.read_row.tolist(), mr.gene.tolist(),
+                  mr.start.tolist(), mr.nmiss.tolist()))
+    assert got == exp
+    assert pipeline._PAIR_HINT[0] > 1  # the regrown hint persisted
+
+    # (b) ceiling below the pair count: the batch must stream instead.
+    monkeypatch.setattr(pipeline, "_PAIR_HINT", [1])
+    monkeypatch.setattr(pipeline, "_PAIR_FLOOR", 1 << 10)
+    monkeypatch.setattr(pipeline, "_MAX_PAIR_CAP", 1 << 12)
+    mr = pipeline.run_matching(cfg, rs, ts)
+    got = set(zip(mr.read_row.tolist(), mr.gene.tolist(),
+                  mr.start.tolist(), mr.nmiss.tolist()))
+    assert got == exp
