@@ -56,13 +56,18 @@ def _round_up(n: int, to: int) -> int:
 # batches and runs so right-sized executables are reused.
 _CAP_HINT = [1 << 16]
 
-# Pair-buffer capacity hint for the diagonal-dedup expand path, and the
-# ceiling beyond which a batch falls back to the streaming expand+verify
-# (the dedup path materializes every candidate pair; extreme low-entropy
-# batches would blow HBM, the streaming path handles them in O(chunk)).
-_PAIR_HINT = [1 << 20]
+# Pair-buffer floor for the diagonal-dedup expand path (capacity is sized
+# exactly per batch from the probe's pair total, bucketed to powers of two
+# to bound executable counts), and the ceiling beyond which a batch falls
+# back to the streaming expand+verify (the dedup path materializes every
+# candidate pair; extreme low-entropy batches would blow HBM, the
+# streaming path handles them in O(chunk)).
 _PAIR_FLOOR = 1 << 18
 _MAX_PAIR_CAP = 1 << 26
+
+
+def _pow2ceil(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
 
 
 def _window_has_reads(rs: ReadSet, q1: int, width: int, min_dinuc: int) -> bool:
@@ -142,10 +147,10 @@ def run_matching_indexed(
     _defer_rank returns the raw (N, NCOL) survivor rows instead of the
     ranked MatchResult (gene-range sharding unions shards first)."""
     width = cfg.WindowWidth
-    # Trim the read matrix to the longest actual read (padded to the lane
-    # width) — verify cost is linear in the column count.
+    # Trim the packed read matrix to the longest actual read — verify
+    # gather cost is linear in the packed word count.
     l_eff = int(max(int(rs.lengths.max(initial=0)), width))
-    l_eff = min(_round_up(l_eff, 128), rs.codes.shape[1]) or rs.codes.shape[1]
+    l_eff = min(l_eff, rs.codes.shape[1]) or rs.codes.shape[1]
     budget = jnp.asarray(vops.mismatch_budget_table(cfg.PMatch, cfg.MaxReadLength))
 
     pair_chunk = cfg.MaxPairChunk or (1 << 17)
@@ -199,68 +204,66 @@ def run_matching_indexed(
     for b0 in range(0, nreads, batch):
         t_batch = _time.perf_counter()
         b1 = min(b0 + batch, nreads)
-        codes, rpacked, lengths = _device_read_batch(
+        rpacked, lengths = _device_read_batch(
             rs, b0, b0 + batch, l_eff, cache_ok=(nreads <= batch)
         )
+        # Probe first; its exact pair total (one scalar fetch that
+        # overlaps nothing the host needs sooner) sizes the dedup pair
+        # buffer exactly — no overflow/regrow re-dispatches.
+        pr = fused.probe_windows(
+            rpacked, lengths, q1s, index.skeys,
+            width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
+        )
+        total = int(pr[5])
+        if float(pr[6]) > float(2**30):
+            # The expansion offsets are int32 cumsums; beyond ~2**30
+            # candidate pairs per batch they would wrap.  This only
+            # happens with extremely repetitive/low-entropy batches —
+            # re-run with a smaller ReadBatch (the error is loud, never
+            # a silent wrap).
+            raise ValueError(
+                f"candidate pair count {float(pr[6]):.3g} in one read "
+                "batch exceeds the 2**30 expansion limit; re-run with a "
+                "smaller ReadBatch (or raise MinDinuc)"
+            )
         # Diagonal-dedup expand path: verify each (read, diagonal) once
         # across all windows.  Streaming fallback for >31 windows (the
-        # verdict bitmask is an int32) or when a batch's pair count
+        # verdict bitmask is an int32) or when the batch's pair count
         # exceeds the materialization ceiling.
-        use_dedup = len(cfg.Windows) <= 31 and not cfg.NoDedup
-        pair_cap = max(_PAIR_HINT[0], _PAIR_FLOOR)
+        use_dedup = (
+            len(cfg.Windows) <= 31 and not cfg.NoDedup
+            and total <= _MAX_PAIR_CAP
+        )
         while True:
             if use_dedup:
-                buf, nsurv_d, total, totalf = fused.match_windows_dedup(
-                    codes, rpacked, lengths, q1s,
-                    index.skeys, index.skeys2, index.spos,
+                pair_cap = max(_PAIR_FLOOR, _pow2ceil(total))
+                buf, nsurv_d, _t, _tf = fused.expand_verify_dedup(
+                    pr, q1s, rpacked, lengths, index.spos,
                     index.tpacked, index.gene_start, budget,
-                    width=width, min_dinuc=cfg.MinDinuc,
-                    max_read_length=cfg.MaxReadLength,
+                    width=width, max_read_length=cfg.MaxReadLength,
                     pair_cap=pair_cap, vchunk=pair_chunk,
-                    surv_cap=surv_cap,
-                    smax=index.num_bases, index_aux=index_aux,
+                    surv_cap=surv_cap, smax=index.num_bases,
                 )
             else:
-                buf, nsurv_d, total, totalf = fused.match_windows(
-                    codes, rpacked, lengths, q1s,
-                    index.skeys, index.skeys2, index.spos,
+                buf, nsurv_d, _t, _tf = fused.expand_verify_streamed(
+                    pr, q1s, rpacked, lengths, index.spos,
                     index.tpacked, index.gene_start, budget,
-                    width=width, min_dinuc=cfg.MinDinuc,
-                    max_read_length=cfg.MaxReadLength,
+                    width=width, max_read_length=cfg.MaxReadLength,
                     pair_chunk=pair_chunk, surv_cap=surv_cap,
-                    smax=index.num_bases, index_aux=index_aux,
-                )
-            if float(totalf) > float(2**30):
-                # The expansion offsets are int32 cumsums; beyond ~2**30
-                # candidate pairs per batch they would wrap.  This only
-                # happens with extremely repetitive/low-entropy batches —
-                # re-run with a smaller ReadBatch (the error is loud, never
-                # a silent wrap).
-                raise ValueError(
-                    f"candidate pair count {float(totalf):.3g} in one read "
-                    "batch exceeds the 2**30 expansion limit; re-run with a "
-                    "smaller ReadBatch (or raise MinDinuc)"
+                    smax=index.num_bases,
                 )
             nsurv = int(nsurv_d)
-            if use_dedup and int(total) > pair_cap:
-                # Pair-buffer overflow: regrow (persisting the hint) or,
-                # past the materialization ceiling, stream this batch.
-                while pair_cap < int(total) and pair_cap < _MAX_PAIR_CAP:
-                    pair_cap *= 2
-                _PAIR_HINT[0] = pair_cap
-                if pair_cap < int(total):
-                    use_dedup = False
-                continue
             if nsurv <= surv_cap:
                 break
-            # Overflow: grow to the next bucket and re-run this batch.
-            # The grown capacity persists process-wide so later runs and
-            # batches start right-sized (regrows force a fresh executable,
-            # which remote-compile backends make expensive).
+            # Overflow: grow to the next bucket and re-run the expand
+            # stage (the probe result is reused).  The grown capacity
+            # persists process-wide so later runs and batches start
+            # right-sized (regrows force a fresh executable, which
+            # remote-compile backends make expensive).
             while surv_cap < nsurv:
                 surv_cap *= 4
             _CAP_HINT[0] = surv_cap
-        total_pairs += int(total)
+        total_pairs += total
         if nsurv:
             # Cap + dedup + best+MMTol run on device; the host fetches the
             # retained rows only (at realistic hit density the raw
@@ -372,7 +375,7 @@ def preload_device_batch(cfg: Config, rs: ReadSet) -> None:
     dispatches; see BENCHMARKS.md measurement rules)."""
     width = cfg.WindowWidth
     l_eff = int(max(int(rs.lengths.max(initial=0)), width))
-    l_eff = min(_round_up(l_eff, 128), rs.codes.shape[1]) or rs.codes.shape[1]
+    l_eff = min(l_eff, rs.codes.shape[1]) or rs.codes.shape[1]
     nreads = rs.codes.shape[0]
     batch = cfg.ReadBatch or (1 << 22)
     batch = min(batch, _round_up(nreads, 1024))
@@ -381,7 +384,11 @@ def preload_device_batch(cfg: Config, rs: ReadSet) -> None:
 
 
 def _device_read_batch(rs: ReadSet, b0: int, b1: int, l_eff: int, cache_ok: bool):
-    """Device arrays for read rows [b0, b1), padded to the batch size.
+    """Device arrays (rpacked, lengths) for read rows [b0, b1), padded to
+    the batch size.  Only the nibble-packed matrix ships and lives on
+    device — the probe extracts window keys from the packed words and the
+    verify is SWAR over them, so the unpacked byte matrix never exists
+    on device (round-1 kept both: 8x the transfer and 9x the read HBM).
 
     Single-batch runs cache the upload on the ReadSet (benchmark loops);
     multi-batch streaming never caches — resident read memory stays one
@@ -396,17 +403,14 @@ def _device_read_batch(rs: ReadSet, b0: int, b1: int, l_eff: int, cache_ok: bool
     codes_np[: real.shape[0]] = real
     lengths_np = np.zeros(n, dtype=np.int32)
     lengths_np[: real.shape[0]] = rs.lengths[b0:b1]
-    # Ship nibbles, not bytes: 8x less host->device transfer; the device
-    # unpacks the code matrix (relay/PCIe bandwidth is a per-batch cost).
     rpacked = jnp.asarray(packed_ops.pack_rows_np(codes_np))
-    codes = packed_ops.unpack_rows(rpacked, l_eff)
     lengths = jnp.asarray(lengths_np)
     if cache_ok:
         if cache is None:
             cache = {}
             rs._dev_cache = cache
-        cache[key] = (codes, rpacked, lengths)
-    return codes, rpacked, lengths
+        cache[key] = (rpacked, lengths)
+    return rpacked, lengths
 
 
 def _apply_max_matches(cfg, r, g, s, nx, grp, grp2, win):

@@ -93,9 +93,12 @@ def _horner(win: jnp.ndarray, mult) -> jnp.ndarray:
     return key
 
 
-def _window_queries(codes, lengths, q1s, *, width, min_dinuc):
-    """Window keys + validity for every (window, read), flattened to
-    (K*R,) window-major."""
+def _window_queries_codes(codes, lengths, q1s, *, width, min_dinuc):
+    """Byte-matrix twin of _window_queries (the round-1 path): a
+    (K, R, W) element gather over the code matrix.  Kept as the reference
+    implementation for the Pallas A/B tests; the product path extracts
+    from the packed words instead (K*R*W element gathers cost ~a memory
+    latency each on this hardware class)."""
     nreads, lmax = codes.shape
     nwin = q1s.shape[0]
     nflat = nwin * nreads
@@ -117,29 +120,103 @@ def _window_queries(codes, lengths, q1s, *, width, min_dinuc):
     return key.reshape(nflat), key2.reshape(nflat), valid.reshape(nflat)
 
 
+def _window_queries(rpacked, lengths, q1s, *, width, min_dinuc):
+    """Window keys + validity for every (window, read), flattened to
+    (K*R,) window-major — computed from the nibble-packed read matrix.
+
+    Per window: one dynamic column slice of the packed words, a funnel
+    shift to align the window to nibble 0, then `width` static nibble
+    extractions feeding the Horner fold and the dinucleotide mask.  All
+    bulk strided ops — no per-element gathers (the round-1 (K, R, W)
+    byte gather paid ~a memory latency per element and dominated the
+    probe program at 4M-read batches)."""
+    nreads, nw = rpacked.shape
+    nwin = q1s.shape[0]
+    nflat = nwin * nreads
+    use_k2 = winops.uses_second_key(width)
+    mult = winops.key_multiplier(width)
+
+    nal = -(-width // 8)  # aligned words covering the window
+    nsl = nal + 1  # sliced words (one extra feeds the funnel shift)
+    # One guard column keeps the last valid window's slice in bounds
+    # (valid windows satisfy q1 + width <= lmax <= 8*nw, so their slice
+    # never needs more than one word past the packed width; windows that
+    # would read further are invalid for every row and may be garbage).
+    padn = max(1, nsl - nw)
+    rp = jnp.pad(rpacked, ((0, 0), (0, padn)))
+    nwp = nw + padn
+
+    keys, keys2, valids = [], [], []
+    for k in range(nwin):
+        q1 = q1s[k]
+        w0 = jnp.clip(q1 >> 3, 0, nwp - nsl)
+        sh = jnp.clip((q1 - (w0 << 3)) * 4, 0, 31).astype(jnp.uint32)
+        words = lax.dynamic_slice(
+            rp, (jnp.int32(0), w0.astype(jnp.int32)), (nreads, nsl)
+        )
+        al = []
+        for j in range(nal):
+            lo = words[:, j] >> sh
+            hi = jnp.where(
+                sh == 0, jnp.uint32(0), words[:, j + 1] << (jnp.uint32(32) - sh)
+            )
+            al.append(lo | hi)
+        key = jnp.zeros(nreads, jnp.uint32)
+        key2 = jnp.zeros(nreads, jnp.uint32)
+        bits = jnp.zeros(nreads, jnp.uint32)
+        prev = None
+        for i in range(width):
+            b = (al[i >> 3] >> jnp.uint32((i & 7) * 4)) & jnp.uint32(0xF)
+            key = key * mult + b
+            if use_k2:
+                key2 = key2 * winops.HASH_MULT2 + b
+            if min_dinuc > 0 and prev is not None:
+                pr = prev * jnp.uint32(winops.NBASE) + b
+                bits = bits | (jnp.uint32(1) << pr)
+            prev = b
+        v = lengths >= q1 + width
+        if min_dinuc > 0:
+            v = v & (lax.population_count(bits).astype(jnp.int32) >= min_dinuc)
+        keys.append(key)
+        keys2.append(key2)
+        valids.append(v)
+
+    key = jnp.stack(keys).reshape(nflat)
+    key2 = (
+        jnp.stack(keys2).reshape(nflat)
+        if use_k2
+        else jnp.zeros(nflat, jnp.uint32)
+    )
+    valid = jnp.stack(valids).reshape(nflat)
+    return key, key2, valid
+
+
 def _probe_windows_impl(
-    codes, lengths, q1s, skeys, skeys2, pre_key=None, pre_key2=None,
+    rpacked, lengths, q1s, skeys, pre_key=None, pre_key2=None,
     pre_valid=None, *, width, min_dinuc,
 ):
     """Sort-merge probe over the flat (K*R,) query space.
 
     Best when the index is not much larger than the query batch: one sort
     of (V + K*R) rows replaces every per-query lookup.  Returns compacted
-    arrays of length K*R (active slots first):
+    slot arrays of length K*R (active slots first) plus the qid-indexed
+    query-key arrays and the exact pair totals:
       counts_m  candidate count of the query at each slot
       lo_m      start of the query's candidate run in the index
       qid_m     flat (window*R + read) query id
-      key_m     key1 at each slot (k-mer group identity, word 1)
-      key2_m    key2 at each slot (k-mer group identity, word 2)
+      keyf      (K*R,) key1 of every query, in qid order
+      key2f     (K*R,) key2 of every query, in qid order
+      total     exact candidate pair count (int32)
+      totalf    the same as float32 (int32-overflow detection)
     """
-    nreads, lmax = codes.shape
+    nreads = rpacked.shape[0]
     nwin = q1s.shape[0]
     nflat = nwin * nreads
     if pre_key is not None:
         keyf, key2f, validf = pre_key, pre_key2, pre_valid
     else:
         keyf, key2f, validf = _window_queries(
-            codes, lengths, q1s, width=width, min_dinuc=min_dinuc
+            rpacked, lengths, q1s, width=width, min_dinuc=min_dinuc
         )
 
     nidx = skeys.shape[0]
@@ -178,22 +255,21 @@ def _probe_windows_impl(
 
     # Compact to the active (count > 0) slots so that consecutive pair
     # owners are consecutive array slots — this bounds every expansion
-    # chunk's owner span by the chunk size.  The group keys are not carried
-    # through this sort; they are re-gathered from the pre-merge query
-    # arrays by qid (saves two 100M+-row sort operands).
+    # chunk's owner span by the chunk size.  The group keys are not
+    # compacted at all: downstream stages carry qid and index keyf/key2f
+    # directly (saves two 100M+-row sort operands AND two K*R gathers).
     inactive = (counts_m == 0).astype(jnp.int32)
     _, counts_c, lo_c, qid_c = lax.sort(
         (inactive, counts_m, lo_m, qid_m), num_keys=1, is_stable=True
     )
     counts_c, lo_c, qid_c = counts_c[:nflat], lo_c[:nflat], qid_c[:nflat]
-    qc = jnp.clip(qid_c, 0, nflat - 1)
-    key_c = jnp.where(qid_c >= 0, keyf[qc], 0)
-    key2_c = jnp.where(qid_c >= 0, key2f[qc], 0)
-    return counts_c, lo_c, qid_c, key_c, key2_c
+    total = jnp.sum(counts_c)
+    totalf = jnp.sum(counts_c.astype(jnp.float32))
+    return counts_c, lo_c, qid_c, keyf, key2f, total, totalf
 
 
 def _probe_windows_direct_impl(
-    codes, lengths, q1s, urec, sbucket,
+    rpacked, lengths, q1s, urec, sbucket,
     *, width, min_dinuc, upshift, bucket_bits, bucket_width,
 ):
     """Direct-bucket probe: the bucket table is sized (engine.index.
@@ -205,19 +281,20 @@ def _probe_windows_direct_impl(
     closes the big-index probe gap when the batch is small relative to the
     index.  Same compacted return contract as _probe_windows_impl.
     """
-    nreads, lmax = codes.shape
+    nreads = rpacked.shape[0]
     nwin = q1s.shape[0]
     nflat = nwin * nreads
     use_k2 = winops.uses_second_key(width)
-    keyf, key2f, validf = _window_queries(
-        codes, lengths, q1s, width=width, min_dinuc=min_dinuc
+    keyf0, key2f0, validf = _window_queries(
+        rpacked, lengths, q1s, width=width, min_dinuc=min_dinuc
     )
 
     # Sort queries by key: neighboring lanes then fetch neighboring bucket
     # lines (locality), and the active-compaction below stays cheap.
+    # keyf0/key2f0 (qid order) are returned for downstream group lookups.
     qid0 = jnp.arange(nflat, dtype=jnp.int32)
     keyf, key2f, vi, qid = lax.sort(
-        (keyf, key2f, (~validf).astype(jnp.int32), qid0), num_keys=2
+        (keyf0, key2f0, (~validf).astype(jnp.int32), qid0), num_keys=2
     )
     validf = vi == 0
 
@@ -260,14 +337,16 @@ def _probe_windows_direct_impl(
     loc = loc.reshape(-1)[:nflat]
 
     inactive = (counts == 0).astype(jnp.int32)
-    _, counts_c, lo_c, qid_c, key_c, key2_c = lax.sort(
-        (inactive, counts, loc, qid, keyf, key2f), num_keys=1, is_stable=True
+    _, counts_c, lo_c, qid_c = lax.sort(
+        (inactive, counts, loc, qid), num_keys=1, is_stable=True
     )
-    return counts_c, lo_c, qid_c, key_c, key2_c
+    total = jnp.sum(counts_c)
+    totalf = jnp.sum(counts_c.astype(jnp.float32))
+    return counts_c, lo_c, qid_c, keyf0, key2f0, total, totalf
 
 
 def _probe_windows_search_impl(
-    codes, lengths, q1s, ukeys, ukeys2, ukk, ustart, ucount, sbucket,
+    rpacked, lengths, q1s, ukeys, ukeys2, ukk, ustart, ucount, sbucket,
     *, width, min_dinuc, upshift, probe_steps, bucket_bits,
 ):
     """Bucketed binary-search probe over the flat (K*R,) query space.
@@ -279,17 +358,17 @@ def _probe_windows_search_impl(
     locality is what limits throughput on a multi-hundred-MB index.  Same
     compacted return contract as _probe_windows_impl.
     """
-    nreads, lmax = codes.shape
+    nreads = rpacked.shape[0]
     nwin = q1s.shape[0]
     nflat = nwin * nreads
     use_k2 = winops.uses_second_key(width)
-    keyf, key2f, validf = _window_queries(
-        codes, lengths, q1s, width=width, min_dinuc=min_dinuc
+    keyf0, key2f0, validf = _window_queries(
+        rpacked, lengths, q1s, width=width, min_dinuc=min_dinuc
     )
 
     qid0 = jnp.arange(nflat, dtype=jnp.int32)
     keyf, key2f, vi, qid = lax.sort(
-        (keyf, key2f, (~validf).astype(jnp.int32), qid0), num_keys=2
+        (keyf0, key2f0, (~validf).astype(jnp.int32), qid0), num_keys=2
     )
     validf = vi == 0
 
@@ -309,14 +388,16 @@ def _probe_windows_search_impl(
 
     # Compact actives first (stable) — K*R-sized sort, index untouched.
     inactive = (counts == 0).astype(jnp.int32)
-    _, counts_c, lo_c, qid_c, key_c, key2_c = lax.sort(
-        (inactive, counts, loc, qid, keyf, key2f), num_keys=1, is_stable=True
+    _, counts_c, lo_c, qid_c = lax.sort(
+        (inactive, counts, loc, qid), num_keys=1, is_stable=True
     )
-    return counts_c, lo_c, qid_c, key_c, key2_c
+    total = jnp.sum(counts_c)
+    totalf = jnp.sum(counts_c.astype(jnp.float32))
+    return counts_c, lo_c, qid_c, keyf0, key2f0, total, totalf
 
 
 def _expand_verify_impl(
-    counts_m, lo_m, qid_m, key_m, key2_m, q1s, rpacked, lengths, spos,
+    counts_m, lo_m, qid_m, keyf, key2f, q1s, rpacked, lengths, spos,
     tpacked, gene_start, budget,
     *, nreads, width, max_read_length, pair_chunk, surv_cap, smax,
 ):
@@ -330,6 +411,7 @@ def _expand_verify_impl(
     slots and all per-chunk work is O(pair_chunk), independent of the query
     count."""
     m = counts_m.shape[0]
+    nflat = keyf.shape[0]
     offsets = jnp.cumsum(counts_m)  # inclusive
     total = offsets[-1]
     totalf = jnp.sum(counts_m.astype(jnp.float32))
@@ -342,8 +424,6 @@ def _expand_verify_impl(
     oexcl_p = jnp.concatenate([offsets_excl, jnp.full(span, total, jnp.int32)])
     qid_p = jnp.concatenate([qid_m, jnp.full(span, -1, jnp.int32)])
     lo_p = jnp.concatenate([lo_m, jnp.zeros(span, lo_m.dtype)])
-    key_p = jnp.concatenate([key_m, jnp.zeros(span, key_m.dtype)])
-    key2_p = jnp.concatenate([key2_m, jnp.zeros(span, key2_m.dtype)])
 
     nchunks = lax.div(total + (pair_chunk - 1), jnp.int32(pair_chunk))
     buf = jnp.zeros((surv_cap, NCOL), dtype=jnp.int32)
@@ -385,8 +465,9 @@ def _expand_verify_impl(
             r, p, rpacked, lengths, tpacked, gene_start,
             budget, q1_lane, width, max_read_length, smax,
         )
-        grp = lax.dynamic_slice(key_p, (ob,), (span,))[owner].astype(jnp.int32)
-        grp2 = lax.dynamic_slice(key2_p, (ob,), (span,))[owner].astype(jnp.int32)
+        qc = jnp.clip(qid, 0, nflat - 1)
+        grp = keyf[qc].astype(jnp.int32)
+        grp2 = key2f[qc].astype(jnp.int32)
 
         pos = nsurv + jnp.cumsum(keep.astype(jnp.int32)) - 1
         idx = jnp.where(keep, pos, surv_cap + 1)  # OOB rows are dropped
@@ -401,9 +482,7 @@ def _expand_verify_impl(
     return buf, nsurv, total, totalf
 
 
-def _expand_pairs_impl(
-    counts_m, lo_m, qid_m, key_m, key2_m, q1s, spos, *, nreads, pair_cap
-):
+def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap):
     """Vectorized pair expansion into a (pair_cap,) column buffer, sorted
     by (read, diagonal) with run-start bookkeeping for the diagonal-dedup
     verify.
@@ -415,10 +494,15 @@ def _expand_pairs_impl(
     windows of one read landing on the same diagonal become adjacent
     duplicates, which the verify stage resolves once per unique (r, d).
 
-    Returns (r_s, k_s, grp_s, grp2_s, u_idx, ur, ud, nuniq, total, totalf):
-      r_s      (pair_cap,) read row per pair, (r, d)-sorted; -1 = inactive
-      k_s      window id per pair
-      grp_s/grp2_s  k-mer cap-group key words per pair
+    The pair sort carries a single payload word: the flat query id, from
+    which the verify stage recovers the window (qid // nreads), the read
+    row (qid % nreads), and — via the qid-indexed keyf/key2f arrays — the
+    k-mer cap-group identity of the surviving rows only.  (The round-2a
+    version carried (k, grp, grp2) per pair: two more 4-byte operands
+    through the biggest sort after the probe's.)
+
+    Returns (qid_s, u_idx, ur, ud, nuniq, total, totalf):
+      qid_s    (pair_cap,) flat query id per pair, (r, d)-sorted; -1 = inactive
       u_idx    index of the pair's unique (r, d) in (ur, ud)
       ur/ud    compacted unique read rows / diagonals (prefix of nuniq)
       total    exact pair count (overflow if > pair_cap — caller regrows)
@@ -442,16 +526,12 @@ def _expand_pairs_impl(
     within = pid - oexcl[owner]
     site = spos[jnp.clip(lo_m[owner] + within, 0, spos.shape[0] - 1)]
     d = site.astype(jnp.int32) - q1s[k_lane]
-    grp = key_m[owner].astype(jnp.int32)
-    grp2 = key2_m[owner].astype(jnp.int32)
 
     # Sort by (read, diagonal); inactive lanes key to int32-max and sink
     # to the end (no real read row reaches 2**31-1).
     rkey = jnp.where(act, r_lane, inf)
-    rkey_s, d_s, k_s, grp_s, grp2_s = lax.sort(
-        (rkey, d, k_lane, grp, grp2), num_keys=2
-    )
-    r_s = jnp.where(rkey_s == inf, -1, rkey_s)
+    qid_pay = jnp.where(act, qid, -1)
+    rkey_s, d_s, qid_s = lax.sort((rkey, d, qid_pay), num_keys=2)
 
     act_s = rkey_s != inf
     run_start = (
@@ -464,24 +544,31 @@ def _expand_pairs_impl(
     u_idx = jnp.cumsum(run_start.astype(jnp.int32)) - 1
     nuniq = u_idx[-1] + 1
     utgt = jnp.where(run_start, u_idx, pair_cap + 1)
+    r_s = jnp.where(act_s, rkey_s, -1)
     ur = jnp.full(pair_cap, -1, jnp.int32).at[utgt].set(r_s, mode="drop")
     ud = jnp.zeros(pair_cap, jnp.int32).at[utgt].set(d_s, mode="drop")
-    return r_s, k_s, grp_s, grp2_s, u_idx, ur, ud, nuniq, total, totalf
+    return qid_s, u_idx, ur, ud, nuniq, total, totalf
 
 
 def _verify_diagonals_impl(
-    r_s, k_s, grp_s, grp2_s, u_idx, ur, ud, nuniq, q1s,
+    qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
     rpacked, lengths, tpacked, gene_start, budget,
-    *, width, max_read_length, vchunk, surv_cap, smax,
+    *, nreads, width, max_read_length, vchunk, surv_cap, smax,
 ):
     """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
     to the pair lanes, and survivor compaction.  Work in the gather-heavy
     verify is proportional to the number of UNIQUE diagonals (dynamic
     while_loop trip count), not to pair capacity.
 
+    The pair lanes carry only qid (see _expand_pairs_impl); the
+    compaction sort therefore runs on 4 operands — (dead|qid, nx, g, s)
+    — instead of the round-2a 8, and the cap-group key words are gathered
+    from the qid-indexed keyf/key2f for the retained prefix only.
+
     Returns (surv (surv_cap, NCOL) int32, nsurv)."""
     cap = ur.shape[0]
     nwin = q1s.shape[0]
+    nflat = keyf.shape[0]
     pad = jnp.zeros(vchunk, jnp.int32)
     ur_p = jnp.concatenate([ur, jnp.full(vchunk, -1, jnp.int32)])
     ud_p = jnp.concatenate([ud, pad])
@@ -514,22 +601,27 @@ def _verify_diagonals_impl(
     # Map verdicts back to pair lanes (u_idx is nondecreasing — these
     # gathers ride sequential HBM lines).
     uix = jnp.clip(u_idx, 0, cap - 1)
-    kc = jnp.clip(k_s, 0, nwin - 1)
+    kc = jnp.clip(jnp.maximum(qid_s, 0) // nreads, 0, nwin - 1)
     ok = (okb[uix] >> kc) & 1
-    keep = (r_s >= 0) & (ok == 1)
+    keep = (qid_s >= 0) & (ok == 1)
     nx = nxb[uix]
     g = gb[uix]
     s = sb[uix]
 
-    dead = (~keep).astype(jnp.int32)
-    dead, r2, g2, s2, nx2, gr1, gr2, k2 = lax.sort(
-        (dead, r_s, g, s, nx, grp_s, grp2_s, kc), num_keys=1, is_stable=True
-    )
+    # Compaction: survivors first.  dead lanes key to int32-max (no real
+    # qid reaches 2**31-1), so one word orders the sort.
+    qd = jnp.where(keep, qid_s, jnp.int32(0x7FFFFFFF))
+    qd, g2, s2, nx2 = lax.sort((qd, g, s, nx), num_keys=1)
     take = min(surv_cap, cap)
+    qdt = qd[:take]
+    kt = jnp.clip(jnp.maximum(qdt, 0) // nreads, 0, nwin - 1)
+    rt = jnp.maximum(qdt, 0) - kt * nreads
+    qc = jnp.clip(qdt, 0, nflat - 1)
+    gr1 = keyf[qc].astype(jnp.int32)
+    gr2 = key2f[qc].astype(jnp.int32)
     surv = jnp.zeros((surv_cap, NCOL), jnp.int32)
     rows = jnp.stack(
-        [r2[:take], g2[:take], s2[:take], nx2[:take],
-         gr1[:take], gr2[:take], k2[:take]], axis=1,
+        [rt, g2[:take], s2[:take], nx2[:take], gr1, gr2, kt], axis=1,
     )
     surv = lax.dynamic_update_slice(surv, rows, (0, 0))
     nsurv = jnp.sum(keep.astype(jnp.int32))
@@ -680,23 +772,21 @@ def rank_survivors_live(buf, live, mm, mmtol, *, match_mode):
     return fn(buf, live, jnp.int32(mm), jnp.int32(mmtol), match_mode=match_mode)
 
 
-def match_windows(
-    codes, rpacked, lengths, q1s, skeys, skeys2, spos,
-    tpacked, gene_start, budget,
-    *, width, min_dinuc, max_read_length, pair_chunk, surv_cap, smax,
-    index_aux=None,
+def probe_windows(
+    rpacked, lengths, q1s, skeys, *, width, min_dinuc, index_aux=None,
 ):
-    """Probe + expand + verify + compact; two async device dispatches.
+    """Probe stage only: one async device dispatch.
 
     index_aux, when given, is a SearchAux (engine.index) and selects the
     bucketed-search probe — the right choice when the index is much larger
-    than the query batch and the batch is small.  Returns
-    (surv (surv_cap, NCOL) int32, nsurv, total_pairs, total_pairs_f32).
+    than the query batch and the batch is small.  Returns the 7-tuple
+    (counts_m, lo_m, qid_m, keyf, key2f, total, totalf); `total` lets the
+    caller size the pair buffer exactly before dispatching the expand
+    stage (one scalar fetch — no overflow/regrow round trips).
 
     MUSCATO_PALLAS=1 computes the window queries with the Pallas
-    extraction kernel (ops/pallas_windows.py) instead of the XLA gather
-    path — measured slightly slower on v5e (BENCHMARKS.md), kept as an
-    opt-in A/B hook; only the sort-merge probe consumes it.
+    extraction kernel (ops/pallas_windows.py) instead of the packed XLA
+    path — an opt-in A/B hook; only the sort-merge probe consumes it.
     """
     import os as _os
 
@@ -705,6 +795,7 @@ def match_windows(
         from . import pallas_windows as pwin
 
         q1s_host = tuple(int(x) for x in jax.device_get(q1s))
+        codes = pops.unpack_rows(rpacked, rpacked.shape[1] * pops.BASES_PER_WORD)
         pre = pwin.window_queries_pallas(
             codes, lengths, q1s_host, width=width, min_dinuc=min_dinuc
         )
@@ -716,101 +807,114 @@ def match_windows(
             _probe_windows_direct_impl,
             ("width", "min_dinuc", "upshift", "bucket_bits", "bucket_width"),
         )
-        counts_m, lo_m, qid_m, key_m, key2_m = probe(
-            codes, lengths, q1s, aux.urec, aux.sbucket,
+        return probe(
+            rpacked, lengths, q1s, aux.urec, aux.sbucket,
             width=width, min_dinuc=min_dinuc, upshift=aux.upshift,
             bucket_bits=aux.bucket_bits, bucket_width=DIRECT_BUCKET_WIDTH,
         )
-    elif index_aux is not None:
+    if index_aux is not None:
         aux = index_aux
         probe = _tpu_jit(
             _probe_windows_search_impl,
             ("width", "min_dinuc", "upshift", "probe_steps", "bucket_bits"),
         )
-        counts_m, lo_m, qid_m, key_m, key2_m = probe(
-            codes, lengths, q1s, aux.ukeys, aux.ukeys2, aux.ukk, aux.ustart,
+        return probe(
+            rpacked, lengths, q1s, aux.ukeys, aux.ukeys2, aux.ukk, aux.ustart,
             aux.ucount, aux.sbucket,
             width=width, min_dinuc=min_dinuc, upshift=aux.upshift,
             probe_steps=aux.probe_steps, bucket_bits=aux.bucket_bits,
         )
-    else:
-        probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))
-        counts_m, lo_m, qid_m, key_m, key2_m = probe(
-            codes, lengths, q1s, skeys, skeys2, *pre,
-            width=width, min_dinuc=min_dinuc,
-        )
+    probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))
+    return probe(
+        rpacked, lengths, q1s, skeys, *pre, width=width, min_dinuc=min_dinuc,
+    )
+
+
+def expand_verify_streamed(
+    probe_out, q1s, rpacked, lengths, spos, tpacked, gene_start, budget,
+    *, width, max_read_length, pair_chunk, surv_cap, smax,
+):
+    """Streaming expand+verify from a probe_windows result: chunked pair
+    expansion inside a device while_loop, O(pair_chunk) memory regardless
+    of the batch's pair count.  Returns (surv, nsurv, total, totalf)."""
+    counts_m, lo_m, qid_m, keyf, key2f, _total, _totalf = probe_out
     expand = _tpu_jit(
         _expand_verify_impl,
         ("nreads", "width", "max_read_length", "pair_chunk", "surv_cap", "smax"),
     )
-    buf, nsurv, total, totalf = expand(
-        counts_m, lo_m, qid_m, key_m, key2_m, q1s, rpacked, lengths, spos,
+    return expand(
+        counts_m, lo_m, qid_m, keyf, key2f, q1s, rpacked, lengths, spos,
         tpacked, gene_start, budget,
-        nreads=codes.shape[0], width=width, max_read_length=max_read_length,
+        nreads=rpacked.shape[0], width=width,
+        max_read_length=max_read_length,
         pair_chunk=pair_chunk, surv_cap=surv_cap, smax=smax,
     )
-    return buf, nsurv, total, totalf
 
 
-def match_windows_dedup(
-    codes, rpacked, lengths, q1s, skeys, skeys2, spos,
-    tpacked, gene_start, budget,
-    *, width, min_dinuc, max_read_length, pair_cap, vchunk, surv_cap, smax,
-    index_aux=None,
+def expand_verify_dedup(
+    probe_out, q1s, rpacked, lengths, spos, tpacked, gene_start, budget,
+    *, width, max_read_length, pair_cap, vchunk, surv_cap, smax,
 ):
-    """Diagonal-dedup variant of match_windows: three async dispatches
-    (probe -> expand/sort -> verify/compact).  Pairs are materialized into
-    a (pair_cap,) buffer and verified once per unique (read, diagonal);
-    the heavy SWAR gathers drop ~K-fold when K windows hit one site, and
-    the (r, d)-sorted order gives the read-row gathers sequential
-    locality.  Returns (surv, nsurv, total, totalf); total > pair_cap
-    signals pair-buffer overflow (caller regrows and re-runs, mirroring
-    the surv_cap protocol)."""
-    if index_aux is not None and index_aux.mode == "direct":
-        from ..engine.index import DIRECT_BUCKET_WIDTH
-
-        probe = _tpu_jit(
-            _probe_windows_direct_impl,
-            ("width", "min_dinuc", "upshift", "bucket_bits", "bucket_width"),
-        )
-        counts_m, lo_m, qid_m, key_m, key2_m = probe(
-            codes, lengths, q1s, index_aux.urec, index_aux.sbucket,
-            width=width, min_dinuc=min_dinuc, upshift=index_aux.upshift,
-            bucket_bits=index_aux.bucket_bits,
-            bucket_width=DIRECT_BUCKET_WIDTH,
-        )
-    elif index_aux is not None:
-        probe = _tpu_jit(
-            _probe_windows_search_impl,
-            ("width", "min_dinuc", "upshift", "probe_steps", "bucket_bits"),
-        )
-        counts_m, lo_m, qid_m, key_m, key2_m = probe(
-            codes, lengths, q1s, index_aux.ukeys, index_aux.ukeys2,
-            index_aux.ukk, index_aux.ustart, index_aux.ucount,
-            index_aux.sbucket,
-            width=width, min_dinuc=min_dinuc, upshift=index_aux.upshift,
-            probe_steps=index_aux.probe_steps,
-            bucket_bits=index_aux.bucket_bits,
-        )
-    else:
-        probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))
-        counts_m, lo_m, qid_m, key_m, key2_m = probe(
-            codes, lengths, q1s, skeys, skeys2, None, None, None,
-            width=width, min_dinuc=min_dinuc,
-        )
+    """Diagonal-dedup expand+verify from a probe_windows result: two async
+    dispatches (expand/sort -> verify/compact).  Pairs are materialized
+    into a (pair_cap,) buffer and verified once per unique (read,
+    diagonal); the heavy SWAR gathers drop ~K-fold when K windows hit one
+    site, and the (r, d)-sorted order gives the read-row gathers
+    sequential locality.  Returns (surv, nsurv, total, totalf); total >
+    pair_cap signals pair-buffer overflow (callers that size pair_cap
+    from probe_out's total never see it)."""
+    counts_m, lo_m, qid_m, keyf, key2f, _total, _totalf = probe_out
+    nreads = rpacked.shape[0]
     expand = _tpu_jit(_expand_pairs_impl, ("nreads", "pair_cap"))
-    r_s, k_s, grp_s, grp2_s, u_idx, ur, ud, nuniq, total, totalf = expand(
-        counts_m, lo_m, qid_m, key_m, key2_m, q1s, spos,
-        nreads=codes.shape[0], pair_cap=pair_cap,
+    qid_s, u_idx, ur, ud, nuniq, total, totalf = expand(
+        counts_m, lo_m, qid_m, q1s, spos, nreads=nreads, pair_cap=pair_cap,
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,
-        ("width", "max_read_length", "vchunk", "surv_cap", "smax"),
+        ("nreads", "width", "max_read_length", "vchunk", "surv_cap", "smax"),
     )
     surv, nsurv = verify(
-        r_s, k_s, grp_s, grp2_s, u_idx, ur, ud, nuniq, q1s,
+        qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
         rpacked, lengths, tpacked, gene_start, budget,
-        width=width, max_read_length=max_read_length,
+        nreads=nreads, width=width, max_read_length=max_read_length,
         vchunk=vchunk, surv_cap=surv_cap, smax=smax,
     )
     return surv, nsurv, total, totalf
+
+
+def match_windows(
+    rpacked, lengths, q1s, skeys, spos, tpacked, gene_start, budget,
+    *, width, min_dinuc, max_read_length, pair_chunk, surv_cap, smax,
+    index_aux=None,
+):
+    """Probe + streaming expand/verify in one call (two async dispatches).
+    See probe_windows / expand_verify_streamed for the split form the
+    engine uses."""
+    pr = probe_windows(
+        rpacked, lengths, q1s, skeys,
+        width=width, min_dinuc=min_dinuc, index_aux=index_aux,
+    )
+    return expand_verify_streamed(
+        pr, q1s, rpacked, lengths, spos, tpacked, gene_start, budget,
+        width=width, max_read_length=max_read_length,
+        pair_chunk=pair_chunk, surv_cap=surv_cap, smax=smax,
+    )
+
+
+def match_windows_dedup(
+    rpacked, lengths, q1s, skeys, spos, tpacked, gene_start, budget,
+    *, width, min_dinuc, max_read_length, pair_cap, vchunk, surv_cap, smax,
+    index_aux=None,
+):
+    """Probe + diagonal-dedup expand/verify in one call (three async
+    dispatches).  See probe_windows / expand_verify_dedup for the split
+    form the engine uses (exact pair-buffer sizing)."""
+    pr = probe_windows(
+        rpacked, lengths, q1s, skeys,
+        width=width, min_dinuc=min_dinuc, index_aux=index_aux,
+    )
+    return expand_verify_dedup(
+        pr, q1s, rpacked, lengths, spos, tpacked, gene_start, budget,
+        width=width, max_read_length=max_read_length,
+        pair_cap=pair_cap, vchunk=vchunk, surv_cap=surv_cap, smax=smax,
+    )

@@ -54,7 +54,6 @@ class ShardedIndex:
 
     gene_start: jnp.ndarray  # (mp, Gmax+1) int32, local offsets (pads repeat the end)
     skeys: jnp.ndarray  # (mp, Vmax) uint32, INVALID_KEY padded
-    skeys2: jnp.ndarray  # (mp, Vmax) uint32 second key word
     spos: jnp.ndarray  # (mp, Vmax) int32, -1 padded
     tpacked: jnp.ndarray  # (mp, SWmax+PAD) uint32 nibble-packed shard streams
     gene_base: jnp.ndarray  # (mp,) int32 first global gene id of the shard
@@ -103,7 +102,6 @@ def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
     gene_start_p = np.zeros((num_shards, gmax + 1), dtype=np.int32)
     gene_base = np.zeros(num_shards, dtype=np.int32)
     skeys_l: List[np.ndarray] = []
-    skeys2_l: List[np.ndarray] = []
     spos_l: List[np.ndarray] = []
     tpacked_l: List[np.ndarray] = []
 
@@ -114,19 +112,17 @@ def shard_targets(ts: TargetSet, width: int, num_shards: int) -> ShardedIndex:
         gene_start_p[si, : ng + 1] = gs
         gene_start_p[si, ng + 1 :] = gs[-1]
         gene_base[si] = lo
-        skeys, skeys2, spos, _nvalid = _index_arrays(
+        skeys, _skeys2, spos, _nvalid = _index_arrays(
             jnp.asarray(tcat_p[si]), jnp.asarray(gene_start_p[si]),
             jnp.int32(s), width,
         )
         skeys_l.append(np.asarray(skeys))
-        skeys2_l.append(np.asarray(skeys2))
         spos_l.append(np.asarray(spos))
         tpacked_l.append(np.asarray(pops.pack_stream(tcat_p[si])))
 
     return ShardedIndex(
         gene_start=jnp.asarray(gene_start_p),
         skeys=jnp.asarray(np.stack(skeys_l)),
-        skeys2=jnp.asarray(np.stack(skeys2_l)),
         spos=jnp.asarray(np.stack(spos_l)),
         tpacked=jnp.asarray(np.stack(tpacked_l)),
         gene_base=jnp.asarray(gene_base),
@@ -145,7 +141,7 @@ def make_mesh(dp: int, mp: int, devices=None) -> Mesh:
 
 
 def _shard_step(
-    codes, rpacked, lengths, gene_start, skeys, skeys2,
+    rpacked, lengths, gene_start, skeys,
     spos, tpacked, gene_base, budget, q1s, *, width, min_dinuc,
     max_read_length, pair_chunk, surv_cap, smax, mm, mmtol, match_mode,
 ):
@@ -156,21 +152,24 @@ def _shard_step(
     gathered buffer is ranked ON DEVICE (cap + dedup + best+MMTol: every
     row of a dp-block's reads is present after the mp gather), so the host
     fetches retained rows only."""
-    # codes/rpacked/lengths are sharded along their leading (reads) axis and
+    # rpacked/lengths are sharded along their leading (reads) axis and
     # arrive as full local blocks; the index arrays are sharded along an
     # explicit shard axis of size 1 per device, which we strip here.
     gene_start = gene_start[0]
-    skeys, skeys2, spos = skeys[0], skeys2[0], spos[0]
+    skeys, spos = skeys[0], spos[0]
     tpacked, gene_base = tpacked[0], gene_base[0]
 
-    counts_m, lo_m, qid_m, key_m, key2_m = fused._probe_windows_impl(
-        codes, lengths, q1s, skeys, skeys2,
-        width=width, min_dinuc=min_dinuc,
+    counts_m, lo_m, qid_m, keyf, key2f, _tot, totalf = (
+        fused._probe_windows_impl(
+            rpacked, lengths, q1s, skeys,
+            width=width, min_dinuc=min_dinuc,
+        )
     )
     buf, nsurv, _total, totalf = fused._expand_verify_impl(
-        counts_m, lo_m, qid_m, key_m, key2_m, q1s, rpacked, lengths, spos,
+        counts_m, lo_m, qid_m, keyf, key2f, q1s, rpacked, lengths, spos,
         tpacked, gene_start, budget,
-        nreads=codes.shape[0], width=width, max_read_length=max_read_length,
+        nreads=rpacked.shape[0], width=width,
+        max_read_length=max_read_length,
         pair_chunk=pair_chunk, surv_cap=surv_cap, smax=smax,
     )
 
@@ -220,7 +219,7 @@ def sharded_match_arrays(
 
     budget = jnp.asarray(vops.mismatch_budget_table(cfg.PMatch, cfg.MaxReadLength))
     q1s = jnp.asarray(np.asarray(cfg.Windows, dtype=np.int32))
-    rpacked = np.asarray(pops.pack_rows(jnp.asarray(codes)))
+    rpacked = pops.pack_rows_np(codes)
 
     fn = partial(
         _shard_step,
@@ -238,12 +237,10 @@ def sharded_match_arrays(
         fn,
         mesh=mesh,
         in_specs=(
-            P("dp", None),  # codes
             P("dp", None),  # rpacked
             P("dp"),  # lengths
             P("mp", None),  # gene_start
             P("mp", None),  # skeys
-            P("mp", None),  # skeys2
             P("mp", None),  # spos
             P("mp", None),  # tpacked
             P("mp"),  # gene_base
@@ -255,8 +252,8 @@ def sharded_match_arrays(
     )
 
     rows_d, count_d, nsurv, totalf = jax.jit(mapped)(
-        codes, rpacked, lengths, sidx.gene_start,
-        sidx.skeys, sidx.skeys2, sidx.spos, sidx.tpacked, sidx.gene_base,
+        rpacked, lengths, sidx.gene_start,
+        sidx.skeys, sidx.spos, sidx.tpacked, sidx.gene_base,
         budget, q1s,
     )
     nsurv_np = np.asarray(nsurv)  # (dp, mp)

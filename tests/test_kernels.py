@@ -384,7 +384,7 @@ def test_search_probe_equals_sort_probe():
     q1s = jnp.asarray(np.array([0, 7], np.int32))
     kw = dict(width=width, min_dinuc=1, max_read_length=max_rl,
               pair_chunk=1 << 12, surv_cap=1 << 12, smax=idx.num_bases)
-    args = (codes_j, rpacked, lengths, q1s, idx.skeys, idx.skeys2, idx.spos,
+    args = (rpacked, lengths, q1s, idx.skeys, idx.spos,
             idx.tpacked, idx.gene_start, budget)
 
     buf_a, n_a, t_a, _ = fused.match_windows(*args, **kw)
@@ -429,7 +429,7 @@ def test_direct_probe_mode_selected_and_equal():
     q1s = jnp.asarray(np.array([0, 7], np.int32))
     kw = dict(width=width, min_dinuc=1, max_read_length=max_rl,
               pair_chunk=1 << 12, surv_cap=1 << 12, smax=idx.num_bases)
-    args = (codes_j, rpacked, lengths, q1s, idx.skeys, idx.skeys2, idx.spos,
+    args = (rpacked, lengths, q1s, idx.skeys, idx.spos,
             idx.tpacked, idx.gene_start, budget)
     buf_a, n_a, t_a, _ = fused.match_windows(*args, **kw)
     buf_b, n_b, t_b, _ = fused.match_windows(*args, **kw, index_aux=aux)
@@ -471,7 +471,7 @@ def test_binary_probe_fallback_on_skewed_keys():
     q1s = jnp.asarray(np.array([0], np.int32))
     kw = dict(width=width, min_dinuc=0, max_read_length=max_rl,
               pair_chunk=1 << 12, surv_cap=1 << 12, smax=idx.num_bases)
-    args = (codes_j, rpacked, lengths, q1s, idx.skeys, idx.skeys2, idx.spos,
+    args = (rpacked, lengths, q1s, idx.skeys, idx.spos,
             idx.tpacked, idx.gene_start, budget)
     buf_a, n_a, _, _ = fused.match_windows(*args, **kw)
     buf_b, n_b, _, _ = fused.match_windows(*args, **kw, index_aux=aux)
@@ -536,10 +536,10 @@ def test_packed_fetch_roundtrip():
 
 
 def test_dedup_pair_cap_regrow_and_fallback(monkeypatch):
-    """A batch whose pair count overflows the dedup pair buffer must
-    (a) regrow the buffer and still produce exact results, and (b) fall
-    back to the streaming expand+verify past the materialization ceiling
-    — again with exact results."""
+    """A batch with far more pairs than the configured floor must (a) get
+    an exactly-sized pair buffer from the probe total and produce exact
+    results, and (b) fall back to the streaming expand+verify past the
+    materialization ceiling — again with exact results."""
     # One 6-mer repeated across every gene and read: pairs = queries x
     # positions, far beyond a 1<<10 starting cap.
     unit = "ACGTCA"
@@ -556,22 +556,51 @@ def test_dedup_pair_cap_regrow_and_fallback(monkeypatch):
                   expected.start.tolist(), expected.nmiss.tolist()))
     assert len(exp) > 0
 
-    # (a) tiny starting hint: the engine must regrow until the ~56k pairs
-    # fit, persisting the grown hint.
-    monkeypatch.setattr(pipeline, "_PAIR_HINT", [1])
+    # (a) tiny floor: the pair buffer is sized exactly from the probe's
+    # total (the ~56k pairs fit a 2**16 power-of-two bucket, not the floor).
     monkeypatch.setattr(pipeline, "_PAIR_FLOOR", 1 << 10)
     monkeypatch.setattr(pipeline, "_MAX_PAIR_CAP", 1 << 26)
     mr = pipeline.run_matching(cfg, rs, ts)
     got = set(zip(mr.read_row.tolist(), mr.gene.tolist(),
                   mr.start.tolist(), mr.nmiss.tolist()))
     assert got == exp
-    assert pipeline._PAIR_HINT[0] > 1  # the regrown hint persisted
 
     # (b) ceiling below the pair count: the batch must stream instead.
-    monkeypatch.setattr(pipeline, "_PAIR_HINT", [1])
     monkeypatch.setattr(pipeline, "_PAIR_FLOOR", 1 << 10)
     monkeypatch.setattr(pipeline, "_MAX_PAIR_CAP", 1 << 12)
     mr = pipeline.run_matching(cfg, rs, ts)
     got = set(zip(mr.read_row.tolist(), mr.gene.tolist(),
                   mr.start.tolist(), mr.nmiss.tolist()))
     assert got == exp
+
+
+def test_packed_window_queries_equal_codes_path():
+    """The packed-word window-key extraction (the product probe path) must
+    agree exactly with the byte-matrix reference implementation on keys,
+    second hashes, and validity — including short rows, X codes, and
+    windows straddling word boundaries."""
+    import jax.numpy as jnp
+    from muscato_tpu.ops import fused, packed as pops
+
+    rng = np.random.default_rng(77)
+    for width, min_dinuc, lmax in [(8, 0, 37), (13, 2, 100), (20, 3, 100), (4, 1, 9)]:
+        nreads = 513
+        codes = rng.integers(0, 5, (nreads, lmax)).astype(np.uint8)
+        lengths = rng.integers(0, lmax + 1, nreads).astype(np.int32)
+        for i in range(nreads):
+            codes[i, lengths[i]:] = 0
+        q1s = np.array([0, 3, 8, max(lmax - width, 0)], np.int32)
+
+        k1_c, k2_c, v_c = fused._window_queries_codes(
+            jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(q1s),
+            width=width, min_dinuc=min_dinuc,
+        )
+        rpacked = jnp.asarray(pops.pack_rows_np(codes))
+        k1_p, k2_p, v_p = fused._window_queries(
+            rpacked, jnp.asarray(lengths), jnp.asarray(q1s),
+            width=width, min_dinuc=min_dinuc,
+        )
+        v_c = np.asarray(v_c)
+        np.testing.assert_array_equal(v_c, np.asarray(v_p))
+        np.testing.assert_array_equal(np.asarray(k1_c)[v_c], np.asarray(k1_p)[v_c])
+        np.testing.assert_array_equal(np.asarray(k2_c)[v_c], np.asarray(k2_p)[v_c])

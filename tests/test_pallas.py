@@ -19,7 +19,7 @@ def test_pallas_window_queries_match_xla(width, min_dinuc):
         codes[i, lengths[i]:] = 0
     q1s = (0, 10, 40)
 
-    k1_x, k2_x, v_x = fused._window_queries(
+    k1_x, k2_x, v_x = fused._window_queries_codes(
         jnp.asarray(codes), jnp.asarray(lengths),
         jnp.asarray(np.array(q1s, np.int32)),
         width=width, min_dinuc=min_dinuc,
@@ -60,9 +60,9 @@ def test_muscato_pallas_env_wired(monkeypatch):
     width, max_rl = 8, 64
     idx = build_target_index(ts, width)
     codes_j = jnp.asarray(codes)
-    args = (codes_j, pops.pack_rows(codes_j), jnp.asarray(lengths),
+    args = (pops.pack_rows(codes_j), jnp.asarray(lengths),
             jnp.asarray(np.array([0, 6], np.int32)),
-            idx.skeys, idx.skeys2, idx.spos, idx.tpacked, idx.gene_start,
+            idx.skeys, idx.spos, idx.tpacked, idx.gene_start,
             jnp.asarray(vops.mismatch_budget_table(0.9, max_rl)))
     kw = dict(width=width, min_dinuc=1, max_read_length=max_rl,
               pair_chunk=1 << 10, surv_cap=1 << 12, smax=idx.num_bases)
