@@ -111,10 +111,32 @@ class TargetIndex:
     # 12 bytes/window back across the device link.
     host_arrays: tuple | None = field(default=None, repr=False)
     _aux: SearchAux | None = field(default=None, repr=False)
+    _trows: tuple | None = field(default=None, repr=False)
+    _gblock: tuple | None = field(default=None, repr=False)
 
     @property
     def size(self) -> int:
         return self.num_bases
+
+    def trows(self, nwords: int) -> jnp.ndarray:
+        """Overlapping row view of tpacked for the row-gather verify (one
+        HBM latency per lane instead of one per fetched word — measured
+        4.7x on the verify's target fetch).  Built once per read word
+        count; ~2.75x tpacked's bytes of extra HBM."""
+        if self._trows is None or self._trows[0] != nwords:
+            t = pops.build_trows(self.tpacked, nwords, self.num_bases)
+            self._trows = (nwords, t)
+        return self._trows[1]
+
+    def gene_block(self) -> tuple:
+        """(gblock device array, refine steps) for gene_of_pos_block —
+        replaces the log2(G)-step binary search per verify lane (measured
+        4x on the gene lookup)."""
+        if self._gblock is None:
+            gs = np.asarray(self.gene_start)
+            gb, steps = pops.build_gene_block(gs, self.num_bases)
+            self._gblock = (jnp.asarray(gb), steps)
+        return self._gblock
 
     def search_aux(self) -> SearchAux:
         """Build (once) the unique-key + bucket view for the search probe."""

@@ -187,6 +187,11 @@ def run_matching_indexed(
 
     import time as _time
 
+    # Row-gather verify inputs: the overlapping target-row view and the
+    # gene block table (built once per run; see ops.packed.build_trows).
+    trows = index.trows(packed_ops.packed_width(l_eff))
+    gblock, gsteps = index.gene_block()
+
     surv_rows = []
     total_pairs = 0
     nbatches = -(-nreads // batch)
@@ -243,6 +248,7 @@ def run_matching_indexed(
                     width=width, max_read_length=cfg.MaxReadLength,
                     pair_cap=pair_cap, vchunk=pair_chunk,
                     surv_cap=surv_cap, smax=index.num_bases,
+                    trows=trows, gblock=gblock, gsteps=gsteps,
                 )
             else:
                 buf, nsurv_d, _t, _tf = fused.expand_verify_streamed(
@@ -251,6 +257,7 @@ def run_matching_indexed(
                     width=width, max_read_length=cfg.MaxReadLength,
                     pair_chunk=pair_chunk, surv_cap=surv_cap,
                     smax=index.num_bases,
+                    trows=trows, gblock=gblock, gsteps=gsteps,
                 )
             nsurv = int(nsurv_d)
             if nsurv <= surv_cap:

@@ -398,8 +398,8 @@ def _probe_windows_search_impl(
 
 def _expand_verify_impl(
     counts_m, lo_m, qid_m, keyf, key2f, q1s, rpacked, lengths, spos,
-    tpacked, gene_start, budget,
-    *, nreads, width, max_read_length, pair_chunk, surv_cap, smax,
+    tpacked, gene_start, budget, trows=None, gblock=None,
+    *, nreads, width, max_read_length, pair_chunk, surv_cap, smax, gsteps=0,
 ):
     """Returns (surv (surv_cap, NCOL) int32, nsurv, total, totalf) — nsurv
     may exceed surv_cap, signalling overflow; totalf is the exact pair
@@ -464,6 +464,7 @@ def _expand_verify_impl(
         keep, nx, g, s = pops.verify_pairs_packed(
             r, p, rpacked, lengths, tpacked, gene_start,
             budget, q1_lane, width, max_read_length, smax,
+            trows=trows, gblock=gblock, gsteps=gsteps,
         )
         qc = jnp.clip(qid, 0, nflat - 1)
         grp = keyf[qc].astype(jnp.int32)
@@ -552,8 +553,8 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap):
 
 def _verify_diagonals_impl(
     qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
-    rpacked, lengths, tpacked, gene_start, budget,
-    *, nreads, width, max_read_length, vchunk, surv_cap, smax,
+    rpacked, lengths, tpacked, gene_start, budget, trows=None, gblock=None,
+    *, nreads, width, max_read_length, vchunk, surv_cap, smax, gsteps=0,
 ):
     """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
     to the pair lanes, and survivor compaction.  Work in the gather-heavy
@@ -587,6 +588,7 @@ def _verify_diagonals_impl(
         nx, g, s, ok = pops.verify_diagonals_packed(
             rch, dch, rpacked, lengths, tpacked, gene_start, budget,
             q1s, width, max_read_length, smax,
+            trows=trows, gblock=gblock, gsteps=gsteps,
         )
         nxb = lax.dynamic_update_slice(nxb, nx, (off,))
         gb = lax.dynamic_update_slice(gb, g, (off,))
@@ -833,6 +835,7 @@ def probe_windows(
 def expand_verify_streamed(
     probe_out, q1s, rpacked, lengths, spos, tpacked, gene_start, budget,
     *, width, max_read_length, pair_chunk, surv_cap, smax,
+    trows=None, gblock=None, gsteps=0,
 ):
     """Streaming expand+verify from a probe_windows result: chunked pair
     expansion inside a device while_loop, O(pair_chunk) memory regardless
@@ -840,20 +843,22 @@ def expand_verify_streamed(
     counts_m, lo_m, qid_m, keyf, key2f, _total, _totalf = probe_out
     expand = _tpu_jit(
         _expand_verify_impl,
-        ("nreads", "width", "max_read_length", "pair_chunk", "surv_cap", "smax"),
+        ("nreads", "width", "max_read_length", "pair_chunk", "surv_cap",
+         "smax", "gsteps"),
     )
     return expand(
         counts_m, lo_m, qid_m, keyf, key2f, q1s, rpacked, lengths, spos,
-        tpacked, gene_start, budget,
+        tpacked, gene_start, budget, trows, gblock,
         nreads=rpacked.shape[0], width=width,
         max_read_length=max_read_length,
-        pair_chunk=pair_chunk, surv_cap=surv_cap, smax=smax,
+        pair_chunk=pair_chunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
     )
 
 
 def expand_verify_dedup(
     probe_out, q1s, rpacked, lengths, spos, tpacked, gene_start, budget,
     *, width, max_read_length, pair_cap, vchunk, surv_cap, smax,
+    trows=None, gblock=None, gsteps=0,
 ):
     """Diagonal-dedup expand+verify from a probe_windows result: two async
     dispatches (expand/sort -> verify/compact).  Pairs are materialized
@@ -871,13 +876,14 @@ def expand_verify_dedup(
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,
-        ("nreads", "width", "max_read_length", "vchunk", "surv_cap", "smax"),
+        ("nreads", "width", "max_read_length", "vchunk", "surv_cap",
+         "smax", "gsteps"),
     )
     surv, nsurv = verify(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
-        rpacked, lengths, tpacked, gene_start, budget,
+        rpacked, lengths, tpacked, gene_start, budget, trows, gblock,
         nreads=nreads, width=width, max_read_length=max_read_length,
-        vchunk=vchunk, surv_cap=surv_cap, smax=smax,
+        vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
     )
     return surv, nsurv, total, totalf
 
@@ -904,7 +910,7 @@ def match_windows(
 def match_windows_dedup(
     rpacked, lengths, q1s, skeys, spos, tpacked, gene_start, budget,
     *, width, min_dinuc, max_read_length, pair_cap, vchunk, surv_cap, smax,
-    index_aux=None,
+    index_aux=None, trows=None, gblock=None, gsteps=0,
 ):
     """Probe + diagonal-dedup expand/verify in one call (three async
     dispatches).  See probe_windows / expand_verify_dedup for the split
@@ -917,4 +923,5 @@ def match_windows_dedup(
         pr, q1s, rpacked, lengths, spos, tpacked, gene_start, budget,
         width=width, max_read_length=max_read_length,
         pair_cap=pair_cap, vchunk=vchunk, surv_cap=surv_cap, smax=smax,
+        trows=trows, gblock=gblock, gsteps=gsteps,
     )

@@ -89,6 +89,89 @@ def pack_stream(tcat: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.sum(arr << shifts[None, :], axis=1, dtype=np.uint32))
 
 
+# ---- Row-gather target view -------------------------------------------
+#
+# A dynamic ROW gather from a 2-D table costs ~one HBM latency per row
+# regardless of row width, while an element gather pays ~a full latency per
+# element (measured: (N, 14) element gathers 465ms vs (N, 22) row gathers
+# 99.5ms at N=4M over a 100M-base stream).  The verify kernels therefore
+# fetch the target diagonal from `trows`, an overlapping strided view of
+# the packed stream: trows[i] = tpacked[8*i : 8*i + rowlen].  A diagonal's
+# word offset within its row is in [0, 8), resolved by a 3-level select
+# tree (static slices, VPU work).  rowlen = nwords + 9: nwords + 1 fetched
+# words + up to 7 offset words + 1 guard.
+
+TROWS_GUARD = 9
+GENE_BLOCK_BITS = 8  # gene block table: one entry per 256 stream positions
+
+
+def trows_nrows(smax: int) -> int:
+    return max(1, (max(smax, 1) - 1) // 64 + 1)
+
+
+@partial(jax.jit, static_argnames=("nwords", "smax"))
+def build_trows(tpacked: jnp.ndarray, nwords: int, smax: int) -> jnp.ndarray:
+    """Overlapping (nrows, nwords + 9) uint32 view of the packed stream,
+    one row per 64 stream positions.  Built once per (index, read width);
+    2.75x the packed stream's bytes."""
+    rowlen = nwords + TROWS_GUARD
+    nrows = trows_nrows(smax)
+    need = 8 * (nrows - 1) + rowlen
+    tp = tpacked
+    if tp.shape[0] < need:
+        tp = jnp.pad(tp, (0, need - tp.shape[0]))
+    cols = [
+        lax.slice(tp, (j,), (j + 8 * (nrows - 1) + 1,), (8,))
+        for j in range(rowlen)
+    ]
+    return jnp.stack(cols, axis=1)
+
+
+def _trows_fetch(trows: jnp.ndarray, dc: jnp.ndarray, nwords: int) -> jnp.ndarray:
+    """Words tpacked[dc>>3 : (dc>>3) + nwords + 1] per lane, via one row
+    gather + 3-level column select."""
+    base = dc >> 3
+    row = base >> 3
+    woff = base & 7
+    t = trows[jnp.clip(row, 0, trows.shape[0] - 1)]
+    t = jnp.where((woff & 4).astype(bool)[:, None], t[:, 4:], t[:, : t.shape[1] - 4])
+    t = jnp.where((woff & 2).astype(bool)[:, None], t[:, 2:], t[:, : t.shape[1] - 2])
+    t = jnp.where((woff & 1).astype(bool)[:, None], t[:, 1:], t[:, : t.shape[1] - 1])
+    return t[:, : nwords + 1]
+
+
+def build_gene_block(gene_start_np: np.ndarray, smax: int):
+    """Host-built block table for gene_of_pos_block: gblock[b] = owning
+    gene of stream position b*256, plus the refine step count (log2 of the
+    widest block's gene span).  G+1 binary-search steps collapse to
+    1 block lookup + `steps` refines (steps is 1-2 for real gene sizes)."""
+    gs = np.asarray(gene_start_np, dtype=np.int64)
+    nb = (max(smax, 1) >> GENE_BLOCK_BITS) + 2
+    marks = np.arange(nb, dtype=np.int64) << GENE_BLOCK_BITS
+    gb = (np.searchsorted(gs[: len(gs)], marks, side="right") - 1).astype(np.int32)
+    gb = np.clip(gb, 0, max(len(gs) - 2, 0))
+    span = int((gb[1:] - gb[:-1]).max(initial=0))
+    steps = max(span, 1).bit_length()
+    return gb, steps
+
+
+def gene_of_pos_block(
+    gene_start: jnp.ndarray, gblock: jnp.ndarray, p: jnp.ndarray, steps: int
+) -> jnp.ndarray:
+    """gene_of_pos via the block table: bounds from two adjacent gblock
+    entries, then `steps` branchless refine iterations."""
+    g = gene_start.shape[0] - 1
+    b = (p >> GENE_BLOCK_BITS).astype(jnp.int32)
+    lo = gblock[jnp.clip(b, 0, gblock.shape[0] - 1)]
+    hi = gblock[jnp.clip(b + 1, 0, gblock.shape[0] - 1)]
+    for _ in range(steps):
+        mid = (lo + hi + 1) >> 1
+        up = gene_start[jnp.clip(mid, 0, g)] <= p
+        lo = jnp.where(up, mid, lo)
+        hi = jnp.where(up, hi, mid - 1)
+    return lo
+
+
 def gene_of_pos(gene_start: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Owning gene of each stream position: the largest g with
     gene_start[g] <= p, as an unrolled branchless binary search over the
@@ -128,6 +211,9 @@ def verify_diagonals_packed(
     width: int,
     max_read_length: int,
     smax: int,
+    trows: jnp.ndarray | None = None,
+    gblock: jnp.ndarray | None = None,
+    gsteps: int = 0,
 ):
     """Verify one (read, diagonal) once for ALL windows at once.
 
@@ -155,7 +241,10 @@ def verify_diagonals_packed(
     rc = jnp.clip(r, 0, rpacked.shape[0] - 1)
     dc = jnp.clip(d, 0, smax - 1)
 
-    g = gene_of_pos(gene_start, dc)
+    if gblock is not None:
+        g = gene_of_pos_block(gene_start, gblock, dc, gsteps)
+    else:
+        g = gene_of_pos(gene_start, dc)
     gstart = gene_start[g]
     gend = gene_start[g + 1]
     glen = gend - gstart
@@ -163,11 +252,14 @@ def verify_diagonals_packed(
     rlen = lengths[rc]
 
     # ---- SWAR mismatch count over the aligned diagonal (once) ----
-    base = dc >> 3
     rshift = (dc & 7).astype(jnp.uint32) * 4
-    widx = jnp.arange(nwords + 1, dtype=jnp.int32)
-    gidx = jnp.clip(base[:, None] + widx[None, :], 0, tpacked.shape[0] - 1)
-    tw = tpacked[gidx]  # (C, NW+1)
+    if trows is not None:
+        tw = _trows_fetch(trows, dc, nwords)  # (C, NW+1), one gather/lane
+    else:
+        base = dc >> 3
+        widx = jnp.arange(nwords + 1, dtype=jnp.int32)
+        gidx = jnp.clip(base[:, None] + widx[None, :], 0, tpacked.shape[0] - 1)
+        tw = tpacked[gidx]  # (C, NW+1)
     lowpart = tw[:, :-1] >> rshift[:, None]
     hipart = jnp.where(
         (rshift == 0)[:, None],
@@ -216,6 +308,9 @@ def verify_pairs_packed(
     width: int,
     max_read_length: int,
     smax: int,
+    trows: jnp.ndarray | None = None,
+    gblock: jnp.ndarray | None = None,
+    gsteps: int = 0,
 ):
     """SWAR equivalent of verify.verify_pairs_dynq; returns (keep, nx, g, s).
 
@@ -228,7 +323,10 @@ def verify_pairs_packed(
     pc = jnp.clip(p, 0, smax - 1)
     q1 = jnp.broadcast_to(jnp.asarray(q1, jnp.int32), r.shape)
 
-    g = gene_of_pos(gene_start, pc)
+    if gblock is not None:
+        g = gene_of_pos_block(gene_start, gblock, pc, gsteps)
+    else:
+        g = gene_of_pos(gene_start, pc)
     gstart = gene_start[g]
     glen = gene_start[g + 1] - gstart
     p_local = pc - gstart
@@ -250,16 +348,20 @@ def verify_pairs_packed(
     # ---- SWAR mismatch count over the aligned diagonal ----
     d = pc - q1  # global read-start position
     dc = jnp.maximum(d, 0)
-    base = dc >> 3  # dc // 8
     rshift = (dc & 7).astype(jnp.uint32) * 4
 
-    # (NW+1) words per pair as a plain element gather over an index matrix.
-    # NB: sliced gathers (lax.gather with slice_sizes>1, or a vmapped
-    # dynamic_slice) scalarize into a serial per-pair loop on TPU — measured
-    # 131072 sequential slices; element gathers stay batched.
-    widx = jnp.arange(nwords + 1, dtype=jnp.int32)
-    gidx = jnp.clip(base[:, None] + widx[None, :], 0, tpacked.shape[0] - 1)
-    tw = tpacked[gidx]  # (P, NW+1)
+    if trows is not None:
+        tw = _trows_fetch(trows, dc, nwords)  # (P, NW+1), one gather/lane
+    else:
+        # (NW+1) words per pair as a plain element gather over an index
+        # matrix.  NB: sliced gathers (lax.gather with slice_sizes>1, or a
+        # vmapped dynamic_slice) scalarize into a serial per-pair loop on
+        # TPU — measured 131072 sequential slices; element gathers stay
+        # batched.
+        base = dc >> 3  # dc // 8
+        widx = jnp.arange(nwords + 1, dtype=jnp.int32)
+        gidx = jnp.clip(base[:, None] + widx[None, :], 0, tpacked.shape[0] - 1)
+        tw = tpacked[gidx]  # (P, NW+1)
     lowpart = tw[:, :-1] >> rshift[:, None]
     hipart = jnp.where(
         (rshift == 0)[:, None],

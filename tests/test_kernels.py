@@ -312,6 +312,69 @@ def test_packed_verify_matches_byte_verify():
         np.testing.assert_array_equal(np.asarray(sb), np.asarray(sp))
 
 
+def test_rowgather_verify_matches_elem_verify():
+    """The row-gather target fetch (trows view) and block gene table must
+    give bit-identical verify results to the element-gather/binary-search
+    path, including at stream edges and gene boundaries."""
+    import jax.numpy as jnp
+    from muscato_tpu.ops import packed as pops
+
+    rng = np.random.default_rng(7)
+    max_rl = 72
+    width = 9
+    S = 5000
+    # Irregular gene sizes, including tiny genes (stress the block table).
+    cuts = np.sort(rng.choice(np.arange(1, S), 40, replace=False))
+    gene_start = np.concatenate([[0], cuts, [S]]).astype(np.int32)
+    tcat = rng.integers(0, 5, S).astype(np.uint8)
+    codes = rng.integers(0, 5, (64, max_rl)).astype(np.uint8)
+    lengths = rng.integers(width, max_rl + 1, 64).astype(np.int32)
+    for i in range(64):
+        codes[i, lengths[i]:] = 0
+    budget = jnp.asarray(vops.mismatch_budget_table(0.9, max_rl))
+    rpacked = pops.pack_rows(jnp.asarray(codes))
+    tpacked = pops.pack_stream(tcat)
+    gs = jnp.asarray(gene_start)
+    trows = pops.build_trows(tpacked, int(rpacked.shape[1]), S)
+    gb_np, steps = pops.build_gene_block(gene_start, S)
+    gblock = jnp.asarray(gb_np)
+
+    n = 2048
+    r = rng.integers(0, 64, n).astype(np.int32)
+    # Diagonals across the whole stream, incl. first/last positions.
+    d = rng.integers(0, S, n).astype(np.int32)
+    d[:4] = [0, 1, S - 1, S - 2]
+    r[::19] = -1
+    q1s = jnp.asarray(np.array([0, 2, 11], np.int32))
+
+    base = pops.verify_diagonals_packed(
+        jnp.asarray(r), jnp.asarray(d), rpacked, jnp.asarray(lengths),
+        tpacked, gs, budget, q1s, width, max_rl, S,
+    )
+    rows = pops.verify_diagonals_packed(
+        jnp.asarray(r), jnp.asarray(d), rpacked, jnp.asarray(lengths),
+        tpacked, gs, budget, q1s, width, max_rl, S,
+        trows=trows, gblock=gblock, gsteps=steps,
+    )
+    for a, b in zip(base, rows):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    p = rng.integers(0, S - width, n).astype(np.int32)
+    p[::13] = -1
+    for q1 in (0, 5):
+        kb = pops.verify_pairs_packed(
+            jnp.asarray(r), jnp.asarray(p), rpacked, jnp.asarray(lengths),
+            tpacked, gs, budget, q1, width, max_rl, S,
+        )
+        kr = pops.verify_pairs_packed(
+            jnp.asarray(r), jnp.asarray(p), rpacked, jnp.asarray(lengths),
+            tpacked, gs, budget, q1, width, max_rl, S,
+            trows=trows, gblock=gblock, gsteps=steps,
+        )
+        for a, b in zip(kb, kr):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_max_matches_cap_binds():
     """When a k-mer group exceeds MaxMatches, 'best' keeps the lowest-nmiss
     matches (deterministically here; the reference truncates approximately,
