@@ -54,17 +54,23 @@ def _mk_sets(rng, n_reads, n_genes, width, max_rl):
     return rs, ts
 
 
-@pytest.mark.parametrize("dp,mp", [(1, 8), (2, 4), (8, 1), (4, 2)])
-def test_sharded_equals_single(dp, mp):
+@pytest.mark.parametrize(
+    "dp,mp,n_reads",
+    [(1, 8, 40), (2, 4, 40), (8, 1, 40), (4, 2, 40),
+     # ragged dp splits: read counts not divisible by dp exercise the
+     # pad/offset bookkeeping (41 % 8 = 1, 37 % 4 = 1, 43 % 2 = 1)
+     (8, 1, 41), (4, 2, 37), (2, 4, 43)],
+)
+def test_sharded_equals_single(dp, mp, n_reads):
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    rng = np.random.default_rng(dp * 31 + mp)
+    rng = np.random.default_rng(dp * 31 + mp + n_reads)
     width = 6
     max_rl = 40
     cfg = Config(
         Windows=[0, 4], WindowWidth=width, PMatch=0.9, MinDinuc=1,
         MaxReadLength=max_rl, MMTol=1, MaxMatches=10**6, MatchMode="best",
     )
-    rs, ts = _mk_sets(rng, n_reads=40, n_genes=12, width=width, max_rl=max_rl)
+    rs, ts = _mk_sets(rng, n_reads=n_reads, n_genes=12, width=width, max_rl=max_rl)
 
     single = pipeline.run_matching(cfg, rs, ts)
     expected = set(
