@@ -95,10 +95,21 @@ def _report(trace_dir):
         if e.get("ph") != "X" or e.get("pid") != dev_pid:
             continue
         by_name[e.get("name", "?")] += e.get("dur", 0)
+    by_src = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") != dev_pid:
+            continue
+        src = (e.get("args") or {}).get("source", "")
+        if src:
+            by_src[src] += e.get("dur", 0)
     total = sum(by_name.values())
     print(f"device pid {dev_pid}: total {total/1e6:.3f}s across fusions", flush=True)
     for name, us in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
         print(f"  {us/1e6:8.3f}s  {name[:110]}", flush=True)
+    if by_src:
+        print("top source lines:", flush=True)
+        for src, us in sorted(by_src.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"  {us/1e6:8.3f}s  {src[-110:]}", flush=True)
 
 
 if __name__ == "__main__":

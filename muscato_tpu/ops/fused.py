@@ -600,31 +600,34 @@ def _verify_diagonals_impl(
         lambda st: st[0] < nchunks, body, (jnp.int32(0), nxb, gb, sb, okb)
     )
 
-    # Map verdicts back to pair lanes (u_idx is nondecreasing — these
-    # gathers ride sequential HBM lines).
+    # Map verdict bits back to pair lanes (u_idx is nondecreasing — this
+    # gather rides sequential HBM lines).  Only the verdict is fetched
+    # per lane; nmiss/gene/start are fetched AFTER compaction for the
+    # retained prefix only (3 gathers x surv_cap instead of x pair_cap —
+    # the map-back was 4 full-pair-cap gathers and measured ~1.6s/batch).
     uix = jnp.clip(u_idx, 0, cap - 1)
     kc = jnp.clip(jnp.maximum(qid_s, 0) // nreads, 0, nwin - 1)
     ok = (okb[uix] >> kc) & 1
     keep = (qid_s >= 0) & (ok == 1)
-    nx = nxb[uix]
-    g = gb[uix]
-    s = sb[uix]
 
     # Compaction: survivors first.  dead lanes key to int32-max (no real
-    # qid reaches 2**31-1), so one word orders the sort.
+    # qid reaches 2**31-1), so one word orders the sort; the unique-row
+    # id rides as the only payload.
     qd = jnp.where(keep, qid_s, jnp.int32(0x7FFFFFFF))
-    qd, g2, s2, nx2 = lax.sort((qd, g, s, nx), num_keys=1)
+    qd, uix2 = lax.sort((qd, uix), num_keys=1)
     take = min(surv_cap, cap)
     qdt = qd[:take]
+    ut = uix2[:take]
+    nx2 = nxb[ut]
+    g2 = gb[ut]
+    s2 = sb[ut]
     kt = jnp.clip(jnp.maximum(qdt, 0) // nreads, 0, nwin - 1)
     rt = jnp.maximum(qdt, 0) - kt * nreads
     qc = jnp.clip(qdt, 0, nflat - 1)
     gr1 = keyf[qc].astype(jnp.int32)
     gr2 = key2f[qc].astype(jnp.int32)
     surv = jnp.zeros((surv_cap, NCOL), jnp.int32)
-    rows = jnp.stack(
-        [rt, g2[:take], s2[:take], nx2[:take], gr1, gr2, kt], axis=1,
-    )
+    rows = jnp.stack([rt, g2, s2, nx2, gr1, gr2, kt], axis=1)
     surv = lax.dynamic_update_slice(surv, rows, (0, 0))
     nsurv = jnp.sum(keep.astype(jnp.int32))
     return surv, nsurv
