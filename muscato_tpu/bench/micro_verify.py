@@ -1,0 +1,116 @@
+"""Microbench: verify_diagonals_packed lane cost on the real chip.
+
+Isolates the dedup-verify while-loop body (the current top profile line):
+one call over N lanes with realistic table sizes (100M-base stream,
+4M-read matrix), varied diagonals per rep to defeat relay dispatch
+caching.  Prints per-rep best and ns/lane, plus a variant sweep that
+drops one input at a time to attribute the cost (target row fetch, read
+row fetch, gene lookup).
+
+Run: python -u -m muscato_tpu.bench.micro_verify [n_millions]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import packed as pops
+from ..ops import verify as vops
+
+
+def timeit(fn, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    n = int(float(sys.argv[1] if len(sys.argv) > 1 else 1.0) * 1e6)
+    S = 100_000_000
+    R = 4_000_000
+    max_rl = 100
+    width = 20
+    rng = np.random.default_rng(0)
+
+    nw = pops.packed_width(max_rl)
+    rpacked = jnp.asarray(rng.integers(0, 2**32, (R, nw), dtype=np.uint64).astype(np.uint32))
+    lengths = jnp.full(R, max_rl, jnp.int32)
+    swords = S // 8 + 4
+    tpacked = jnp.asarray(rng.integers(0, 2**32, swords, dtype=np.uint64).astype(np.uint32))
+    gene_start = np.arange(0, S + 1000, 1000, dtype=np.int64)
+    gene_start[-1] = S
+    gs = jnp.asarray(gene_start.astype(np.int32))
+    budget = jnp.asarray(vops.mismatch_budget_table(0.96, max_rl))
+    q1s = jnp.asarray(np.array([10, 30, 50, 70], np.int32))
+    trows = pops.build_trows(tpacked, nw, S)
+    gb_np, steps = pops.build_gene_block(gene_start, S)
+    gblock = jnp.asarray(gb_np)
+    print(f"tables ready: trows {trows.shape} steps {steps}", flush=True)
+
+    def mk(rep):
+        rr = rng.integers(0, R, n).astype(np.int32)
+        dd = rng.integers(0, S - 2 * max_rl, n).astype(np.int32)
+        return jnp.asarray(rr), jnp.asarray(dd)
+
+    lanes = [mk(i) for i in range(3)]
+    for a, b in lanes:
+        a.block_until_ready(), b.block_until_ready()
+
+    fn = jax.jit(
+        lambda r, d, tr, gb: pops.verify_diagonals_packed(
+            r, d, rpacked, lengths, tpacked, gs, budget, q1s,
+            width, max_rl, S, trows=tr, gblock=gb, gsteps=steps,
+        ),
+        static_argnames=(),
+    )
+    # warm
+    jax.block_until_ready(fn(*lanes[0], trows, gblock))
+
+    def cycle(f):
+        state = [0]
+
+        def run():
+            r, d = lanes[state[0] % 3]
+            state[0] += 1
+            return f(r, d)
+
+        return run
+
+    best = timeit(cycle(lambda r, d: fn(r, d, trows, gblock)), reps=6)
+    print(f"full: {best*1e3:.1f}ms -> {best/n*1e9:.1f} ns/lane", flush=True)
+
+    # variant: constant read row (kills the rpacked row gather)
+    fn_r0 = jax.jit(
+        lambda r, d: pops.verify_diagonals_packed(
+            jnp.zeros_like(r), d, rpacked, lengths, tpacked, gs, budget, q1s,
+            width, max_rl, S, trows=trows, gblock=gblock, gsteps=steps,
+        )
+    )
+    jax.block_until_ready(fn_r0(*lanes[0]))
+    best = timeit(cycle(fn_r0), reps=6)
+    print(f"const-read: {best*1e3:.1f}ms", flush=True)
+
+    # variant: constant diagonal (kills the trows fetch + gene lookup)
+    fn_d0 = jax.jit(
+        lambda r, d: pops.verify_diagonals_packed(
+            r, jnp.zeros_like(d) + 12345, rpacked, lengths, tpacked, gs,
+            budget, q1s, width, max_rl, S, trows=trows, gblock=gblock,
+            gsteps=steps,
+        )
+    )
+    jax.block_until_ready(fn_d0(*lanes[0]))
+    best = timeit(cycle(fn_d0), reps=6)
+    print(f"const-diag: {best*1e3:.1f}ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

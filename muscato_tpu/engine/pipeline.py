@@ -154,6 +154,11 @@ def run_matching_indexed(
     budget = jnp.asarray(vops.mismatch_budget_table(cfg.PMatch, cfg.MaxReadLength))
 
     pair_chunk = cfg.MaxPairChunk or (1 << 17)
+    # The dedup verify's while-loop body is cheap per lane (one row gather
+    # + SWAR); at 1<<17 lanes/iteration the loop overhead dominated
+    # (~28 iterations x ~50ms at 4M-read batches, profiled).  1<<20 lanes
+    # keeps the transient SWAR buffers ~100-400MB and cuts iterations 8x.
+    vchunk = cfg.MaxPairChunk or (1 << 20)
     q1s = jnp.asarray(np.asarray(cfg.Windows, dtype=np.int32))
 
     # The reference aborts when a window seeds no reads
@@ -246,7 +251,7 @@ def run_matching_indexed(
                     pr, q1s, rpacked, lengths, index.spos,
                     index.tpacked, index.gene_start, budget,
                     width=width, max_read_length=cfg.MaxReadLength,
-                    pair_cap=pair_cap, vchunk=pair_chunk,
+                    pair_cap=pair_cap, vchunk=min(vchunk, pair_cap),
                     surv_cap=surv_cap, smax=index.num_bases,
                     trows=trows, gblock=gblock, gsteps=gsteps,
                 )
@@ -262,13 +267,15 @@ def run_matching_indexed(
             nsurv = int(nsurv_d)
             if nsurv <= surv_cap:
                 break
-            # Overflow: grow to the next bucket and re-run the expand
-            # stage (the probe result is reused).  The grown capacity
-            # persists process-wide so later runs and batches start
-            # right-sized (regrows force a fresh executable, which
-            # remote-compile backends make expensive).
-            while surv_cap < nsurv:
-                surv_cap *= 4
+            # Overflow: grow to the exact power-of-two bucket covering the
+            # now-known survivor count and re-run the expand stage (the
+            # probe result is reused).  Tight sizing matters: the verify
+            # compaction's value gathers and the whole rank stage scale
+            # with surv_cap, so a 4x-overshoot bucket taxes every later
+            # batch.  The grown capacity persists process-wide so later
+            # runs and batches start right-sized (regrows force a fresh
+            # executable, which remote-compile backends make expensive).
+            surv_cap = max(surv_cap * 2, _pow2ceil(nsurv))
             _CAP_HINT[0] = surv_cap
         total_pairs += total
         if nsurv:

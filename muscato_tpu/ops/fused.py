@@ -67,12 +67,21 @@ from . import windows as winops
 NCOL = 7  # r, g, s, nx, group1, group2, window
 
 # On TPU, XLA may offload large gathers/scatters/sorts to the SparseCore;
-# keep these kernels on the TensorCore.
-_TPU_COMPILER_OPTIONS = {
-    "xla_tpu_offload_gather_to_sparsecore": "false",
-    "xla_tpu_enable_offloading_scatter_to_sparsecore": "false",
-    "xla_tpu_enable_offloading_sort_to_sparsecore": "false",
-}
+# keep these kernels on the TensorCore by default.  MUSCATO_SPARSECORE=1
+# lets XLA offload gathers (they then run concurrently with TensorCore
+# work) — an A/B knob for hardware where the SparseCore is present.
+import os as _os_mod
+
+if _os_mod.environ.get("MUSCATO_SPARSECORE") == "1":
+    _TPU_COMPILER_OPTIONS = {
+        "xla_tpu_enable_offloading_sort_to_sparsecore": "false",
+    }
+else:
+    _TPU_COMPILER_OPTIONS = {
+        "xla_tpu_offload_gather_to_sparsecore": "false",
+        "xla_tpu_enable_offloading_scatter_to_sparsecore": "false",
+        "xla_tpu_enable_offloading_sort_to_sparsecore": "false",
+    }
 
 _jit_cache = {}
 
@@ -258,11 +267,19 @@ def _probe_windows_impl(
     # chunk's owner span by the chunk size.  The group keys are not
     # compacted at all: downstream stages carry qid and index keyf/key2f
     # directly (saves two 100M+-row sort operands AND two K*R gathers).
+    # The inactive flag and qid share one key word (qid indexes the K*R
+    # query space; K*R < 2**30 is asserted at trace time), so this sort
+    # runs 3-operand single-key unstable — measured ~2x the 4-operand
+    # stable variant at 100M+ rows.  Key ties exist only among index rows
+    # (qid -1), whose order is irrelevant (count 0).
+    assert nflat < (1 << 30) - 1, "query space exceeds the packed-key range"
     inactive = (counts_m == 0).astype(jnp.int32)
-    _, counts_c, lo_c, qid_c = lax.sort(
-        (inactive, counts_m, lo_m, qid_m), num_keys=1, is_stable=True
+    packed_key = (inactive << 30) | (qid_m + 1)
+    packed_c, counts_c, lo_c = lax.sort(
+        (packed_key, counts_m, lo_m), num_keys=1
     )
-    counts_c, lo_c, qid_c = counts_c[:nflat], lo_c[:nflat], qid_c[:nflat]
+    counts_c, lo_c = counts_c[:nflat], lo_c[:nflat]
+    qid_c = (packed_c[:nflat] & ((1 << 30) - 1)) - 1
     total = jnp.sum(counts_c)
     totalf = jnp.sum(counts_c.astype(jnp.float32))
     return counts_c, lo_c, qid_c, keyf, key2f, total, totalf
@@ -719,10 +736,19 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
     cap = mm + jnp.int32(1 if match_mode == "first" else 0)
     keep = (dead_s == 0) & (rank < cap)
 
+    # Stages 2-4 never consult the group/window columns; they ride the
+    # sorts only so full_cols callers (multi-batch re-cap) get them back.
+    # Single-batch callers drop them here: three fewer operands through
+    # three surv_cap-row sorts.
+    if full_cols:
+        extras = (grp, grp2, win)
+    else:
+        extras = ()
+
     # 2. exact dedup on (read, gene, start)
     dead2 = (~keep).astype(jnp.int32)
-    dead2, r, g, s, nx, grp, grp2, win = lax.sort(
-        (dead2, r, g, s, nx, grp, grp2, win), num_keys=4
+    dead2, r, g, s, nx, *extras = lax.sort(
+        (dead2, r, g, s, nx, *extras), num_keys=4
     )
     first_rgs = jnp.concatenate(
         [jnp.ones(1, bool),
@@ -732,8 +758,8 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
 
     # 3. per-read best + MMTol (order by (read, nmiss); the best fills down)
     dead3 = (~keep).astype(jnp.int32)
-    dead3, r, nx, g, s, grp, grp2, win = lax.sort(
-        (dead3, r, nx, g, s, grp, grp2, win), num_keys=3
+    dead3, r, nx, g, s, *extras = lax.sort(
+        (dead3, r, nx, g, s, *extras), num_keys=3
     )
     new_read = jnp.concatenate(
         [jnp.ones(1, bool), (r[1:] != r[:-1]) | (dead3[1:] != dead3[:-1])]
@@ -743,11 +769,11 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
 
     # 4. compact to canonical (read, gene, start) order
     dead4 = (~keep).astype(jnp.int32)
-    dead4, r, g, s, nx, grp, grp2, win = lax.sort(
-        (dead4, r, g, s, nx, grp, grp2, win), num_keys=4
+    dead4, r, g, s, nx, *extras = lax.sort(
+        (dead4, r, g, s, nx, *extras), num_keys=4
     )
     if full_cols:
-        rows = jnp.stack([r, g, s, nx, grp, grp2, win], axis=1)
+        rows = jnp.stack([r, g, s, nx, *extras], axis=1)
     elif pack_bits is not None:
         rows = _pack_rows64(r, g, s, nx, pack_bits)
     else:
