@@ -253,6 +253,14 @@ def _run_stages(cfg: Config, logger: logging.Logger) -> None:
         read_row=mr.read_row, gene=mr.gene, start=mr.start, nmiss=mr.nmiss,
     )
 
+    import jax as _jax
+
+    if _jax.process_count() > 1 and _jax.process_index() != 0:
+        # Multi-host: every process computes identical results; only the
+        # primary writes the report files (per-host temp/log dirs remain).
+        logger.info("non-primary process: skipping report output")
+        return
+
     sys.stderr.write("Writing results...\n")
     rlog_t = time.time()
     table = report.write_results(cfg.ResultsFileName, mr, rs, ts)

@@ -27,7 +27,10 @@ import numpy as np
 from jax import lax
 
 BASES_PER_WORD = 8
-_NIB1 = jnp.uint32(0x11111111)
+# numpy scalar on purpose: a module-level jnp constant would initialize
+# the XLA backend at import time, which breaks jax.distributed.initialize
+# (it must run before any backend touch on multi-host pods).
+_NIB1 = np.uint32(0x11111111)
 
 
 def packed_width(l: int) -> int:

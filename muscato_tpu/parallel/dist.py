@@ -6,17 +6,23 @@ for running the sharded engine (parallel/mesh.py) across TPU hosts:
 
   - `initialize()` wires `jax.distributed` from standard TPU pod
     environment variables (or explicit args) so every host sees the global
-    device set;
+    device set; the driver calls it when `--Coordinator`/`--ProcessCount`
+    are set (engine/driver.py);
   - `pod_mesh(dp, mp)` builds the 2-D mesh over all global devices, read
     data parallelism over "dp" and gene-range index shards over "mp";
-  - hosts stream their local fastq shard (the engine's ReadBatch loop),
-    and the shard_map collective merge (all_gather over both axes) keeps
-    outputs bit-identical to a single-device run.
+  - every host parses the same inputs (read dedup is global, so each host
+    needs the full unique read set) and executes the same global batches;
+    parallel/mesh.py stages them as global jax.Arrays
+    (make_array_from_callback) so each process feeds only its addressable
+    devices, and the retained rows cross hosts once per batch over the
+    process collective (mesh._addressable_by_dp + process_allgather);
+  - process 0 alone writes the report files.
 
 Single-host multi-chip needs no initialize(); `jax.devices()` already
-shows the local chips.  The multi-host paths cannot be exercised in this
-repo's single-chip environment — `__graft_entry__.dryrun_multichip`
-validates the full sharded step on a virtual device mesh instead.
+shows the local chips.  The true multi-process path is exercised by
+tests/test_multihost.py (2 OS processes x 4 virtual CPU devices, Gloo
+collectives); `__graft_entry__.dryrun_multichip` additionally validates
+the sharded step on a single-process virtual mesh.
 """
 
 from __future__ import annotations
@@ -63,11 +69,7 @@ def pod_mesh(dp: int | None = None, mp: int | None = None):
     return make_mesh(dp, mp)
 
 
-def process_read_range(num_unique: int) -> tuple[int, int]:
-    """The contiguous unique-read range this host should stream
-    (data-parallel input pipeline: each host reads its own fastq shard)."""
-    pid = jax.process_index()
-    pn = jax.process_count()
-    per = -(-num_unique // pn)
-    lo = min(pid * per, num_unique)
-    return lo, min(lo + per, num_unique)
+def is_primary() -> bool:
+    """True on the process that owns report/file output (the driver skips
+    result writing elsewhere; all processes compute identical results)."""
+    return jax.process_index() == 0

@@ -140,6 +140,35 @@ def make_mesh(dp: int, mp: int, devices=None) -> Mesh:
     return Mesh(dev, axis_names=("dp", "mp"))
 
 
+def _globalize_inputs(mesh: Mesh, specs, arrays):
+    """Multi-host input staging: host values must become global jax.Arrays
+    (a plain numpy arg would be replicated per-process and shard_map would
+    see inconsistent global shapes).  Every host holds the same full
+    logical value (same target files, same read batch), so each process
+    serves its addressable shards by slicing its local copy."""
+    out = []
+    for a, spec in zip(arrays, specs):
+        a = np.asarray(a)
+        sh = jax.sharding.NamedSharding(mesh, spec)
+        out.append(
+            jax.make_array_from_callback(a.shape, sh, lambda idx, _a=a: _a[idx])
+        )
+    return tuple(out)
+
+
+def _addressable_by_dp(arr, dp: int, axis0_size: int):
+    """Map a P('dp')-sharded output's addressable shards to {dp row:
+    numpy block} (mp-replicated duplicates collapse by index)."""
+    per = axis0_size // dp
+    out = {}
+    for sh in arr.addressable_shards:
+        sl = sh.index[0]
+        d0 = (sl.start or 0) // per
+        if d0 not in out:
+            out[d0] = np.asarray(sh.data)
+    return out
+
+
 def _shard_step(
     rpacked, lengths, gene_start, skeys,
     spos, tpacked, gene_base, budget, q1s, *, width, min_dinuc,
@@ -233,29 +262,103 @@ def sharded_match_arrays(
         mmtol=cfg.MMTol,
         match_mode=cfg.MatchMode,
     )
+    in_specs = (
+        P("dp", None),  # rpacked
+        P("dp"),  # lengths
+        P("mp", None),  # gene_start
+        P("mp", None),  # skeys
+        P("mp", None),  # spos
+        P("mp", None),  # tpacked
+        P("mp"),  # gene_base
+        P(),  # budget (replicated)
+        P(),  # q1s (replicated)
+    )
     mapped = jax.shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=(
-            P("dp", None),  # rpacked
-            P("dp"),  # lengths
-            P("mp", None),  # gene_start
-            P("mp", None),  # skeys
-            P("mp", None),  # spos
-            P("mp", None),  # tpacked
-            P("mp"),  # gene_base
-            P(),  # budget (replicated)
-            P(),  # q1s (replicated)
-        ),
+        fn, mesh=mesh, in_specs=in_specs,
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
         check_vma=False,
     )
 
-    rows_d, count_d, nsurv, totalf = jax.jit(mapped)(
-        rpacked, lengths, sidx.gene_start,
-        sidx.skeys, sidx.spos, sidx.tpacked, sidx.gene_base,
-        budget, q1s,
-    )
+    multi = jax.process_count() > 1
+    if multi:
+        # The index side is globalized once per (index, mesh) and cached;
+        # only the per-batch read arrays cross the host->device boundary
+        # each call.
+        ckey = (id(mesh), cfg.PMatch, cfg.MaxReadLength, tuple(cfg.Windows))
+        cache = getattr(sidx, "_global_cache", None)
+        if cache is None or cache[0] != ckey:
+            fixed = _globalize_inputs(
+                mesh, in_specs[2:],
+                (sidx.gene_start, sidx.skeys, sidx.spos, sidx.tpacked,
+                 sidx.gene_base, budget, q1s),
+            )
+            cache = (ckey, fixed)
+            sidx._global_cache = cache
+        args = _globalize_inputs(mesh, in_specs[:2], (rpacked, lengths))
+        args = args + cache[1]
+    else:
+        args = (
+            rpacked, lengths, sidx.gene_start,
+            sidx.skeys, sidx.spos, sidx.tpacked, sidx.gene_base,
+            budget, q1s,
+        )
+    rows_d, count_d, nsurv, totalf = jax.jit(mapped)(*args)
+
+    per = codes.shape[0] // dp
+    if multi:
+        # Multi-host merge: each process fetches its addressable dp blocks
+        # only, then the retained rows cross hosts once over the process
+        # collective (the DCN analogue of the reference's final file
+        # merge).  Overflow decisions use GLOBAL maxima so every process
+        # regrows in lockstep (a lone regrow would deadlock the others).
+        from jax.experimental import multihost_utils as mhu
+
+        ns_loc = _addressable_by_dp(nsurv, dp, dp)
+        tf_loc = _addressable_by_dp(totalf, dp, dp)
+        loc_ns = max((int(v.max(initial=0)) for v in ns_loc.values()), default=0)
+        loc_tf = max((float(v.max(initial=0.0)) for v in tf_loc.values()), default=0.0)
+        gmaxes = mhu.process_allgather(np.asarray([float(loc_ns), loc_tf]))
+        g_ns = int(np.max(gmaxes[..., 0]))
+        g_tf = float(np.max(gmaxes[..., 1]))
+        if g_tf > float(2**30):
+            raise ValueError(
+                "candidate pair count on one device exceeds the 2**30 "
+                "expansion limit; re-run with a smaller ReadBatch"
+            )
+        if g_ns > surv_cap:
+            raise CapacityError(g_ns)
+
+        counts = _addressable_by_dp(count_d, dp, dp)
+        blocks = _addressable_by_dp(rows_d, dp, dp)
+        out = []
+        for d, block in sorted(blocks.items()):
+            n = int(counts[d][0])
+            if not n:
+                continue
+            rows = np.array(block[0, :n])
+            rows[:, 0] += d * per  # local read row -> global row
+            out.append(rows)
+        local = (
+            np.concatenate(out)
+            if out
+            else np.zeros((0, fused.NCOL), dtype=np.int32)
+        )
+        sizes = mhu.process_allgather(
+            np.asarray([local.shape[0]], np.int64)
+        ).ravel()
+        mx = int(sizes.max(initial=0))
+        padded = np.zeros((mx, fused.NCOL), np.int32)
+        padded[: local.shape[0]] = local
+        allr = mhu.process_allgather(padded)  # (nproc, mx, NCOL)
+        parts = [allr[p][: int(sizes[p])] for p in range(len(sizes))]
+        z = (
+            np.concatenate(parts)
+            if parts and mx
+            else np.zeros((0, fused.NCOL), dtype=np.int32)
+        )
+        z = z[(z[:, 0] >= 0) & (z[:, 0] < r_total)]
+        return tuple(z[:, i].astype(np.int32) for i in range(fused.NCOL))
+
     nsurv_np = np.asarray(nsurv)  # (dp, mp)
     if float(np.max(np.asarray(totalf))) > float(2**30):
         raise ValueError(
@@ -268,7 +371,6 @@ def sharded_match_arrays(
     # Fetch only the retained-row prefixes (ranked on device): traffic
     # tracks real matches, not dp*mp*capacity.
     counts = np.asarray(count_d)  # (dp,)
-    per = codes.shape[0] // dp
     out = []
     for d in range(dp):
         n = int(counts[d])

@@ -1,0 +1,84 @@
+"""True multi-process execution of the sharded engine.
+
+Two OS processes x 4 virtual CPU devices each form an 8-device 'pod'
+(jax.distributed + Gloo CPU collectives).  This exercises the code the
+single-process tests cannot: global jax.Array staging from process-local
+data, cross-process all_gather inside shard_map, the process-level
+retained-row merge, and lockstep capacity handling — i.e. the actual
+multi-host contract of parallel/dist.py + parallel/mesh.py.
+
+Asserts: both processes produce identical MatchResults, equal to the
+single-device engine on the same inputs (the reference's one-process
+output is the behavioral contract; the sharded run must be
+indistinguishable from it).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_pod_matches_single_device(tmp_path):
+    port = _free_port()
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "mh_worker.py"),
+             str(pid), "2", str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    got = [np.load(tmp_path / f"mr_{pid}.npz") for pid in range(2)]
+    for col in ("read_row", "gene", "start", "nmiss"):
+        np.testing.assert_array_equal(got[0][col], got[1][col])
+
+    # Single-device expectation on identical inputs (this process runs the
+    # plain engine on the conftest-provided CPU devices).
+    from test_dist import _mk_sets
+    from muscato_tpu.config import Config
+    from muscato_tpu.engine import pipeline
+
+    rng = np.random.default_rng(17)
+    width, max_rl = 6, 40
+    cfg = Config(
+        Windows=[0, 4], WindowWidth=width, PMatch=0.9, MinDinuc=1,
+        MaxReadLength=max_rl, MMTol=1, MaxMatches=10**6, MatchMode="best",
+    )
+    rs, ts = _mk_sets(rng, n_reads=43, n_genes=12, width=width, max_rl=max_rl)
+    single = pipeline.run_matching(cfg, rs, ts)
+
+    expected = set(
+        zip(single.read_row.tolist(), single.gene.tolist(),
+            single.start.tolist(), single.nmiss.tolist())
+    )
+    sharded = set(
+        zip(got[0]["read_row"].tolist(), got[0]["gene"].tolist(),
+            got[0]["start"].tolist(), got[0]["nmiss"].tolist())
+    )
+    assert sharded == expected
