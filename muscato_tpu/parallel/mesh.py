@@ -432,8 +432,11 @@ def run_matching_sharded(cfg, rs, sidx: ShardedIndex, mesh: Mesh):
                 )
                 break
             except CapacityError as e:
-                while surv_cap < e.needed:
-                    surv_cap *= 4
+                # Exact pow2 bucket over the known need (same policy as the
+                # single-chip loop): per-device buffers, the mp all_gather,
+                # and the on-device rank all scale with surv_cap.
+                grow = 1 << max(int(e.needed) - 1, 1).bit_length()
+                surv_cap = max(surv_cap * 2, grow)
         rows = np.stack(cols, axis=1)
         rows[:, 0] += b0
         all_rows.append(rows)
