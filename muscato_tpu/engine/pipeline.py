@@ -271,6 +271,18 @@ def run_matching_indexed(
                     trows=trows, gblock=gblock, gsteps=gsteps,
                 )
             nsurv = int(nsurv_d)
+            if nsurv >= (1 << fused.MG_FLAG_BIT):
+                # Monotone-gather window overflow (extreme postings-run
+                # spans): correctness requires the XLA gather path for
+                # this and later batches.  Loud, rare, never wrong.
+                nsurv &= (1 << fused.MG_FLAG_BIT) - 1
+                if fused.mgather_enabled():
+                    logger.warning(
+                        "monotone-gather window overflow; re-running batch "
+                        "on the XLA gather path"
+                    )
+                    fused.set_mgather(False)
+                    continue
             if nsurv <= surv_cap:
                 break
             # Overflow: grow to the exact power-of-two bucket covering the

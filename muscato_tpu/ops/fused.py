@@ -83,6 +83,24 @@ else:
         "xla_tpu_enable_offloading_sort_to_sparsecore": "false",
     }
 
+# Windowed monotone-gather kernel (ops/pallas_gather.py) for the pair
+# expansion's postings fetch and the dedup verify's verdict map-back —
+# both index streams are (piecewise) nondecreasing.  Opt-in pending a
+# measured TPU A/B (MUSCATO_MGATHER=1); window overflow falls back to the
+# XLA gather path via a flag the pipeline reads out of the nsurv scalar.
+_MGATHER = [_os_mod.environ.get("MUSCATO_MGATHER", "0") == "1"]
+_MG_WINDOW = int(_os_mod.environ.get("MUSCATO_MGATHER_WINDOW", "8192"))
+MG_FLAG_BIT = 30  # expand_verify_dedup ORs overflow into bit 30 of nsurv
+
+
+def mgather_enabled() -> bool:
+    return _MGATHER[0]
+
+
+def set_mgather(on: bool) -> None:
+    _MGATHER[0] = on
+
+
 _jit_cache = {}
 
 
@@ -500,7 +518,8 @@ def _expand_verify_impl(
     return buf, nsurv, total, totalf
 
 
-def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap):
+def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
+                       mgather=False, interpret=False):
     """Vectorized pair expansion into a (pair_cap,) column buffer, sorted
     by (read, diagonal) with run-start bookkeeping for the diagonal-dedup
     verify.
@@ -542,7 +561,21 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap):
     k_lane = jnp.maximum(qid, 0) // nreads
     r_lane = jnp.maximum(qid, 0) - k_lane * nreads
     within = pid - oexcl[owner]
-    site = spos[jnp.clip(lo_m[owner] + within, 0, spos.shape[0] - 1)]
+    sidx = jnp.clip(lo_m[owner] + within, 0, spos.shape[0] - 1)
+    if mgather:
+        # sidx is piecewise nondecreasing (owners arrive in sorted-key
+        # order; a postings run re-expanded for the next same-key query
+        # steps back by at most the run length — covered by the per-block
+        # min window start).  Span > window sets oflow; the caller
+        # re-runs the batch on the XLA gather path.
+        from . import pallas_gather as _pg
+
+        site, oflow = _pg.monotone_gather(
+            spos, sidx, window=_MG_WINDOW, interpret=interpret
+        )
+    else:
+        site = spos[sidx]
+        oflow = jnp.int32(0)
     d = site.astype(jnp.int32) - q1s[k_lane]
 
     # Sort by (read, diagonal); inactive lanes key to int32-max and sink
@@ -565,13 +598,14 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap):
     r_s = jnp.where(act_s, rkey_s, -1)
     ur = jnp.full(pair_cap, -1, jnp.int32).at[utgt].set(r_s, mode="drop")
     ud = jnp.zeros(pair_cap, jnp.int32).at[utgt].set(d_s, mode="drop")
-    return qid_s, u_idx, ur, ud, nuniq, total, totalf
+    return qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow
 
 
 def _verify_diagonals_impl(
     qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
     rpacked, lengths, tpacked, gene_start, budget, trows=None, gblock=None,
     *, nreads, width, max_read_length, vchunk, surv_cap, smax, gsteps=0,
+    mgather=False, interpret=False,
 ):
     """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
     to the pair lanes, and survivor compaction.  Work in the gather-heavy
@@ -624,7 +658,18 @@ def _verify_diagonals_impl(
     # the map-back was 4 full-pair-cap gathers and measured ~1.6s/batch).
     uix = jnp.clip(u_idx, 0, cap - 1)
     kc = jnp.clip(jnp.maximum(qid_s, 0) // nreads, 0, nwin - 1)
-    ok = (okb[uix] >> kc) & 1
+    if mgather:
+        # u_idx increments by at most 1 per lane, so a block's span is
+        # bounded by the block size: a window of 2x the block can never
+        # overflow (the flag is structurally zero and dropped).
+        from . import pallas_gather as _pg
+
+        okw, _ = _pg.monotone_gather(
+            okb, uix, block=1024, window=2048, interpret=interpret
+        )
+    else:
+        okw = okb[uix]
+    ok = (okw >> kc) & 1
     keep = (qid_s >= 0) & (ok == 1)
 
     # Compaction: survivors first.  dead lanes key to int32-max (no real
@@ -896,24 +941,38 @@ def expand_verify_dedup(
     site, and the (r, d)-sorted order gives the read-row gathers
     sequential locality.  Returns (surv, nsurv, total, totalf); total >
     pair_cap signals pair-buffer overflow (callers that size pair_cap
-    from probe_out's total never see it)."""
+    from probe_out's total never see it).
+
+    With MUSCATO_MGATHER=1 the postings fetch and the verdict map-back
+    run on the windowed monotone-gather kernel (ops/pallas_gather.py); a
+    window overflow in the postings fetch is ORed into bit MG_FLAG_BIT of
+    the returned nsurv (real counts are bounded by pair_cap < 2**30), and
+    the caller must re-run the batch with mgather disabled."""
     counts_m, lo_m, qid_m, keyf, key2f, _total, _totalf = probe_out
     nreads = rpacked.shape[0]
-    expand = _tpu_jit(_expand_pairs_impl, ("nreads", "pair_cap"))
-    qid_s, u_idx, ur, ud, nuniq, total, totalf = expand(
+    mg = _MGATHER[0]
+    interp = mg and jax.default_backend() == "cpu"
+    expand = _tpu_jit(
+        _expand_pairs_impl, ("nreads", "pair_cap", "mgather", "interpret")
+    )
+    qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow = expand(
         counts_m, lo_m, qid_m, q1s, spos, nreads=nreads, pair_cap=pair_cap,
+        mgather=mg, interpret=interp,
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,
         ("nreads", "width", "max_read_length", "vchunk", "surv_cap",
-         "smax", "gsteps"),
+         "smax", "gsteps", "mgather", "interpret"),
     )
     surv, nsurv = verify(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
         rpacked, lengths, tpacked, gene_start, budget, trows, gblock,
         nreads=nreads, width=width, max_read_length=max_read_length,
         vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
+        mgather=mg, interpret=interp,
     )
+    if mg:
+        nsurv = nsurv + oflow * jnp.int32(1 << MG_FLAG_BIT)
     return surv, nsurv, total, totalf
 
 

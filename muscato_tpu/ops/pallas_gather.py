@@ -1,0 +1,172 @@
+"""Pallas TPU kernel: windowed gather for sorted (monotone) indices.
+
+Random element gathers into large HBM tables cost ~27-30ns each on v5e
+(one HBM latency per element; BENCHMARKS.md microbenchmarks).  Several of
+the matching engine's hottest gathers have *sorted* (piecewise monotone,
+small-stride) index vectors:
+
+  - the pair expansion's postings fetch (``spos[lo + j]``: owners are in
+    sorted-key order, so the flat index stream is nondecreasing),
+  - the verify's read-row fetch (pairs are grouped by read),
+  - the dedup verify's verdict map-back (unique rows -> pair slots).
+
+For a sorted index vector the elements needed by one block of outputs lie
+in one contiguous table span.  This kernel DMAs that span into VMEM once
+and then resolves the per-lane selects *on the MXU*: a one-hot bf16
+matmul picks each output's 128-wide table row (exact — a one-hot row sum
+touches a single byte plane, and bytes are exact in bf16), and a per-lane
+masked reduce picks the column.  HBM traffic becomes ~one linear sweep of
+the touched span instead of one full latency per element.
+
+The window size is static.  Blocks whose index span exceeds the window
+report an overflow flag (per block, max-reduced by the caller alongside
+scalars it already fetches); out-of-window lanes yield 0 and the caller
+re-runs the batch on the plain XLA gather path.  With spans sized ~4x the
+expected stride this is a cold path for real workloads.
+
+No counterpart in the reference (its analogue is sequential stream reads,
+/root/reference/cmd/muscato_confirm/main.go:98-148); this kernel exists
+purely for the TPU memory system.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _kernel(starts_ref, idx_ref, table_ref, out_ref, oflow_ref, win_ref, sem,
+            *, window_rows):
+    b = pl.program_id(0)
+    start = starts_ref[b]
+    dma = pltpu.make_async_copy(
+        table_ref.at[pl.ds(start // LANE, window_rows), :], win_ref, sem
+    )
+    dma.start()
+
+    idx = idx_ref[:]  # (B,) int32, nondecreasing
+    off = idx - start
+    window = window_rows * LANE
+    oflow_ref[0] = jnp.max(
+        jnp.where((off < 0) | (off >= window), jnp.int32(1), jnp.int32(0))
+    )
+    r = jax.lax.shift_right_logical(jnp.clip(off, 0, window - 1), 7)
+    c = jnp.bitwise_and(off, LANE - 1)
+
+    dma.wait()
+    win = win_ref[:]  # (R, 128) int32
+
+    # Byte planes, bf16: each matmul output is a one-hot row sum, i.e. a
+    # single byte value 0..255 — exact in bf16/f32.
+    planes = [
+        jnp.bitwise_and(jax.lax.shift_right_logical(
+            win.astype(jnp.uint32), jnp.uint32(8 * p)), jnp.uint32(255)
+        ).astype(jnp.bfloat16)
+        for p in range(4)
+    ]
+    winb = jnp.concatenate(planes, axis=1)  # (R, 512) bf16
+
+    nb = idx.shape[0]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (nb, window_rows), 1)
+    onehot_r = (r[:, None] == rows_iota).astype(jnp.bfloat16)  # (B, R)
+    rows = jax.lax.dot_general(
+        onehot_r, winb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, 512) f32: the 4 byte planes of each lane's table row
+
+    p0, p1, p2, p3 = (
+        rows[:, i * LANE:(i + 1) * LANE].astype(jnp.int32) for i in range(4)
+    )
+    words = (
+        p0 | jax.lax.shift_left(p1, 8) | jax.lax.shift_left(p2, 16)
+        | jax.lax.shift_left(p3, 24)
+    )  # (B, 128) int32: each lane's full table row, reassembled
+
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (nb, LANE), 1)
+    picked = jnp.where(cols_iota == c[:, None], words, 0)
+    out_ref[:] = jnp.sum(picked, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "window", "interpret")
+)
+def monotone_gather(
+    table: jax.Array,
+    idx: jax.Array,
+    *,
+    block: int = 1024,
+    window: int = 8192,
+    interpret: bool = False,
+):
+    """out[j] = table[idx[j]] for a *nondecreasing* int32 ``idx``.
+
+    Returns ``(out, overflow)`` where overflow is a scalar int32 that is
+    nonzero iff some block's index span exceeded ``window`` (those lanes
+    return 0; the caller must fall back to a plain gather).  ``table`` is
+    int32 1-D; ``idx`` values must lie in [0, len(table)).
+    """
+    n = table.shape[0]
+    m = idx.shape[0]
+    assert window % LANE == 0 and block % LANE == 0
+    npad = -n % LANE
+    if npad:
+        table = jnp.concatenate([table, jnp.zeros(npad, table.dtype)])
+    nrows = (n + npad) // LANE
+    window_rows = min(window // LANE, nrows)
+    mpad = -m % block
+    if mpad:
+        # Pad with the last real index: keeps the tail block's span tight
+        # (padding with a constant like n-1 would blow it past any window).
+        idx = jnp.concatenate([idx, jnp.broadcast_to(idx[-1], (mpad,))])
+    mp = m + mpad
+    nblocks = mp // block
+
+    # Per-block window start: the block's SMALLEST index (piecewise
+    # monotone streams may step back within a block — e.g. one postings
+    # run expanded for several queries), lane-aligned and clipped so the
+    # full window stays in bounds.  With min-starts, off >= 0 always; the
+    # only failure mode is span > window, which the flag reports.
+    starts = jnp.clip(
+        jnp.min(idx.reshape(nblocks, block), axis=1) & jnp.int32(~(LANE - 1)),
+        0, (nrows - window_rows) * LANE,
+    ).astype(jnp.int32)
+
+    table2d = table.reshape(nrows, LANE)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((block,), lambda b, starts: (b,)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((block,), lambda b, starts: (b,)),
+            pl.BlockSpec((1,), lambda b, starts: (b,)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((window_rows, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out, oflow = pl.pallas_call(
+        functools.partial(_kernel, window_rows=window_rows),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((mp,), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(starts, idx, table2d)
+    return out[:m], jnp.max(oflow)
+
+
+def monotone_gather_np(table: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """NumPy oracle for tests."""
+    return np.asarray(table)[np.asarray(idx)]

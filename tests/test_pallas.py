@@ -74,3 +74,110 @@ def test_muscato_pallas_env_wired(monkeypatch):
     rows_a = {tuple(r) for r in np.asarray(buf_a)[: int(n_a)].tolist()}
     rows_b = {tuple(r) for r in np.asarray(buf_b)[: int(n_b)].tolist()}
     assert rows_a == rows_b and int(n_a) > 0
+
+
+@pytest.mark.parametrize("stride_hi,window", [(1, 2048), (11, 8192), (0, 1024)])
+def test_monotone_gather_matches_numpy(stride_hi, window):
+    from muscato_tpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(stride_hi + window)
+    n = 50_000
+    table = rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(np.int32)
+    steps = rng.integers(0, stride_hi + 1, 20_000)
+    idx = np.minimum(np.cumsum(steps), n - 1).astype(np.int32)
+    out, of = pg.monotone_gather(
+        jnp.asarray(table), jnp.asarray(idx), window=window, interpret=True
+    )
+    assert int(of) == 0
+    np.testing.assert_array_equal(np.asarray(out), table[idx])
+
+
+def test_monotone_gather_piecewise_resets():
+    """Piecewise-monotone streams (postings runs re-expanded per query)
+    step backwards within a block; the per-block min start covers them."""
+    from muscato_tpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(0)
+    n = 8_192
+    table = rng.integers(0, 2**31, n, dtype=np.int64).astype(np.int32)
+    # runs of [lo, lo+c) repeated for several owners, lo nondecreasing
+    idx = []
+    lo = 0
+    while len(idx) < 9_000:
+        c = int(rng.integers(1, 40))
+        for _ in range(int(rng.integers(1, 4))):
+            idx.extend(range(lo, lo + c))
+        lo = min(lo + int(rng.integers(0, 30)), n - 40)
+    idx = np.asarray(idx[:9_000], np.int32)
+    out, of = pg.monotone_gather(
+        jnp.asarray(table), jnp.asarray(idx), window=2048, interpret=True
+    )
+    assert int(of) == 0
+    np.testing.assert_array_equal(np.asarray(out), table[idx])
+
+
+def test_monotone_gather_overflow_flag():
+    from muscato_tpu.ops import pallas_gather as pg
+
+    n = 65_536
+    table = np.arange(n, dtype=np.int32)
+    idx = np.sort(
+        np.concatenate([np.zeros(512, np.int32),
+                        np.full(512, n - 1, np.int32)])
+    )
+    out, of = pg.monotone_gather(
+        jnp.asarray(table), jnp.asarray(idx), window=1024, interpret=True
+    )
+    assert int(of) == 1
+
+
+def test_mgather_env_wired_dedup_path(monkeypatch):
+    """MUSCATO_MGATHER must route the dedup expand/verify through the
+    monotone-gather kernel with identical survivors."""
+    from muscato_tpu.engine.index import build_target_index
+    from muscato_tpu.io import seqcodec
+    from muscato_tpu.io.targets import TargetSet
+    from muscato_tpu.ops import packed as pops
+    from muscato_tpu.ops import verify as vops
+
+    rng = np.random.default_rng(7)
+    genes = ["".join("ACGT"[i] for i in rng.integers(0, 4, 256)) for _ in range(8)]
+    reads = [g[o : o + 40] for g in genes for o in (0, 50, 100)]
+    codes, lengths = seqcodec.encode_rows([r.encode() for r in reads], 64)
+    gene_start = np.arange(9, dtype=np.int64) * 256
+    ts = TargetSet(
+        tcat=np.concatenate([seqcodec.encode(g.encode()) for g in genes]),
+        gene_start=gene_start,
+        names=[b"g%d" % i for i in range(8)],
+        lengths=np.diff(gene_start),
+    )
+    width, max_rl = 8, 64
+    idx = build_target_index(ts, width)
+    q1s = jnp.asarray(np.array([0, 6], np.int32))
+    rpacked = pops.pack_rows(jnp.asarray(codes))
+    budget = jnp.asarray(vops.mismatch_budget_table(0.9, max_rl))
+    pr = fused.probe_windows(
+        rpacked, jnp.asarray(lengths), q1s, idx.skeys, width=width, min_dinuc=1
+    )
+    kw = dict(width=width, max_read_length=max_rl, pair_cap=1 << 12,
+              vchunk=1 << 10, surv_cap=1 << 12, smax=idx.num_bases)
+
+    assert not fused.mgather_enabled()
+    buf_a, n_a, t_a, _ = fused.expand_verify_dedup(
+        pr, q1s, rpacked, jnp.asarray(lengths), idx.spos, idx.tpacked,
+        idx.gene_start, budget, **kw,
+    )
+    fused.set_mgather(True)
+    try:
+        buf_b, n_b, t_b, _ = fused.expand_verify_dedup(
+            pr, q1s, rpacked, jnp.asarray(lengths), idx.spos, idx.tpacked,
+            idx.gene_start, budget, **kw,
+        )
+    finally:
+        fused.set_mgather(False)
+    n_b_i = int(n_b)
+    assert n_b_i < (1 << fused.MG_FLAG_BIT)  # no window overflow
+    assert int(n_a) == n_b_i and int(t_a) == int(t_b)
+    rows_a = {tuple(r) for r in np.asarray(buf_a)[: int(n_a)].tolist()}
+    rows_b = {tuple(r) for r in np.asarray(buf_b)[:n_b_i].tolist()}
+    assert rows_a == rows_b and int(n_a) > 0
