@@ -183,6 +183,34 @@ def _detail(r: BenchResult) -> dict:
     }
 
 
+def _device_reachable(timeout_s: float | None = None) -> bool:
+    """Probe the configured backend in a SUBPROCESS with a timeout.
+
+    This dev host reaches its TPU through a relay that can go down
+    entirely; a backend-init attempt then hangs forever (memory:
+    axon-tpu-host-quirks).  The subprocess keeps the hang out of this
+    process so the bench can fall back to CPU instead of wedging the
+    driver."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("MUSCATO_PROBE_TIMEOUT", "240"))
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(int((jnp.arange(8) * 2).sum()))"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0 and b"56" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
 def main(argv=None) -> int:
     import argparse
 
@@ -193,7 +221,21 @@ def main(argv=None) -> int:
     p.add_argument("--NumGene", type=int, default=0)  # 0 = workload default
     p.add_argument("--GeneLen", type=int, default=1_000)
     p.add_argument("--Repeats", type=int, default=3)
+    p.add_argument("--NoProbe", action="store_true",
+                   help="skip the device-reachability probe")
     ns = p.parse_args(argv)
+
+    note = None
+    if not ns.NoProbe and not _device_reachable():
+        # Device unreachable: run a small CPU-backed measurement rather
+        # than hanging.  The number is NOT a chip number; the note says so.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        note = "device backend unreachable; CPU fallback at reduced size"
+        ns.NumRead = min(ns.NumRead, 200_000)
+        ns.NumGene = ns.NumGene or 2_000
+        ns.Repeats = min(ns.Repeats, 2)
 
     detail = {}
     headline = None
@@ -218,15 +260,14 @@ def main(argv=None) -> int:
     # One JSON line, as the driver contract requires.  The headline is the
     # 100M-base realistic workload — the number the north star is defined
     # against (BASELINE.md; round-1 VERDICT item 1).
-    print(
-        json.dumps(
-            {
-                "metric": "reads_per_sec_chip",
-                "value": round(headline.reads_per_sec, 1),
-                "unit": "reads/s",
-                "vs_baseline": round(headline.reads_per_sec / NORTH_STAR, 4),
-                "detail": detail,
-            }
-        )
-    )
+    out = {
+        "metric": "reads_per_sec_chip",
+        "value": round(headline.reads_per_sec, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(headline.reads_per_sec / NORTH_STAR, 4),
+        "detail": detail,
+    }
+    if note:
+        out["note"] = note
+    print(json.dumps(out))
     return 0
