@@ -632,23 +632,25 @@ def _verify_diagonals_impl(
     nchunks = lax.div(nuniq + (vchunk - 1), jnp.int32(vchunk))
 
     def body(st):
-        ci, nxb, gb, sb, okb = st
+        ci, nxb, gb, sb, okb, ofl = st
         off = ci * vchunk
         rch = lax.dynamic_slice(ur_p, (off,), (vchunk,))
         dch = lax.dynamic_slice(ud_p, (off,), (vchunk,))
-        nx, g, s, ok = pops.verify_diagonals_packed(
+        nx, g, s, ok, of_c = pops.verify_diagonals_packed(
             rch, dch, rpacked, lengths, tpacked, gene_start, budget,
             q1s, width, max_read_length, smax,
             trows=trows, gblock=gblock, gsteps=gsteps,
+            mgather=mgather, interpret=interpret,
         )
         nxb = lax.dynamic_update_slice(nxb, nx, (off,))
         gb = lax.dynamic_update_slice(gb, g, (off,))
         sb = lax.dynamic_update_slice(sb, s, (off,))
         okb = lax.dynamic_update_slice(okb, ok, (off,))
-        return ci + 1, nxb, gb, sb, okb
+        return ci + 1, nxb, gb, sb, okb, jnp.maximum(ofl, of_c)
 
-    _, nxb, gb, sb, okb = lax.while_loop(
-        lambda st: st[0] < nchunks, body, (jnp.int32(0), nxb, gb, sb, okb)
+    _, nxb, gb, sb, okb, oflow_v = lax.while_loop(
+        lambda st: st[0] < nchunks, body,
+        (jnp.int32(0), nxb, gb, sb, okb, jnp.int32(0)),
     )
 
     # Map verdict bits back to pair lanes (u_idx is nondecreasing — this
@@ -692,7 +694,7 @@ def _verify_diagonals_impl(
     rows = jnp.stack([rt, g2, s2, nx2, gr1, gr2, kt], axis=1)
     surv = lax.dynamic_update_slice(surv, rows, (0, 0))
     nsurv = jnp.sum(keep.astype(jnp.int32))
-    return surv, nsurv
+    return surv, nsurv, oflow_v
 
 
 def _pack_rows64(r, g, s, nx, pack_bits):
@@ -964,7 +966,7 @@ def expand_verify_dedup(
         ("nreads", "width", "max_read_length", "vchunk", "surv_cap",
          "smax", "gsteps", "mgather", "interpret"),
     )
-    surv, nsurv = verify(
+    surv, nsurv, oflow_v = verify(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
         rpacked, lengths, tpacked, gene_start, budget, trows, gblock,
         nreads=nreads, width=width, max_read_length=max_read_length,
@@ -972,7 +974,8 @@ def expand_verify_dedup(
         mgather=mg, interpret=interp,
     )
     if mg:
-        nsurv = nsurv + oflow * jnp.int32(1 << MG_FLAG_BIT)
+        flag = jnp.maximum(oflow, oflow_v)
+        nsurv = nsurv + flag * jnp.int32(1 << MG_FLAG_BIT)
     return surv, nsurv, total, totalf
 
 

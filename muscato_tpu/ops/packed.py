@@ -217,6 +217,8 @@ def verify_diagonals_packed(
     trows: jnp.ndarray | None = None,
     gblock: jnp.ndarray | None = None,
     gsteps: int = 0,
+    mgather: bool = False,
+    interpret: bool = False,
 ):
     """Verify one (read, diagonal) once for ALL windows at once.
 
@@ -237,12 +239,19 @@ def verify_diagonals_packed(
                  rlen <= min(glen, 100 - width)
       win_ok    <=> zero mismatching nibbles under window k's mask
       budget/nx are diagonal-level by definition.
-    """
+
+    The caller sorts lanes by (read, diagonal), so the read rows are
+    nondecreasing; mgather=True fetches the read rows and lengths through
+    the windowed monotone-gather kernels (ops/pallas_gather.py) instead
+    of per-lane HBM row gathers.  Returns (nx, g, s, okbits, oflow);
+    oflow is nonzero iff a gather window overflowed (results are then
+    unusable and the caller must retry without mgather)."""
     nwords = rpacked.shape[1]
     nwin = q1s.shape[0]
     active = (r >= 0) & (d >= 0)
     rc = jnp.clip(r, 0, rpacked.shape[0] - 1)
     dc = jnp.clip(d, 0, smax - 1)
+    oflow = jnp.int32(0)
 
     if gblock is not None:
         g = gene_of_pos_block(gene_start, gblock, dc, gsteps)
@@ -252,7 +261,21 @@ def verify_diagonals_packed(
     gend = gene_start[g + 1]
     glen = gend - gstart
     s_local = dc - gstart
-    rlen = lengths[rc]
+    if mgather:
+        # Inactive lanes sort to the end; mapping them to the LAST read
+        # row (not row 0) keeps the index stream nondecreasing.
+        from . import pallas_gather as _pg
+
+        rc_mono = jnp.where(r >= 0, rc, jnp.int32(rpacked.shape[0] - 1))
+        rlen, of_l = _pg.monotone_gather(
+            lengths, rc_mono, interpret=interpret
+        )
+        rw_mono, of_r = _pg.monotone_gather_rows(
+            rpacked, rc_mono, interpret=interpret
+        )
+        oflow = jnp.maximum(of_l, of_r)
+    else:
+        rlen = lengths[rc]
 
     # ---- SWAR mismatch count over the aligned diagonal (once) ----
     rshift = (dc & 7).astype(jnp.uint32) * 4
@@ -271,7 +294,7 @@ def verify_diagonals_packed(
     )
     taligned = lowpart | hipart
 
-    rw = rpacked[rc]
+    rw = rw_mono if mgather else rpacked[rc]
     x = taligned ^ rw
     wordbase = jnp.arange(nwords, dtype=jnp.int32) * BASES_PER_WORD
     mask_len = _nibble_mask(rlen[:, None] - wordbase[None, :])
@@ -296,7 +319,7 @@ def verify_diagonals_packed(
         okbits = okbits | (bit.astype(jnp.int32) << k)
 
     okbits = jnp.where(active & budget_ok, okbits, 0)
-    return nx, g.astype(jnp.int32), s_local.astype(jnp.int32), okbits
+    return nx, g.astype(jnp.int32), s_local.astype(jnp.int32), okbits, oflow
 
 
 def verify_pairs_packed(

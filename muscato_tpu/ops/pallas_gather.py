@@ -170,3 +170,107 @@ def monotone_gather(
 def monotone_gather_np(table: np.ndarray, idx: np.ndarray) -> np.ndarray:
     """NumPy oracle for tests."""
     return np.asarray(table)[np.asarray(idx)]
+
+
+def _rows_kernel(starts_ref, ridx_ref, table_ref, out_ref, oflow_ref,
+                 win_ref, sem, *, window_rows, ncols):
+    b = pl.program_id(0)
+    start = starts_ref[b]
+    dma = pltpu.make_async_copy(
+        table_ref.at[pl.ds(start, window_rows), :], win_ref, sem
+    )
+    dma.start()
+
+    ridx = ridx_ref[:]  # (B,) int32, nondecreasing row ids
+    off = ridx - start
+    oflow_ref[0] = jnp.max(
+        jnp.where((off < 0) | (off >= window_rows), jnp.int32(1), jnp.int32(0))
+    )
+
+    dma.wait()
+    win = win_ref[:]  # (WR, NC) uint32 rows
+
+    planes = [
+        jnp.bitwise_and(jax.lax.shift_right_logical(
+            win.astype(jnp.uint32), jnp.uint32(8 * p)), jnp.uint32(255)
+        ).astype(jnp.bfloat16)
+        for p in range(4)
+    ]
+    winb = jnp.concatenate(planes, axis=1)  # (WR, 4*NC) bf16
+
+    nb = ridx.shape[0]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (nb, window_rows), 1)
+    onehot = (off[:, None] == rows_iota).astype(jnp.bfloat16)  # (B, WR)
+    rows = jax.lax.dot_general(
+        onehot, winb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, 4*NC) f32
+
+    p0, p1, p2, p3 = (
+        rows[:, i * ncols:(i + 1) * ncols].astype(jnp.int32) for i in range(4)
+    )
+    out_ref[:] = (
+        p0 | jax.lax.shift_left(p1, 8) | jax.lax.shift_left(p2, 16)
+        | jax.lax.shift_left(p3, 24)
+    ).astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "window_rows", "interpret")
+)
+def monotone_gather_rows(
+    table: jax.Array,
+    ridx: jax.Array,
+    *,
+    block: int = 256,
+    window_rows: int = 1024,
+    interpret: bool = False,
+):
+    """out[j, :] = table[ridx[j], :] for *nondecreasing* int32 ``ridx``.
+
+    ``table`` is (R, NC) uint32/int32 (e.g. the nibble-packed read
+    matrix); returns ``(out (M, NC), overflow)`` with the same overflow
+    contract as monotone_gather.  One one-hot matmul per block replaces
+    one full HBM latency per output row."""
+    nrows, ncols = table.shape
+    m = ridx.shape[0]
+    window_rows = min(window_rows, max(nrows, 1))
+    mpad = -m % block
+    if mpad:
+        ridx = jnp.concatenate([ridx, jnp.broadcast_to(ridx[-1], (mpad,))])
+    mp = m + mpad
+    nblocks = mp // block
+
+    starts = jnp.clip(
+        jnp.min(ridx.reshape(nblocks, block), axis=1),
+        0, max(nrows - window_rows, 0),
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((block,), lambda b, starts: (b,)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, ncols), lambda b, starts: (b, 0)),
+            pl.BlockSpec((1,), lambda b, starts: (b,)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((window_rows, ncols), table.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out, oflow = pl.pallas_call(
+        functools.partial(
+            _rows_kernel, window_rows=window_rows, ncols=ncols
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, ncols), jnp.uint32),
+            jax.ShapeDtypeStruct((nblocks,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(starts, ridx, table)
+    return out[:m].astype(table.dtype), jnp.max(oflow)

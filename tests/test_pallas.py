@@ -181,3 +181,37 @@ def test_mgather_env_wired_dedup_path(monkeypatch):
     rows_a = {tuple(r) for r in np.asarray(buf_a)[: int(n_a)].tolist()}
     rows_b = {tuple(r) for r in np.asarray(buf_b)[:n_b_i].tolist()}
     assert rows_a == rows_b and int(n_a) > 0
+
+
+@pytest.mark.parametrize("ncols,window_rows", [(13, 1024), (7, 256), (1, 512)])
+def test_monotone_gather_rows_matches_numpy(ncols, window_rows):
+    from muscato_tpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(ncols)
+    nrows = 5_000
+    table = rng.integers(0, 2**32, (nrows, ncols), dtype=np.uint64).astype(
+        np.uint32
+    )
+    steps = rng.integers(0, 2, 4_000)  # stride ~0.5, with duplicates
+    ridx = np.minimum(np.cumsum(steps), nrows - 1).astype(np.int32)
+    out, of = pg.monotone_gather_rows(
+        jnp.asarray(table), jnp.asarray(ridx),
+        window_rows=window_rows, interpret=True,
+    )
+    assert int(of) == 0
+    np.testing.assert_array_equal(np.asarray(out), table[ridx])
+
+
+def test_monotone_gather_rows_overflow_flag():
+    from muscato_tpu.ops import pallas_gather as pg
+
+    table = np.arange(4096 * 4, dtype=np.uint32).reshape(4096, 4)
+    # the jump must land INSIDE one 256-lane block to overflow its window
+    ridx = np.sort(np.concatenate(
+        [np.zeros(128, np.int32), np.full(128, 4095, np.int32)]
+    ))
+    out, of = pg.monotone_gather_rows(
+        jnp.asarray(table), jnp.asarray(ridx),
+        window_rows=256, interpret=True,
+    )
+    assert int(of) == 1
