@@ -136,11 +136,13 @@ def run_bench_big(
     pmatch: float = 0.96,
     repeats: int = 3,
     seed: int = 0,
+    read_batch: int = 0,
 ) -> BenchResult:
     cfg = Config(
         Windows=list(windows), WindowWidth=window_width, PMatch=pmatch,
         MinDinuc=3, MaxReadLength=read_len * 2, MMTol=2,
         MaxMatches=10**6, MatchMode="best",
+        ReadBatch=read_batch,
     )
     rs, ts = gendat.generate_arrays_realistic(
         num_read, read_len, num_gene, gene_len, seed
@@ -221,6 +223,9 @@ def main(argv=None) -> int:
     p.add_argument("--NumGene", type=int, default=0)  # 0 = workload default
     p.add_argument("--GeneLen", type=int, default=1_000)
     p.add_argument("--Repeats", type=int, default=3)
+    p.add_argument("--ReadBatch", type=int, default=0,
+                   help="device read-batch size for the big workload "
+                        "(0 = pipeline default)")
     p.add_argument("--NoProbe", action="store_true",
                    help="skip the device-reachability probe")
     ns = p.parse_args(argv)
@@ -243,7 +248,7 @@ def main(argv=None) -> int:
         r = run_bench_big(
             num_read=ns.NumRead, read_len=ns.ReadLen,
             num_gene=ns.NumGene or 100_000, gene_len=ns.GeneLen,
-            repeats=ns.Repeats,
+            repeats=ns.Repeats, read_batch=ns.ReadBatch,
         )
         headline = r
         detail["big"] = _detail(r)
