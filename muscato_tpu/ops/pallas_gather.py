@@ -144,7 +144,7 @@ def monotone_gather(
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((block,), lambda b, starts: (b,)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((block,), lambda b, starts: (b,)),
@@ -251,7 +251,7 @@ def monotone_gather_rows(
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((block,), lambda b, starts: (b,)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((block, ncols), lambda b, starts: (b, 0)),

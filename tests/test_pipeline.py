@@ -193,3 +193,65 @@ def test_index_file_roundtrip(tmp_path):
         got = f.read()
     with open(os.path.join(REF, "03", "result_e.txt"), "rb") as f:
         assert got == f.read()
+
+
+def test_mgather_overflow_falls_back_identically():
+    """A low-entropy workload whose postings runs exceed the gather window
+    must trip the overflow flag, fall back to the XLA gather path, and
+    produce identical matches (pipeline re-runs the batch; fused flips the
+    process-wide switch off)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from muscato_tpu.engine import pipeline
+    from muscato_tpu.io.reads import ReadSet
+    from muscato_tpu.io.targets import TargetSet
+    from muscato_tpu.io import seqcodec
+    from muscato_tpu.ops import fused
+
+    # 40 genes of 600bp, all poly-A except sparse planted variation: one
+    # width-8 k-mer ("AAAAAAAA") occurs at ~24k positions, far beyond the
+    # 8192-element gather window.
+    rng = np.random.default_rng(11)
+    genes = []
+    for gi in range(40):
+        g = np.zeros(600, np.uint8)
+        # sprinkle a few non-A bases so verification has some variety
+        pos = rng.integers(0, 600, 5)
+        g[pos] = rng.integers(1, 4, 5)
+        genes.append(g)
+    tcat = np.concatenate(genes)
+    gene_start = np.arange(41, dtype=np.int64) * 600
+    ts = TargetSet(
+        tcat=tcat, gene_start=gene_start,
+        names=[b"g%d" % i for i in range(40)],
+        lengths=np.diff(gene_start),
+    )
+    reads = [bytes(seqcodec.LETTERS[c] for c in g[:60]) for g in genes[:16]]
+    codes, lengths = seqcodec.encode_rows(reads, 64)
+    rs = ReadSet(
+        codes=codes, lengths=lengths,
+        counts=np.ones(len(reads), np.int32),
+        name_blob=b"", name_off=np.zeros(len(reads) + 1, np.int64),
+        num_total=len(reads),
+    )
+    cfg = config_mod.Config(
+        Windows=[0, 8], WindowWidth=8, PMatch=0.9, MinDinuc=0,
+        MaxReadLength=64, MMTol=2, MaxMatches=10**6, MatchMode="best",
+    )
+
+    assert not fused.mgather_enabled()
+    mr_a = pipeline.run_matching(cfg, rs, ts)
+    fused.set_mgather(True)
+    try:
+        mr_b = pipeline.run_matching(cfg, rs, ts)
+        # the huge postings run must have tripped the fallback
+        assert not fused.mgather_enabled()
+    finally:
+        fused.set_mgather(False)
+    for a, b in zip(
+        (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
+        (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert len(mr_a.read_row) > 0
