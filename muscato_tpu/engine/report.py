@@ -228,7 +228,11 @@ def write_nonmatch(results_path: str, mr: MatchResult, rs: ReadSet) -> str:
     blob[at] = ord("\n")
     blob[at + 1] = ord("+")
     blob[at + 2] = ord("\n")
-    blob[_gather_ranges(at + 3, rl)] = ord("!")
+    # constant '!' qualities: a ranged copy from one max-length row
+    # (expanding the ranges into a flat index array costs ~20s at 2M
+    # reads; the C ranged copy does the same fill in ~0.2s)
+    qual = np.full(int(rl.max(initial=1)), ord("!"), np.uint8)
+    ranged_copy(blob, at + 3, qual, np.zeros(n, np.int64), rl)
     blob[at + 3 + rl] = ord("\n")
     with open(out, "wb") as f:
         f.write(blob.tobytes())
