@@ -181,18 +181,25 @@ def build_readset(
             num_total=0,
         )
 
+    # Host matrix width: the longest kept read, rounded up to a word (the
+    # device batch path re-trims anyway; carrying MaxReadLength columns
+    # for shorter reads doubled every host pass below at the default
+    # MaxReadLength=2x bench read length).  Identical across multi-host
+    # processes because every process scans the full read file.
+    w = min(max_read_length, max(8, -(-int(lens.max()) // 8) * 8))
+
     # "sortable" rows: code+1 inside the read, 0 beyond — void-row order
     # then equals `LC_ALL=C sort` order of the sequences (pad sorts before
     # every base, so a prefix sorts first, exactly like the '\t' delimiter
     # in the reference's "seq\tname" lines).
-    sortable = np.empty((n, max_read_length), dtype=np.uint8)
+    sortable = np.empty((n, w), dtype=np.uint8)
     encode_rows_matrix(
-        buf, seq_s, lens, max_read_length, seqcodec._B2C + np.uint8(1), 0,
+        buf, seq_s, lens, w, seqcodec._B2C + np.uint8(1), 0,
         sortable,
     )
 
     order = np.argsort(
-        np.ascontiguousarray(sortable).view(f"V{max_read_length}").ravel(),
+        np.ascontiguousarray(sortable).view(f"V{w}").ravel(),
         kind="stable",
     )
     srt = np.empty_like(sortable)

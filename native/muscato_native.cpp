@@ -346,6 +346,7 @@ size_t mn_line_offsets(const uint8_t* data, size_t n,
 void mn_encode_rows(const uint8_t* src, const int64_t* starts,
                     const int32_t* lens, size_t n, size_t width,
                     const uint8_t* table, uint8_t pad, uint8_t* out) {
+#pragma omp parallel for schedule(static) if (n > 65536)
     for (size_t i = 0; i < n; i++) {
         const uint8_t* s = src + starts[i];
         uint8_t* o = out + i * width;
@@ -360,6 +361,7 @@ void mn_encode_rows(const uint8_t* src, const int64_t* starts,
 void mn_ranged_copy(uint8_t* dst, const int64_t* dst_starts,
                     const uint8_t* src, const int64_t* src_starts,
                     const int64_t* lens, size_t n) {
+#pragma omp parallel for schedule(static) if (n > 65536)
     for (size_t i = 0; i < n; i++) {
         memcpy(dst + dst_starts[i], src + src_starts[i], (size_t)lens[i]);
     }
@@ -382,6 +384,7 @@ void mn_decode_rows(uint8_t* dst, const int64_t* dst_starts,
 // out[i] = rows[perm[i]] for (n, w) row-major byte matrices.
 void mn_permute_rows(const uint8_t* rows, const int64_t* perm,
                      size_t n, size_t w, uint8_t* out) {
+#pragma omp parallel for schedule(static) if (n > 65536)
     for (size_t i = 0; i < n; i++) {
         memcpy(out + i * w, rows + (size_t)perm[i] * w, w);
     }
@@ -391,6 +394,7 @@ void mn_permute_rows(const uint8_t* rows, const int64_t* perm,
 void mn_rows_differ(const uint8_t* rows, size_t n, size_t w, uint8_t* out) {
     if (n == 0) return;
     out[0] = 1;
+#pragma omp parallel for schedule(static) if (n > 65536)
     for (size_t i = 1; i < n; i++) {
         out[i] = memcmp(rows + i * w, rows + (i - 1) * w, w) != 0;
     }
