@@ -37,6 +37,7 @@ tests and are materialized lazily.
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import numpy as np
@@ -46,6 +47,38 @@ from .blob import decode_rows_blob, encode_rows_matrix, gather_ranges, ranged_co
 
 _MAX_NAME = 1000
 ENCODE_CHUNK = 1 << 20  # reads encoded per gather chunk
+
+
+def _map_bytes(path: str) -> np.ndarray:
+    """File bytes as a uint8 array WITHOUT holding the raw text resident:
+    plain files are mmap'd (the OS pages them through cache), compressed
+    files are decoded once into an unlinked disk-backed temp file and
+    mmap'd from there.  At reference scale the raw fastq is the largest
+    single buffer (25GB at 100M reads x 100bp); the encode/name passes
+    stream through it, so paging it beats pinning it."""
+    import mmap
+    import tempfile
+
+    lower = path.lower()
+    if lower.endswith((".sz", ".gz")):
+        data = sz.read_bytes(path)
+        tmp = tempfile.TemporaryFile(
+            dir=os.environ.get("MUSCATO_SPILL_DIR") or None
+        )
+        tmp.write(data)
+        del data
+        tmp.flush()
+        f = tmp
+    else:
+        f = open(path, "rb")
+    try:
+        size = os.fstat(f.fileno()).st_size
+        if size == 0:
+            return np.zeros(0, np.uint8)
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        return np.frombuffer(mm, dtype=np.uint8)
+    finally:
+        f.close()  # the mapping keeps the pages alive
 
 
 class ReadSet:
@@ -148,8 +181,7 @@ def build_readset(
     min_read_length: int,
     max_read_length: int,
 ) -> ReadSet:
-    data = sz.read_bytes(read_file)
-    buf = np.frombuffer(data, dtype=np.uint8)
+    buf = _map_bytes(read_file)
     line_s, line_e = _line_bounds(buf)
     nrec = len(line_s) // 4
     if nrec == 0:
