@@ -231,6 +231,21 @@ def run_matching_indexed(
             width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
         )
         total = int(pr[5])
+        if total < 0:
+            # Sorted-join window overflow (a block's candidate span beat
+            # the static window): this is index-distribution-driven and
+            # will recur, so switch the process to the sort-merge probe.
+            logger.warning(
+                "sorted-join probe window overflow; re-probing via the "
+                "sort-merge path"
+            )
+            fused.set_pjoin(False)
+            pr = fused.probe_windows(
+                rpacked, lengths, q1s, index.skeys,
+                width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
+                allow_pjoin=False,
+            )
+            total = int(pr[5])
         if float(pr[6]) > float(2**30):
             # The expansion offsets are int32 cumsums; beyond ~2**30
             # candidate pairs per batch they would wrap.  This only
@@ -250,6 +265,15 @@ def run_matching_indexed(
             len(cfg.Windows) <= 31 and not cfg.NoDedup
             and total <= _MAX_PAIR_CAP
         )
+        if not use_dedup and fused.pjoin_enabled() and not use_search:
+            # The sorted-join probe's slot arrays are key-sorted but not
+            # compacted; the streamed expand path needs the compacted
+            # layout — re-probe via sort-merge for this batch.
+            pr = fused.probe_windows(
+                rpacked, lengths, q1s, index.skeys,
+                width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
+                allow_pjoin=False,
+            )
         while True:
             if use_dedup:
                 pair_cap = max(_PAIR_FLOOR, _pow2ceil(total))

@@ -101,6 +101,22 @@ def set_mgather(on: bool) -> None:
     _MGATHER[0] = on
 
 
+# Windowed sorted-join probe (ops/pallas_join.py): sorts ONLY the queries
+# and resolves lo/count against the already-sorted index in VMEM windows,
+# instead of re-sorting the whole index with every batch.  Opt-in pending
+# a measured TPU A/B (MUSCATO_PJOIN=1).  On window overflow the probe
+# returns total = -1 and the pipeline re-probes via the sort-merge path.
+_PJOIN = [_os_mod.environ.get("MUSCATO_PJOIN", "0") == "1"]
+
+
+def pjoin_enabled() -> bool:
+    return _PJOIN[0]
+
+
+def set_pjoin(on: bool) -> None:
+    _PJOIN[0] = on
+
+
 _jit_cache = {}
 
 
@@ -216,6 +232,36 @@ def _window_queries(rpacked, lengths, q1s, *, width, min_dinuc):
     )
     valid = jnp.stack(valids).reshape(nflat)
     return key, key2, valid
+
+
+def _probe_windows_pjoin_impl(
+    rpacked, lengths, q1s, skeys, *, width, min_dinuc, interpret=False,
+):
+    """Sorted-join probe: sort the queries only (Q rows), then resolve
+    lo/count per query against the resident sorted index with the
+    windowed Pallas join (ops/pallas_join.py).  Same 7-tuple contract as
+    _probe_windows_impl, EXCEPT the slot arrays are key-sorted but not
+    compacted (zero-count slots remain) — only the dedup expand path
+    consumes them (its owner scatter skips empty slots natively); the
+    pipeline re-probes via sort-merge when it needs the streamed path.
+    total = -1 signals a join-window overflow (fall back, never wrong)."""
+    from . import pallas_join as pjoin
+
+    nreads = rpacked.shape[0]
+    nwin = q1s.shape[0]
+    nflat = nwin * nreads
+    keyf, key2f, validf = _window_queries(
+        rpacked, lengths, q1s, width=width, min_dinuc=min_dinuc
+    )
+    qid_pay = jnp.where(
+        validf, jnp.arange(nflat, dtype=jnp.int32), jnp.int32(-1)
+    )
+    ks, qid_m = lax.sort((keyf, qid_pay), num_keys=1)
+    lo_m, counts_m, oflow = pjoin.sorted_join(skeys, ks, interpret=interpret)
+    counts_m = jnp.where(qid_m >= 0, counts_m, 0)
+    totalf = jnp.sum(counts_m.astype(jnp.float32))
+    total = jnp.where(oflow > 0, jnp.int32(-1), jnp.sum(counts_m))
+    return counts_m, lo_m, qid_m, keyf, key2f, total, totalf
 
 
 def _probe_windows_impl(
@@ -852,6 +898,7 @@ def rank_survivors_live(buf, live, mm, mmtol, *, match_mode):
 
 def probe_windows(
     rpacked, lengths, q1s, skeys, *, width, min_dinuc, index_aux=None,
+    allow_pjoin=True,
 ):
     """Probe stage only: one async device dispatch.
 
@@ -901,6 +948,14 @@ def probe_windows(
             aux.ucount, aux.sbucket,
             width=width, min_dinuc=min_dinuc, upshift=aux.upshift,
             probe_steps=aux.probe_steps, bucket_bits=aux.bucket_bits,
+        )
+    if _PJOIN[0] and pre == (None, None, None) and allow_pjoin:
+        probe = _tpu_jit(
+            _probe_windows_pjoin_impl, ("width", "min_dinuc", "interpret")
+        )
+        return probe(
+            rpacked, lengths, q1s, skeys, width=width, min_dinuc=min_dinuc,
+            interpret=jax.default_backend() == "cpu",
         )
     probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))
     return probe(

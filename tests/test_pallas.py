@@ -215,3 +215,110 @@ def test_monotone_gather_rows_overflow_flag():
         window_rows=256, interpret=True,
     )
     assert int(of) == 1
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sorted_join_matches_numpy(seed):
+    from muscato_tpu.ops import pallas_join as pj
+
+    rng = np.random.default_rng(seed)
+    v, q = 200_000, 30_000
+    skeys = np.sort(rng.integers(0, 2**32, v, dtype=np.uint64).astype(np.uint32))
+    qh = rng.choice(skeys, q // 2)
+    qm = rng.integers(0, 2**32, q - q // 2, dtype=np.uint64).astype(np.uint32)
+    qs = np.sort(np.concatenate([qh, qm]))
+    lo, cnt, of = pj.sorted_join(jnp.asarray(skeys), jnp.asarray(qs), interpret=True)
+    rlo, rcnt = pj.sorted_join_np(skeys, qs)
+    assert int(of) == 0
+    np.testing.assert_array_equal(np.asarray(lo), rlo)
+    np.testing.assert_array_equal(np.asarray(cnt), rcnt)
+
+
+def test_sorted_join_duplicate_runs_and_bounds():
+    from muscato_tpu.ops import pallas_join as pj
+
+    rng = np.random.default_rng(3)
+    # heavy duplicate runs (runs of ~4k) still inside the default window
+    skeys = np.sort(rng.integers(0, 50, 200_000, dtype=np.uint64).astype(np.uint32))
+    qs = np.sort(rng.integers(0, 50, 30_000, dtype=np.uint64).astype(np.uint32))
+    lo, cnt, of = pj.sorted_join(jnp.asarray(skeys), jnp.asarray(qs), interpret=True)
+    rlo, rcnt = pj.sorted_join_np(skeys, qs)
+    assert int(of) == 0
+    np.testing.assert_array_equal(np.asarray(lo), rlo)
+    np.testing.assert_array_equal(np.asarray(cnt), rcnt)
+    # 0 and 0xFFFFFFFF boundary keys (0xFFFFFFFF collides with the pad)
+    sk = np.sort(np.concatenate(
+        [[0, 0, 1, 0xFFFFFFFF, 0xFFFFFFFF],
+         rng.integers(1, 2**32 - 1, 1000, dtype=np.uint64)]
+    ).astype(np.uint32))
+    q3 = np.sort(np.concatenate(
+        [[0, 0xFFFFFFFF, 0xFFFFFFFF], rng.choice(sk, 500)]
+    ).astype(np.uint32))
+    lo3, cnt3, _ = pj.sorted_join(jnp.asarray(sk), jnp.asarray(q3), interpret=True)
+    rlo3, rcnt3 = pj.sorted_join_np(sk, q3)
+    np.testing.assert_array_equal(np.asarray(lo3), rlo3)
+    np.testing.assert_array_equal(np.asarray(cnt3), rcnt3)
+
+
+def test_sorted_join_overflow_flag():
+    from muscato_tpu.ops import pallas_join as pj
+
+    rng = np.random.default_rng(3)
+    skeys = np.sort(rng.integers(0, 50, 200_000, dtype=np.uint64).astype(np.uint32))
+    qs = np.sort(rng.integers(0, 50, 30_000, dtype=np.uint64).astype(np.uint32))
+    _, _, of = pj.sorted_join(
+        jnp.asarray(skeys), jnp.asarray(qs), window_rows=16, interpret=True
+    )
+    assert int(of) == 1
+
+
+def test_pjoin_env_wired_probe(monkeypatch):
+    """MUSCATO_PJOIN must produce identical survivors through the dedup
+    expand/verify (slot layout differs; pair set must not)."""
+    from muscato_tpu.engine.index import build_target_index
+    from muscato_tpu.io import seqcodec
+    from muscato_tpu.io.targets import TargetSet
+    from muscato_tpu.ops import packed as pops
+    from muscato_tpu.ops import verify as vops
+
+    rng = np.random.default_rng(5)
+    genes = ["".join("ACGT"[i] for i in rng.integers(0, 4, 256)) for _ in range(8)]
+    reads = [g[o : o + 40] for g in genes for o in (0, 50, 100)]
+    codes, lengths = seqcodec.encode_rows([r.encode() for r in reads], 64)
+    gene_start = np.arange(9, dtype=np.int64) * 256
+    ts = TargetSet(
+        tcat=np.concatenate([seqcodec.encode(g.encode()) for g in genes]),
+        gene_start=gene_start,
+        names=[b"g%d" % i for i in range(8)],
+        lengths=np.diff(gene_start),
+    )
+    width, max_rl = 8, 64
+    idx = build_target_index(ts, width)
+    q1s = jnp.asarray(np.array([0, 6], np.int32))
+    rpacked = pops.pack_rows(jnp.asarray(codes))
+    budget = jnp.asarray(vops.mismatch_budget_table(0.9, max_rl))
+    kw = dict(width=width, max_read_length=max_rl, pair_cap=1 << 12,
+              vchunk=1 << 10, surv_cap=1 << 12, smax=idx.num_bases)
+
+    def run():
+        pr = fused.probe_windows(
+            rpacked, jnp.asarray(lengths), q1s, idx.skeys,
+            width=width, min_dinuc=1,
+        )
+        assert int(pr[5]) >= 0
+        return fused.expand_verify_dedup(
+            pr, q1s, rpacked, jnp.asarray(lengths), idx.spos, idx.tpacked,
+            idx.gene_start, budget, **kw,
+        )
+
+    assert not fused.pjoin_enabled()
+    buf_a, n_a, t_a, _ = run()
+    fused.set_pjoin(True)
+    try:
+        buf_b, n_b, t_b, _ = run()
+    finally:
+        fused.set_pjoin(False)
+    assert int(n_a) == int(n_b) and int(t_a) == int(t_b)
+    rows_a = {tuple(r) for r in np.asarray(buf_a)[: int(n_a)].tolist()}
+    rows_b = {tuple(r) for r in np.asarray(buf_b)[: int(n_b)].tolist()}
+    assert rows_a == rows_b and int(n_a) > 0

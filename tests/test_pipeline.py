@@ -255,3 +255,58 @@ def test_mgather_overflow_falls_back_identically():
     ):
         np.testing.assert_array_equal(a, b)
     assert len(mr_a.read_row) > 0
+
+
+def test_pjoin_overflow_falls_back_identically():
+    """An index whose single-key postings run exceeds the sorted-join
+    window must return total = -1 from the probe; the pipeline re-probes
+    via sort-merge and switches the process off pjoin."""
+    import numpy as np
+
+    from muscato_tpu.engine import pipeline
+    from muscato_tpu.io.reads import ReadSet
+    from muscato_tpu.io.targets import TargetSet
+    from muscato_tpu.io import seqcodec
+    from muscato_tpu.ops import fused
+
+    rng = np.random.default_rng(12)
+    genes = []
+    for gi in range(60):  # 36k poly-A positions: one key1 run > the window
+        g = np.zeros(600, np.uint8)
+        pos = rng.integers(0, 600, 4)
+        g[pos] = rng.integers(1, 4, 4)
+        genes.append(g)
+    tcat = np.concatenate(genes)
+    gene_start = np.arange(61, dtype=np.int64) * 600
+    ts = TargetSet(
+        tcat=tcat, gene_start=gene_start,
+        names=[b"g%d" % i for i in range(60)],
+        lengths=np.diff(gene_start),
+    )
+    reads = [bytes(seqcodec.LETTERS[c] for c in g[:60]) for g in genes[:8]]
+    codes, lengths = seqcodec.encode_rows(reads, 64)
+    rs = ReadSet(
+        codes=codes, lengths=lengths,
+        counts=np.ones(len(reads), np.int32),
+        name_blob=b"", name_off=np.zeros(len(reads) + 1, np.int64),
+        num_total=len(reads),
+    )
+    cfg = config_mod.Config(
+        Windows=[0, 8], WindowWidth=8, PMatch=0.9, MinDinuc=0,
+        MaxReadLength=64, MMTol=2, MaxMatches=10**6, MatchMode="best",
+    )
+
+    assert not fused.pjoin_enabled()
+    mr_a = pipeline.run_matching(cfg, rs, ts)
+    fused.set_pjoin(True)
+    try:
+        mr_b = pipeline.run_matching(cfg, rs, ts)
+        assert not fused.pjoin_enabled()  # overflow tripped the fallback
+    finally:
+        fused.set_pjoin(False)
+    for a, b in zip(
+        (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
+        (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert len(mr_a.read_row) > 0
