@@ -18,6 +18,8 @@ step() {
 # 1. headline A/B: XLA gathers vs monotone-gather kernels
 step bench_xla bench.py --Workload big --Repeats 3
 MUSCATO_MGATHER=1 step bench_mg bench.py --Workload big --Repeats 3
+MUSCATO_PJOIN=1 step bench_pj bench.py --Workload big --Repeats 3
+MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 step bench_mg_pj bench.py --Workload big --Repeats 3
 # 2. phase breakdown at 4M reads
 step profile_xla -m muscato_tpu.bench.profile_match 4
 MUSCATO_MGATHER=1 step profile_mg -m muscato_tpu.bench.profile_match 4
