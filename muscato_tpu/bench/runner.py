@@ -265,6 +265,16 @@ def main(argv=None) -> int:
     # One JSON line, as the driver contract requires.  The headline is the
     # 100M-base realistic workload — the number the north star is defined
     # against (BASELINE.md; round-1 VERDICT item 1).
+    import os
+
+    flags = {
+        k: os.environ[k]
+        for k in ("MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_PALLAS",
+                  "MUSCATO_SPARSECORE")
+        if os.environ.get(k)
+    }
+    if flags:
+        detail["flags"] = flags
     out = {
         "metric": "reads_per_sec_chip",
         "value": round(headline.reads_per_sec, 1),

@@ -115,6 +115,8 @@ def monotone_gather(
     n = table.shape[0]
     m = idx.shape[0]
     assert window % LANE == 0 and block % LANE == 0
+    if m == 0 or n == 0:
+        return jnp.zeros(m, jnp.int32), jnp.int32(1 if m and not n else 0)
     npad = -n % LANE
     if npad:
         table = jnp.concatenate([table, jnp.zeros(npad, table.dtype)])
@@ -234,6 +236,11 @@ def monotone_gather_rows(
     one full HBM latency per output row."""
     nrows, ncols = table.shape
     m = ridx.shape[0]
+    if m == 0 or nrows == 0:
+        return (
+            jnp.zeros((m, ncols), table.dtype),
+            jnp.int32(1 if m and not nrows else 0),
+        )
     window_rows = min(window_rows, max(nrows, 1))
     mpad = -m % block
     if mpad:

@@ -136,6 +136,9 @@ def sorted_join(
     block are unusable and the caller must fall back."""
     v = skeys.shape[0]
     m = qkeys.shape[0]
+    if m == 0 or v == 0:
+        z = jnp.zeros(m, jnp.int32)
+        return z, z, jnp.int32(0)
     npad = -v % LANE
     if npad:
         # Pad with the maximum key: pad rows sort above every real key
