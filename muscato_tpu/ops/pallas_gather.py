@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def _kernel(starts_ref, idx_ref, table_ref, out_ref, oflow_ref, win_ref, sem,
+def _kernel(starts_ref, idx_ref, table_ref, out_ref, win_ref, sem,
             *, window_rows):
     b = pl.program_id(0)
     start = starts_ref[b]
@@ -54,9 +54,9 @@ def _kernel(starts_ref, idx_ref, table_ref, out_ref, oflow_ref, win_ref, sem,
     idx = idx_ref[:]  # (B,) int32, nondecreasing
     off = idx - start
     window = window_rows * LANE
-    oflow_ref[0] = jnp.max(
-        jnp.where((off < 0) | (off >= window), jnp.int32(1), jnp.int32(0))
-    )
+    # Overflow (off outside [0, window)) is detected by the CALLER in
+    # plain XLA from (idx, starts) — a per-block 1-element kernel output
+    # would need a sub-T(1024) 1-D block layout, which Mosaic dislikes.
     r = jax.lax.shift_right_logical(jnp.clip(off, 0, window - 1), 7)
     c = jnp.bitwise_and(off, LANE - 1)
 
@@ -148,25 +148,24 @@ def monotone_gather(
             pl.BlockSpec((block,), lambda b, starts: (b,)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((block,), lambda b, starts: (b,)),
-            pl.BlockSpec((1,), lambda b, starts: (b,)),
-        ],
+        out_specs=pl.BlockSpec((block,), lambda b, starts: (b,)),
         scratch_shapes=[
             pltpu.VMEM((window_rows, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    out, oflow = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, window_rows=window_rows),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((mp,), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks,), jnp.int32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((mp,), jnp.int32),
         interpret=interpret,
     )(starts, idx, table2d)
-    return out[:m], jnp.max(oflow)
+    # Overflow check in XLA: a lane whose offset leaves its block's window.
+    off = idx - jnp.repeat(starts, block)
+    oflow = jnp.max(
+        ((off < 0) | (off >= window_rows * LANE)).astype(jnp.int32)
+    )
+    return out[:m], oflow
 
 
 def monotone_gather_np(table: np.ndarray, idx: np.ndarray) -> np.ndarray:
@@ -174,7 +173,7 @@ def monotone_gather_np(table: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return np.asarray(table)[np.asarray(idx)]
 
 
-def _rows_kernel(starts_ref, ridx_ref, table_ref, out_ref, oflow_ref,
+def _rows_kernel(starts_ref, ridx_ref, table_ref, out_ref,
                  win_ref, sem, *, window_rows, ncols):
     b = pl.program_id(0)
     start = starts_ref[b]
@@ -184,10 +183,7 @@ def _rows_kernel(starts_ref, ridx_ref, table_ref, out_ref, oflow_ref,
     dma.start()
 
     ridx = ridx_ref[:]  # (B,) int32, nondecreasing row ids
-    off = ridx - start
-    oflow_ref[0] = jnp.max(
-        jnp.where((off < 0) | (off >= window_rows), jnp.int32(1), jnp.int32(0))
-    )
+    off = ridx - start  # caller detects out-of-window lanes in XLA
 
     dma.wait()
     win = win_ref[:]  # (WR, NC) uint32 rows
@@ -224,8 +220,8 @@ def monotone_gather_rows(
     table: jax.Array,
     ridx: jax.Array,
     *,
-    block: int = 256,
-    window_rows: int = 1024,
+    block: int = 1024,
+    window_rows: int = 2048,
     interpret: bool = False,
 ):
     """out[j, :] = table[ridx[j], :] for *nondecreasing* int32 ``ridx``.
@@ -260,24 +256,20 @@ def monotone_gather_rows(
             pl.BlockSpec((block,), lambda b, starts: (b,)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((block, ncols), lambda b, starts: (b, 0)),
-            pl.BlockSpec((1,), lambda b, starts: (b,)),
-        ],
+        out_specs=pl.BlockSpec((block, ncols), lambda b, starts: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((window_rows, ncols), table.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    out, oflow = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _rows_kernel, window_rows=window_rows, ncols=ncols
         ),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((mp, ncols), jnp.uint32),
-            jax.ShapeDtypeStruct((nblocks,), jnp.int32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((mp, ncols), jnp.uint32),
         interpret=interpret,
     )(starts, ridx, table)
-    return out[:m].astype(table.dtype), jnp.max(oflow)
+    off = ridx - jnp.repeat(starts, block)
+    oflow = jnp.max(((off < 0) | (off >= window_rows)).astype(jnp.int32))
+    return out[:m].astype(table.dtype), oflow

@@ -52,7 +52,7 @@ def _flip(u):
     )
 
 
-def _kernel(starts_ref, q_ref, keys_ref, lo_ref, cnt_ref, oflow_ref,
+def _kernel(starts_ref, q_ref, keys_ref, lo_ref, cnt_ref,
             win_ref, sem, *, window_rows):
     start = starts_ref[pl.program_id(0)]
     dma = pltpu.make_async_copy(
@@ -108,10 +108,10 @@ def _kernel(starts_ref, q_ref, keys_ref, lo_ref, cnt_ref, oflow_ref,
     fine_hi = jnp.sum((row_hi <= q[:, None]).astype(jnp.int32), axis=1)
     hi = jnp.where(r_le == 0, 0, (r_le - 1) * LANE + fine_hi)
 
-    window = window_rows * LANE
-    # hi touching the window end means the query's run may continue past
-    # the window (or the query lies beyond it) — conservative flag.
-    oflow_ref[0] = jnp.max((hi >= window).astype(jnp.int32))
+    # hi touching the window end (query run continuing past it, or the
+    # query lying beyond it) is detected by the CALLER in XLA from the
+    # unclipped lo/cnt — a 1-element 1-D block output would need a
+    # sub-T(1024) layout, which Mosaic dislikes.
     lo_ref[:] = start + lo
     cnt_ref[:] = hi - lo
 
@@ -174,29 +174,31 @@ def sorted_join(
         out_specs=[
             pl.BlockSpec((block,), lambda b, starts: (b,)),
             pl.BlockSpec((block,), lambda b, starts: (b,)),
-            pl.BlockSpec((1,), lambda b, starts: (b,)),
         ],
         scratch_shapes=[
             pltpu.VMEM((window_rows, LANE), jnp.uint32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    lo, cnt, oflow = pl.pallas_call(
+    lo, cnt = pl.pallas_call(
         functools.partial(_kernel, window_rows=window_rows),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((mp,), jnp.int32),
             jax.ShapeDtypeStruct((mp,), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks,), jnp.int32),
         ],
         interpret=interpret,
     )(starts, qkeys, keys2d)
+    # Overflow in XLA: a query's unclipped hi touching its block's window
+    # end means its run may continue past the window (or it lies beyond).
+    hi_in_window = (lo + cnt) - jnp.repeat(starts, block)
+    oflow = jnp.max((hi_in_window >= window_rows * LANE).astype(jnp.int32))
     lo, cnt = lo[:m], cnt[:m]
     # Clip matches against the pad tail (pad keys are 0xFFFFFFFF, which a
     # real hashed query may equal).
     hi = jnp.minimum(lo + cnt, v)
     lo = jnp.minimum(lo, v)
-    return lo, hi - lo, jnp.max(oflow)
+    return lo, hi - lo, oflow
 
 
 def sorted_join_np(skeys: np.ndarray, qkeys: np.ndarray):

@@ -183,7 +183,7 @@ def test_mgather_env_wired_dedup_path(monkeypatch):
     assert rows_a == rows_b and int(n_a) > 0
 
 
-@pytest.mark.parametrize("ncols,window_rows", [(13, 1024), (7, 256), (1, 512)])
+@pytest.mark.parametrize("ncols,window_rows", [(13, 1024), (7, 2048), (1, 1024)])
 def test_monotone_gather_rows_matches_numpy(ncols, window_rows):
     from muscato_tpu.ops import pallas_gather as pg
 
