@@ -42,15 +42,34 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
+def _win_dma(table_ref, starts_ref, win_ref, sem, step, window_rows):
+    """Async copy of grid step `step`'s window into its revolving slot."""
+    slot = jax.lax.rem(step, 2)
+    return pltpu.make_async_copy(
+        table_ref.at[pl.ds(starts_ref[step] // LANE, window_rows), :],
+        win_ref.at[slot], sem.at[slot],
+    )
+
+
 def _kernel(starts_ref, idx_ref, table_ref, out_ref, win_ref, sem,
             *, window_rows):
+    # Grid steps run sequentially on the core; the window DMA is double-
+    # buffered across steps (scratch persists) so step b computes while
+    # step b+1's window streams in — starts are scalar-prefetched, so the
+    # next offset is known before its block arrives.
     b = pl.program_id(0)
-    start = starts_ref[b]
-    dma = pltpu.make_async_copy(
-        table_ref.at[pl.ds(start // LANE, window_rows), :], win_ref, sem
-    )
-    dma.start()
+    nb = pl.num_programs(0)
 
+    @pl.when(b == 0)
+    def _():
+        _win_dma(table_ref, starts_ref, win_ref, sem, 0, window_rows).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        _win_dma(table_ref, starts_ref, win_ref, sem, b + 1,
+                 window_rows).start()
+
+    start = starts_ref[b]
     idx = idx_ref[:]  # (B,) int32, nondecreasing
     off = idx - start
     window = window_rows * LANE
@@ -60,8 +79,8 @@ def _kernel(starts_ref, idx_ref, table_ref, out_ref, win_ref, sem,
     r = jax.lax.shift_right_logical(jnp.clip(off, 0, window - 1), 7)
     c = jnp.bitwise_and(off, LANE - 1)
 
-    dma.wait()
-    win = win_ref[:]  # (R, 128) int32
+    _win_dma(table_ref, starts_ref, win_ref, sem, b, window_rows).wait()
+    win = win_ref[jax.lax.rem(b, 2)]  # (R, 128) int32
 
     # Byte planes, bf16: each matmul output is a one-hot row sum, i.e. a
     # single byte value 0..255 — exact in bf16/f32.
@@ -150,8 +169,8 @@ def monotone_gather(
         ],
         out_specs=pl.BlockSpec((block,), lambda b, starts: (b,)),
         scratch_shapes=[
-            pltpu.VMEM((window_rows, LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, window_rows, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -173,20 +192,34 @@ def monotone_gather_np(table: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return np.asarray(table)[np.asarray(idx)]
 
 
+def _rows_dma(table_ref, starts_ref, win_ref, sem, step, window_rows):
+    slot = jax.lax.rem(step, 2)
+    return pltpu.make_async_copy(
+        table_ref.at[pl.ds(starts_ref[step], window_rows), :],
+        win_ref.at[slot], sem.at[slot],
+    )
+
+
 def _rows_kernel(starts_ref, ridx_ref, table_ref, out_ref,
                  win_ref, sem, *, window_rows, ncols):
     b = pl.program_id(0)
-    start = starts_ref[b]
-    dma = pltpu.make_async_copy(
-        table_ref.at[pl.ds(start, window_rows), :], win_ref, sem
-    )
-    dma.start()
+    nb = pl.num_programs(0)
 
+    @pl.when(b == 0)
+    def _():
+        _rows_dma(table_ref, starts_ref, win_ref, sem, 0, window_rows).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        _rows_dma(table_ref, starts_ref, win_ref, sem, b + 1,
+                  window_rows).start()
+
+    start = starts_ref[b]
     ridx = ridx_ref[:]  # (B,) int32, nondecreasing row ids
     off = ridx - start  # caller detects out-of-window lanes in XLA
 
-    dma.wait()
-    win = win_ref[:]  # (WR, NC) uint32 rows
+    _rows_dma(table_ref, starts_ref, win_ref, sem, b, window_rows).wait()
+    win = win_ref[jax.lax.rem(b, 2)]  # (WR, NC) uint32 rows
 
     planes = [
         jnp.bitwise_and(jax.lax.shift_right_logical(
@@ -258,8 +291,8 @@ def monotone_gather_rows(
         ],
         out_specs=pl.BlockSpec((block, ncols), lambda b, starts: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((window_rows, ncols), table.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, window_rows, ncols), table.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(

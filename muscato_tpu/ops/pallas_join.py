@@ -52,18 +52,35 @@ def _flip(u):
     )
 
 
+def _win_dma(keys_ref, starts_ref, win_ref, sem, step, window_rows):
+    slot = jax.lax.rem(step, 2)
+    return pltpu.make_async_copy(
+        keys_ref.at[pl.ds(starts_ref[step] // LANE, window_rows), :],
+        win_ref.at[slot], sem.at[slot],
+    )
+
+
 def _kernel(starts_ref, q_ref, keys_ref, lo_ref, cnt_ref,
             win_ref, sem, *, window_rows):
-    start = starts_ref[pl.program_id(0)]
-    dma = pltpu.make_async_copy(
-        keys_ref.at[pl.ds(start // LANE, window_rows), :], win_ref, sem
-    )
-    dma.start()
+    # Double-buffered window DMA across sequential grid steps (starts are
+    # scalar-prefetched, so step b+1's window streams while b computes).
+    b = pl.program_id(0)
+    nprog = pl.num_programs(0)
 
+    @pl.when(b == 0)
+    def _():
+        _win_dma(keys_ref, starts_ref, win_ref, sem, 0, window_rows).start()
+
+    @pl.when(b + 1 < nprog)
+    def _():
+        _win_dma(keys_ref, starts_ref, win_ref, sem, b + 1,
+                 window_rows).start()
+
+    start = starts_ref[b]
     q = _flip(q_ref[:])  # (B,) int32, nondecreasing
     nb = q.shape[0]
-    dma.wait()
-    win_u = win_ref[:]  # (WR, 128) uint32 sorted keys
+    _win_dma(keys_ref, starts_ref, win_ref, sem, b, window_rows).wait()
+    win_u = win_ref[jax.lax.rem(b, 2)]  # (WR, 128) uint32 sorted keys
     win = _flip(win_u)
 
     rowmin = win[:, 0]  # (WR,)
@@ -176,8 +193,8 @@ def sorted_join(
             pl.BlockSpec((block,), lambda b, starts: (b,)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((window_rows, LANE), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, window_rows, LANE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     lo, cnt = pl.pallas_call(
