@@ -322,3 +322,35 @@ def test_pjoin_env_wired_probe(monkeypatch):
     rows_a = {tuple(r) for r in np.asarray(buf_a)[: int(n_a)].tolist()}
     rows_b = {tuple(r) for r in np.asarray(buf_b)[: int(n_b)].tolist()}
     assert rows_a == rows_b and int(n_a) > 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_kernels_combined_random_workload(seed):
+    """MGATHER+PJOIN together on a random realistic workload must produce
+    the exact single-path MatchResult."""
+    from muscato_tpu import config as config_mod
+    from muscato_tpu.bench import gendat
+    from muscato_tpu.engine import pipeline
+
+    rng_reads = 20_000 + seed * 3_000
+    rs, ts = gendat.generate_arrays_realistic(rng_reads, 60, 300, 400, seed)
+    cfg = config_mod.Config(
+        Windows=[0, 10, 25], WindowWidth=10, PMatch=0.9, MinDinuc=2,
+        MaxReadLength=120, MMTol=1, MaxMatches=10**6, MatchMode="best",
+    )
+    mr_a = pipeline.run_matching(cfg, rs, ts)
+    fused.set_mgather(True)
+    fused.set_pjoin(True)
+    try:
+        mr_b = pipeline.run_matching(cfg, rs, ts)
+        assert fused.mgather_enabled() and fused.pjoin_enabled(), \
+            "random workload unexpectedly tripped a fallback"
+    finally:
+        fused.set_mgather(False)
+        fused.set_pjoin(False)
+    for a, b in zip(
+        (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
+        (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert len(mr_a.read_row) > 1000
