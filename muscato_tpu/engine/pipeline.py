@@ -301,11 +301,22 @@ def run_matching_indexed(
                 # this and later batches.  Loud, rare, never wrong.
                 nsurv &= (1 << fused.MG_FLAG_BIT) - 1
                 if fused.mgather_enabled():
-                    logger.warning(
-                        "monotone-gather window overflow; re-running batch "
-                        "on the XLA gather path"
-                    )
-                    fused.set_mgather(False)
+                    if fused.mg_scale() < fused.MG_MAX_SCALE:
+                        # Grow the gather windows 4x (fresh static shape)
+                        # before abandoning the kernels — one recompile
+                        # beats per-batch XLA gathers for the whole run.
+                        fused.set_mg_scale(fused.mg_scale() * 4)
+                        logger.warning(
+                            "monotone-gather window overflow; growing "
+                            "windows to x%d and re-running the batch",
+                            fused.mg_scale(),
+                        )
+                    else:
+                        logger.warning(
+                            "monotone-gather window overflow at max scale; "
+                            "re-running batch on the XLA gather path"
+                        )
+                        fused.set_mgather(False)
                     continue
             if nsurv <= surv_cap:
                 break

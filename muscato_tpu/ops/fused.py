@@ -90,7 +90,12 @@ else:
 # XLA gather path via a flag the pipeline reads out of the nsurv scalar.
 _MGATHER = [_os_mod.environ.get("MUSCATO_MGATHER", "0") == "1"]
 _MG_WINDOW = int(_os_mod.environ.get("MUSCATO_MGATHER_WINDOW", "8192"))
+_MG_ROWS_WINDOW = 2048
 MG_FLAG_BIT = 30  # expand_verify_dedup ORs overflow into bit 30 of nsurv
+# Window growth factor on overflow (pipeline quadruples it up to MG_MAX_SCALE
+# before abandoning the kernels; each growth is a fresh static shape).
+_MG_SCALE = [1]
+MG_MAX_SCALE = 16
 
 
 def mgather_enabled() -> bool:
@@ -99,6 +104,14 @@ def mgather_enabled() -> bool:
 
 def set_mgather(on: bool) -> None:
     _MGATHER[0] = on
+
+
+def mg_scale() -> int:
+    return _MG_SCALE[0]
+
+
+def set_mg_scale(s: int) -> None:
+    _MG_SCALE[0] = s
 
 
 # Windowed sorted-join probe (ops/pallas_join.py): sorts ONLY the queries
@@ -565,7 +578,7 @@ def _expand_verify_impl(
 
 
 def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
-                       mgather=False, interpret=False):
+                       mgather=False, mg_window=8192, interpret=False):
     """Vectorized pair expansion into a (pair_cap,) column buffer, sorted
     by (read, diagonal) with run-start bookkeeping for the diagonal-dedup
     verify.
@@ -617,7 +630,7 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
         from . import pallas_gather as _pg
 
         site, oflow = _pg.monotone_gather(
-            spos, sidx, window=_MG_WINDOW, interpret=interpret
+            spos, sidx, window=mg_window, interpret=interpret
         )
     else:
         site = spos[sidx]
@@ -651,7 +664,7 @@ def _verify_diagonals_impl(
     qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
     rpacked, lengths, tpacked, gene_start, budget, trows=None, gblock=None,
     *, nreads, width, max_read_length, vchunk, surv_cap, smax, gsteps=0,
-    mgather=False, interpret=False,
+    mgather=False, mg_rows_window=2048, interpret=False,
 ):
     """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
     to the pair lanes, and survivor compaction.  Work in the gather-heavy
@@ -686,7 +699,8 @@ def _verify_diagonals_impl(
             rch, dch, rpacked, lengths, tpacked, gene_start, budget,
             q1s, width, max_read_length, smax,
             trows=trows, gblock=gblock, gsteps=gsteps,
-            mgather=mgather, interpret=interpret,
+            mgather=mgather, mg_rows_window=mg_rows_window,
+            interpret=interpret,
         )
         nxb = lax.dynamic_update_slice(nxb, nx, (off,))
         gb = lax.dynamic_update_slice(gb, g, (off,))
@@ -1008,25 +1022,27 @@ def expand_verify_dedup(
     counts_m, lo_m, qid_m, keyf, key2f, _total, _totalf = probe_out
     nreads = rpacked.shape[0]
     mg = _MGATHER[0]
+    scale = _MG_SCALE[0]
     interp = mg and jax.default_backend() == "cpu"
     expand = _tpu_jit(
-        _expand_pairs_impl, ("nreads", "pair_cap", "mgather", "interpret")
+        _expand_pairs_impl,
+        ("nreads", "pair_cap", "mgather", "mg_window", "interpret"),
     )
     qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow = expand(
         counts_m, lo_m, qid_m, q1s, spos, nreads=nreads, pair_cap=pair_cap,
-        mgather=mg, interpret=interp,
+        mgather=mg, mg_window=_MG_WINDOW * scale, interpret=interp,
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,
         ("nreads", "width", "max_read_length", "vchunk", "surv_cap",
-         "smax", "gsteps", "mgather", "interpret"),
+         "smax", "gsteps", "mgather", "mg_rows_window", "interpret"),
     )
     surv, nsurv, oflow_v = verify(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
         rpacked, lengths, tpacked, gene_start, budget, trows, gblock,
         nreads=nreads, width=width, max_read_length=max_read_length,
         vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
-        mgather=mg, interpret=interp,
+        mgather=mg, mg_rows_window=_MG_ROWS_WINDOW * scale, interpret=interp,
     )
     if mg:
         flag = jnp.maximum(oflow, oflow_v)

@@ -218,6 +218,7 @@ def verify_diagonals_packed(
     gblock: jnp.ndarray | None = None,
     gsteps: int = 0,
     mgather: bool = False,
+    mg_rows_window: int = 2048,
     interpret: bool = False,
 ):
     """Verify one (read, diagonal) once for ALL windows at once.
@@ -267,11 +268,14 @@ def verify_diagonals_packed(
         from . import pallas_gather as _pg
 
         rc_mono = jnp.where(r >= 0, rc, jnp.int32(rpacked.shape[0] - 1))
+        # lengths shares the row-id stream: its element window must cover
+        # at least the row window's span.
         rlen, of_l = _pg.monotone_gather(
-            lengths, rc_mono, interpret=interpret
+            lengths, rc_mono, window=max(8192, mg_rows_window),
+            interpret=interpret,
         )
         rw_mono, of_r = _pg.monotone_gather_rows(
-            rpacked, rc_mono, interpret=interpret
+            rpacked, rc_mono, window_rows=mg_rows_window, interpret=interpret
         )
         oflow = jnp.maximum(of_l, of_r)
     else:

@@ -245,10 +245,13 @@ def test_mgather_overflow_falls_back_identically():
     fused.set_mgather(True)
     try:
         mr_b = pipeline.run_matching(cfg, rs, ts)
-        # the huge postings run must have tripped the fallback
-        assert not fused.mgather_enabled()
+        # the huge postings run must have tripped the fallback: either the
+        # windows grew (and the retry succeeded on the kernels) or the
+        # process fell back to XLA gathers at max scale.
+        assert fused.mg_scale() > 1 or not fused.mgather_enabled()
     finally:
         fused.set_mgather(False)
+        fused.set_mg_scale(1)
     for a, b in zip(
         (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
         (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
