@@ -231,20 +231,32 @@ def run_matching_indexed(
             width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
         )
         total = int(pr[5])
-        if total < 0:
+        while total < 0:
             # Sorted-join window overflow (a block's candidate span beat
-            # the static window): this is index-distribution-driven and
-            # will recur, so switch the process to the sort-merge probe.
-            logger.warning(
-                "sorted-join probe window overflow; re-probing via the "
-                "sort-merge path"
-            )
-            fused.set_pjoin(False)
-            pr = fused.probe_windows(
-                rpacked, lengths, q1s, index.skeys,
-                width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
-                allow_pjoin=False,
-            )
+            # the static window).  Grow the window once — past that the
+            # per-query matmul cost overtakes the sort-merge probe, so
+            # switch the process over.
+            if fused.pjoin_scale() < fused.PJOIN_MAX_SCALE:
+                fused.set_pjoin_scale(fused.pjoin_scale() * 4)
+                logger.warning(
+                    "sorted-join probe window overflow; growing window to "
+                    "x%d and re-probing", fused.pjoin_scale(),
+                )
+                pr = fused.probe_windows(
+                    rpacked, lengths, q1s, index.skeys,
+                    width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
+                )
+            else:
+                logger.warning(
+                    "sorted-join probe window overflow at max scale; "
+                    "re-probing via the sort-merge path"
+                )
+                fused.set_pjoin(False)
+                pr = fused.probe_windows(
+                    rpacked, lengths, q1s, index.skeys,
+                    width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
+                    allow_pjoin=False,
+                )
             total = int(pr[5])
         if float(pr[6]) > float(2**30):
             # The expansion offsets are int32 cumsums; beyond ~2**30

@@ -120,6 +120,11 @@ def set_mg_scale(s: int) -> None:
 # a measured TPU A/B (MUSCATO_PJOIN=1).  On window overflow the probe
 # returns total = -1 and the pipeline re-probes via the sort-merge path.
 _PJOIN = [_os_mod.environ.get("MUSCATO_PJOIN", "0") == "1"]
+_PJOIN_ROWS = 256  # join window in 128-key rows (32768 keys)
+# One 4x growth is allowed on overflow; past ~1024 rows the per-query
+# one-hot matmul cost overtakes the sort-merge probe, so then fall back.
+_PJOIN_SCALE = [1]
+PJOIN_MAX_SCALE = 4
 
 
 def pjoin_enabled() -> bool:
@@ -128,6 +133,14 @@ def pjoin_enabled() -> bool:
 
 def set_pjoin(on: bool) -> None:
     _PJOIN[0] = on
+
+
+def pjoin_scale() -> int:
+    return _PJOIN_SCALE[0]
+
+
+def set_pjoin_scale(s: int) -> None:
+    _PJOIN_SCALE[0] = s
 
 
 _jit_cache = {}
@@ -248,7 +261,8 @@ def _window_queries(rpacked, lengths, q1s, *, width, min_dinuc):
 
 
 def _probe_windows_pjoin_impl(
-    rpacked, lengths, q1s, skeys, *, width, min_dinuc, interpret=False,
+    rpacked, lengths, q1s, skeys, *, width, min_dinuc, window_rows=256,
+    interpret=False,
 ):
     """Sorted-join probe: sort the queries only (Q rows), then resolve
     lo/count per query against the resident sorted index with the
@@ -270,7 +284,9 @@ def _probe_windows_pjoin_impl(
         validf, jnp.arange(nflat, dtype=jnp.int32), jnp.int32(-1)
     )
     ks, qid_m = lax.sort((keyf, qid_pay), num_keys=1)
-    lo_m, counts_m, oflow = pjoin.sorted_join(skeys, ks, interpret=interpret)
+    lo_m, counts_m, oflow = pjoin.sorted_join(
+        skeys, ks, window_rows=window_rows, interpret=interpret
+    )
     counts_m = jnp.where(qid_m >= 0, counts_m, 0)
     totalf = jnp.sum(counts_m.astype(jnp.float32))
     total = jnp.where(oflow > 0, jnp.int32(-1), jnp.sum(counts_m))
@@ -965,10 +981,12 @@ def probe_windows(
         )
     if _PJOIN[0] and pre == (None, None, None) and allow_pjoin:
         probe = _tpu_jit(
-            _probe_windows_pjoin_impl, ("width", "min_dinuc", "interpret")
+            _probe_windows_pjoin_impl,
+            ("width", "min_dinuc", "window_rows", "interpret"),
         )
         return probe(
             rpacked, lengths, q1s, skeys, width=width, min_dinuc=min_dinuc,
+            window_rows=_PJOIN_ROWS * _PJOIN_SCALE[0],
             interpret=jax.default_backend() == "cpu",
         )
     probe = _tpu_jit(_probe_windows_impl, ("width", "min_dinuc"))

@@ -304,9 +304,12 @@ def test_pjoin_overflow_falls_back_identically():
     fused.set_pjoin(True)
     try:
         mr_b = pipeline.run_matching(cfg, rs, ts)
-        assert not fused.pjoin_enabled()  # overflow tripped the fallback
+        # overflow tripped the fallback: the window grew (and the retry
+        # succeeded) or the process reverted to sort-merge at max scale.
+        assert fused.pjoin_scale() > 1 or not fused.pjoin_enabled()
     finally:
         fused.set_pjoin(False)
+        fused.set_pjoin_scale(1)
     for a, b in zip(
         (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
         (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
