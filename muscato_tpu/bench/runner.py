@@ -231,12 +231,16 @@ def main(argv=None) -> int:
     ns = p.parse_args(argv)
 
     note = None
+    fallback = False
     if not ns.NoProbe and not _device_reachable():
         # Device unreachable: run a small CPU-backed measurement rather
-        # than hanging.  The number is NOT a chip number; the note says so.
+        # than hanging.  The result is marked skipped=true with metric
+        # reads_per_sec_cpu_fallback — it can NEVER be read as a chip
+        # number (round-2 VERDICT missing #4 / next #5).
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        fallback = True
         note = "device backend unreachable; CPU fallback at reduced size"
         ns.NumRead = min(ns.NumRead, 200_000)
         ns.NumGene = ns.NumGene or 2_000
@@ -275,13 +279,23 @@ def main(argv=None) -> int:
     }
     if flags:
         detail["flags"] = flags
+    # Self-describing provenance: record what actually ran the timed region
+    # so a CPU fallback can never masquerade as a chip number.
+    import jax
+
+    dev = jax.devices()[0]
+    detail["backend"] = jax.default_backend()
+    detail["device_kind"] = getattr(dev, "device_kind", str(dev))
     out = {
-        "metric": "reads_per_sec_chip",
+        "metric": "reads_per_sec_cpu_fallback" if fallback else "reads_per_sec_chip",
         "value": round(headline.reads_per_sec, 1),
         "unit": "reads/s",
         "vs_baseline": round(headline.reads_per_sec / NORTH_STAR, 4),
         "detail": detail,
     }
+    if fallback:
+        out["skipped"] = True
+        out["vs_baseline"] = None
     if note:
         out["note"] = note
     print(json.dumps(out))

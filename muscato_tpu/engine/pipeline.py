@@ -277,15 +277,6 @@ def run_matching_indexed(
             len(cfg.Windows) <= 31 and not cfg.NoDedup
             and total <= _MAX_PAIR_CAP
         )
-        if not use_dedup and fused.pjoin_enabled() and not use_search:
-            # The sorted-join probe's slot arrays are key-sorted but not
-            # compacted; the streamed expand path needs the compacted
-            # layout — re-probe via sort-merge for this batch.
-            pr = fused.probe_windows(
-                rpacked, lengths, q1s, index.skeys,
-                width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
-                allow_pjoin=False,
-            )
         while True:
             if use_dedup:
                 pair_cap = max(_PAIR_FLOOR, _pow2ceil(total))

@@ -267,10 +267,10 @@ def _probe_windows_pjoin_impl(
     """Sorted-join probe: sort the queries only (Q rows), then resolve
     lo/count per query against the resident sorted index with the
     windowed Pallas join (ops/pallas_join.py).  Same 7-tuple contract as
-    _probe_windows_impl, EXCEPT the slot arrays are key-sorted but not
-    compacted (zero-count slots remain) — only the dedup expand path
-    consumes them (its owner scatter skips empty slots natively); the
-    pipeline re-probes via sort-merge when it needs the streamed path.
+    _probe_windows_impl, including the compacted slot layout (active
+    slots first, the same packed-key sort) — every expand path consumes
+    the result directly; the compaction sort runs over Q rows only
+    (the sort-merge probe's runs over V + Q).
     total = -1 signals a join-window overflow (fall back, never wrong)."""
     from . import pallas_join as pjoin
 
@@ -290,7 +290,19 @@ def _probe_windows_pjoin_impl(
     counts_m = jnp.where(qid_m >= 0, counts_m, 0)
     totalf = jnp.sum(counts_m.astype(jnp.float32))
     total = jnp.where(oflow > 0, jnp.int32(-1), jnp.sum(counts_m))
-    return counts_m, lo_m, qid_m, keyf, key2f, total, totalf
+    # Compact to the active (count > 0) slots — the identical packed-key
+    # sort to _probe_windows_impl's, so downstream layout assumptions
+    # (chunk owner spans for the streamed path, qid-ordered owners for
+    # the dedup scatter) hold on both probes and the pipeline never has
+    # to re-probe (round-2 VERDICT weak #6).
+    assert nflat < (1 << 30) - 1, "query space exceeds the packed-key range"
+    inactive = (counts_m == 0).astype(jnp.int32)
+    packed_key = (inactive << 30) | (qid_m + 1)
+    packed_c, counts_c, lo_c = lax.sort(
+        (packed_key, counts_m, lo_m), num_keys=1
+    )
+    qid_c = (packed_c & ((1 << 30) - 1)) - 1
+    return counts_c, lo_c, qid_c, keyf, key2f, total, totalf
 
 
 def _probe_windows_impl(

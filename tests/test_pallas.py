@@ -324,6 +324,35 @@ def test_pjoin_env_wired_probe(monkeypatch):
     assert rows_a == rows_b and int(n_a) > 0
 
 
+def test_pjoin_streamed_path_compacted_layout():
+    """The pjoin probe's compacted slot layout must feed the STREAMED
+    expand path (NoDedup) directly — no re-probe — with identical output
+    to the sort-merge probe (round-2 VERDICT weak #6)."""
+    from muscato_tpu import config as config_mod
+    from muscato_tpu.bench import gendat
+    from muscato_tpu.engine import pipeline
+
+    rs, ts = gendat.generate_arrays_realistic(15_000, 60, 200, 400, 11)
+    cfg = config_mod.Config(
+        Windows=[0, 10, 25], WindowWidth=10, PMatch=0.9, MinDinuc=2,
+        MaxReadLength=120, MMTol=1, MaxMatches=10**6, MatchMode="best",
+        NoDedup=True,
+    )
+    mr_a = pipeline.run_matching(cfg, rs, ts)
+    fused.set_pjoin(True)
+    try:
+        mr_b = pipeline.run_matching(cfg, rs, ts)
+        assert fused.pjoin_enabled(), "streamed run unexpectedly fell back"
+    finally:
+        fused.set_pjoin(False)
+    for a, b in zip(
+        (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
+        (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert len(mr_a.read_row) > 500
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_kernels_combined_random_workload(seed):
     """MGATHER+PJOIN together on a random realistic workload must produce
