@@ -52,8 +52,7 @@ def main(argv=None) -> int:
         mesh = pmesh.make_mesh(dp, mp)
         sidx = pmesh.shard_targets(ts, cfg.WindowWidth, mp)
         run = lambda: pmesh.sharded_match_arrays(
-            cfg, rs.codes, rs.lengths, sidx, mesh,
-            pair_cap=1 << 17, surv_cap=1 << 15,
+            cfg, rs.codes, rs.lengths, sidx, mesh, surv_cap=1 << 15,
         )
         run()  # compile
         best = min(

@@ -88,6 +88,42 @@ def test_sharded_equals_single(dp, mp, n_reads):
     assert got == expected
 
 
+def test_sharded_with_kernels_equals_single():
+    """MUSCATO_MGATHER + MUSCATO_PJOIN inside shard_map (interpret mode on
+    CPU) must produce the identical sharded result — the mesh path runs
+    the same kernel-flagged engine as the single-chip loop."""
+    from muscato_tpu.ops import fused
+
+    rng = np.random.default_rng(29)
+    width, max_rl = 6, 40
+    cfg = Config(
+        Windows=[0, 4], WindowWidth=width, PMatch=0.9, MinDinuc=1,
+        MaxReadLength=max_rl, MMTol=1, MaxMatches=10**6, MatchMode="best",
+    )
+    rs, ts = _mk_sets(rng, n_reads=48, n_genes=12, width=width, max_rl=max_rl)
+    single = pipeline.run_matching(cfg, rs, ts)
+    expected = set(
+        zip(single.read_row.tolist(), single.gene.tolist(),
+            single.start.tolist(), single.nmiss.tolist())
+    )
+    mesh = pmesh.make_mesh(2, 2)
+    sidx = pmesh.shard_targets(ts, width, 2)
+    fused.set_mgather(True)
+    fused.set_pjoin(True)
+    try:
+        mr = pmesh.run_matching_sharded(cfg, rs, sidx, mesh)
+    finally:
+        fused.set_mgather(False)
+        fused.set_pjoin(False)
+        fused.set_mg_scale(1)
+        fused.set_pjoin_scale(1)
+    got = set(
+        zip(mr.read_row.tolist(), mr.gene.tolist(),
+            mr.start.tolist(), mr.nmiss.tolist())
+    )
+    assert got == expected
+
+
 def test_sharded_nrun_read_no_phantom_matches():
     """A read made of non-ACGT bases (encoded X) must not match shard
     padding (which is X-filled): pad windows are invalid by construction.
@@ -160,10 +196,14 @@ def test_overflow_detection():
     )
     mesh = pmesh.make_mesh(1, 2)
     sidx = pmesh.shard_targets(ts, 4, 2)
-    with pytest.raises(pmesh.CapacityError, match="capacity exceeded"):
-        pmesh.sharded_match_arrays(
-            cfg, codes, lengths, sidx, mesh, pair_cap=16, surv_cap=8
-        )
+    # Overflow is handled IN PLACE: the stage-2 loop regrows the survivor
+    # capacity (reusing the probe) and returns the grown cap for the
+    # caller's hint — no exception escapes.
+    cols, cap = pmesh.sharded_match_arrays(
+        cfg, codes, lengths, sidx, mesh, surv_cap=8
+    )
+    assert cap > 8
+    assert len(cols[0]) > 8
 
 
 def test_sharded_capacity_regrow():
@@ -194,30 +234,18 @@ def test_sharded_capacity_regrow():
 
 
 def _run_sharded_with_cap(cfg, rs, sidx, mesh, start_cap):
-    """run_matching_sharded with a tiny initial capacity (test hook)."""
+    """sharded_match_arrays with a tiny initial capacity (test hook):
+    overflow must regrow in place and return the grown cap."""
     from muscato_tpu.engine import pipeline as pl
     from muscato_tpu.ops import fused
 
-    nreads = rs.codes.shape[0]
-    surv_cap = start_cap
-    all_rows = []
     codes = np.asarray(rs.codes)
     lengths = np.asarray(rs.lengths)
-    grew = 0
-    while True:
-        try:
-            cols = pmesh.sharded_match_arrays(
-                cfg, codes, lengths, sidx, mesh, surv_cap=surv_cap
-            )
-            break
-        except pmesh.CapacityError as e:
-            grew += 1
-            while surv_cap < e.needed:
-                surv_cap *= 4
-    assert grew >= 1, "test should exercise at least one regrow"
+    cols, cap = pmesh.sharded_match_arrays(
+        cfg, codes, lengths, sidx, mesh, surv_cap=start_cap
+    )
+    assert cap > start_cap, "test should exercise at least one regrow"
     rows = np.stack(cols, axis=1)
-    all_rows.append(rows)
-    rows = np.concatenate(all_rows)
     r, g, s, nx, grp, grp2, win = (rows[:, i] for i in range(fused.NCOL))
     r, g, s, nx = pl._apply_max_matches(cfg, r, g, s, nx, grp, grp2, win)
     return pl._dedup_and_rank(cfg, r, g, s, nx)

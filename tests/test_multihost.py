@@ -7,10 +7,11 @@ data, cross-process all_gather inside shard_map, the process-level
 retained-row merge, and lockstep capacity handling — i.e. the actual
 multi-host contract of parallel/dist.py + parallel/mesh.py.
 
-Asserts: both processes produce identical MatchResults, equal to the
-single-device engine on the same inputs (the reference's one-process
-output is the behavioral contract; the sharded run must be
-indistinguishable from it).
+Asserts: the primary process's MatchResult equals the single-device
+engine on the same inputs (the reference's one-process output is the
+behavioral contract; the sharded run must be indistinguishable from it);
+the non-primary skips the host rank (it runs once, on the primary) and
+returns an empty result.
 """
 
 import os
@@ -55,8 +56,11 @@ def test_two_process_pod_matches_single_device(tmp_path):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
 
     got = [np.load(tmp_path / f"mr_{pid}.npz") for pid in range(2)]
+    # Rank runs once, on the primary (round-2 VERDICT weak #7): the
+    # non-primary returns an empty MatchResult (its report output is
+    # skipped by the driver anyway).
     for col in ("read_row", "gene", "start", "nmiss"):
-        np.testing.assert_array_equal(got[0][col], got[1][col])
+        assert got[1][col].size == 0
 
     # Single-device expectation on identical inputs (this process runs the
     # plain engine on the conftest-provided CPU devices).
