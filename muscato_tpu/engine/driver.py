@@ -191,7 +191,21 @@ def _run_stages(cfg: Config, logger: logging.Logger) -> None:
 
     sys.stderr.write("Preparing reads...\n")
     ts_prep = time.time()
-    rs = reads_io.build_readset(cfg.ReadFileName, cfg.MinReadLength, cfg.MaxReadLength)
+    import jax as _jax_prep
+
+    if _jax_prep.process_count() > 1:
+        # Range-sharded multi-host prep: each process parses only its byte
+        # range of the read file and the per-host unique sets merge over
+        # the process collective (parallel/dist.build_readset_multihost).
+        from ..parallel import dist as _dist
+
+        rs = _dist.build_readset_multihost(
+            cfg.ReadFileName, cfg.MinReadLength, cfg.MaxReadLength
+        )
+    else:
+        rs = reads_io.build_readset(
+            cfg.ReadFileName, cfg.MinReadLength, cfg.MaxReadLength
+        )
     plog.info(
         "prepared reads: %d total, %d unique in %.2fs",
         rs.num_total, rs.num_unique, time.time() - ts_prep,

@@ -184,40 +184,45 @@ def build_readset(
     buf = _map_bytes(read_file)
     line_s, line_e = _line_bounds(buf)
     nrec = len(line_s) // 4
-    if nrec == 0:
-        return ReadSet(
-            codes=np.zeros((0, max_read_length), np.uint8),
-            lengths=np.zeros(0, np.int32),
-            counts=np.zeros(0, np.int64),
-            names=[],
-            num_total=0,
-        )
-
     name_s = line_s[0::4][:nrec]
     name_e = line_e[0::4][:nrec]
     seq_s = line_s[1::4][:nrec]
     seq_e = line_e[1::4][:nrec]
-    seq_len = (seq_e - seq_s).astype(np.int64)
+    return _build_from_records(
+        buf, name_s, name_e, seq_s, seq_e, min_read_length, max_read_length
+    )
 
+
+def _empty_readset(max_read_length: int) -> ReadSet:
+    return ReadSet(
+        codes=np.zeros((0, max_read_length), np.uint8),
+        lengths=np.zeros(0, np.int32),
+        counts=np.zeros(0, np.int64),
+        names=[],
+        num_total=0,
+    )
+
+
+def _sorted_unique_records(
+    buf, name_s, name_e, seq_s, seq_e, min_read_length, max_read_length
+):
+    """Shared core of the full and range-sharded prep paths: length-filter,
+    encode, C-locale sort, and group the records.  Returns None when no
+    record survives, else (srt (+1-coded sorted rows), order, starts_u,
+    counts_u, group_of, lens, name_s, name_e, n)."""
+    seq_len = (seq_e - seq_s).astype(np.int64)
     keep = seq_len >= min_read_length
     name_s, name_e = name_s[keep], name_e[keep]
     seq_s = seq_s[keep]
     lens = np.minimum(seq_len[keep], max_read_length).astype(np.int32)
     n = len(seq_s)
     if n == 0:
-        return ReadSet(
-            codes=np.zeros((0, max_read_length), np.uint8),
-            lengths=np.zeros(0, np.int32),
-            counts=np.zeros(0, np.int64),
-            names=[],
-            num_total=0,
-        )
+        return None
 
     # Host matrix width: the longest kept read, rounded up to a word (the
     # device batch path re-trims anyway; carrying MaxReadLength columns
     # for shorter reads doubled every host pass below at the default
-    # MaxReadLength=2x bench read length).  Identical across multi-host
-    # processes because every process scans the full read file.
+    # MaxReadLength=2x bench read length).
     w = min(max_read_length, max(8, -(-int(lens.max()) // 8) * 8))
 
     # "sortable" rows: code+1 inside the read, 0 beyond — void-row order
@@ -251,6 +256,18 @@ def build_readset(
     order = _order_names_within_groups(
         order, starts_u, counts_u, buf, name_s, name_e
     )
+    return srt, order, starts_u, counts_u, group_of, lens, name_s, name_e, n
+
+
+def _build_from_records(
+    buf, name_s, name_e, seq_s, seq_e, min_read_length, max_read_length
+) -> ReadSet:
+    core = _sorted_unique_records(
+        buf, name_s, name_e, seq_s, seq_e, min_read_length, max_read_length
+    )
+    if core is None:
+        return _empty_readset(max_read_length)
+    srt, order, starts_u, counts_u, group_of, lens, name_s, name_e, n = core
 
     ucodes = srt[starts_u]
     np.subtract(ucodes, 1, out=ucodes, where=ucodes > 0)
@@ -334,6 +351,286 @@ def _join_group_names(buf, name_s, name_e, group_of):
             nblob[a : a + 3] = dots
         blob, goff = nblob, new_off
     return blob, goff
+
+
+# ---- Range-sharded multi-host prep --------------------------------------
+#
+# The reference streams reads record-at-a-time in bounded memory
+# (cmd/muscato_prep_reads/main.go:46-92) and merges sorted per-stage files
+# (cmd/muscato/main.go:152-221 wires prep_reads | sort | uniqify).  The
+# multi-host analogue here: each process parses only the records whose
+# NAME LINE starts inside its byte range of the (decoded) read file, builds
+# a locally-sorted unique set, and the per-host unique sets are merged into
+# the global ReadSet (parallel/dist.build_readset_multihost exchanges them
+# over the process collective).  Per-host prep RAM and sort time shrink
+# ~process_count-fold; the merged output is byte-identical to the
+# single-host build.
+#
+# Record ownership is positional, not content-based (the format is strict
+# 4-line records and name lines are verbatim — they need not start with
+# '@'): processes count the lines that start inside their byte range, one
+# collective prefix-sum turns the counts into each range's global first
+# line number, and records are owned by the range where their first line
+# starts (their remaining 3 lines may spill into the next range — the file
+# is mmap'd, so reading past the range end is free).
+
+# Per-group byte cap on the member names a LocalReads ships: the final
+# ';'-joined string is truncated at 1000 bytes, and any 996-byte merged
+# prefix consumes at most ~996 bytes + one boundary member from each host,
+# so members past this cumulative cap can never appear in the output.
+_MEMBER_CAP = 1104
+
+
+class LocalReads:
+    """One process's slice of the read file, prepped and locally deduped:
+    sorted unique code rows plus the per-member (pre-join) name pieces,
+    name-sorted within each group and byte-capped at _MEMBER_CAP.
+
+    Name pieces are stored post-per-name-truncation (name[:995]+'...'):
+    cross-host member ordering compares these stored bytes, so two 1000+
+    byte names that first differ past byte 995 tie and keep host order
+    (the single-host path compares full names; the reference's own sort
+    would too — the difference is unobservable in the joined output's
+    retained 996 bytes unless such a pair also shares its sequence)."""
+
+    def __init__(self, codes, lengths, counts, num_total, mem_blob, mem_off,
+                 row_mem):
+        self.codes = codes  # (R, w) uint8, pad 0
+        self.lengths = lengths  # (R,) int32
+        self.counts = counts  # (R,) int64 — full copy counts (uncapped)
+        self.num_total = num_total
+        self.mem_blob = mem_blob  # uint8 member-name bytes
+        self.mem_off = mem_off  # (M+1,) int64 offsets into mem_blob
+        self.row_mem = row_mem  # (R+1,) int64 member index per row
+
+    @property
+    def num_unique(self) -> int:
+        return self.codes.shape[0]
+
+
+def count_lines_range(buf: np.ndarray, lo: int, hi: int) -> int:
+    """Number of lines STARTING in [lo, hi): line starts are byte 0 and
+    every byte following a newline."""
+    n = int(np.count_nonzero(buf[max(lo - 1, 0) : max(hi - 1, 0)] == 10))
+    return n + (1 if lo == 0 and len(buf) else 0)
+
+
+def _range_line_starts(buf: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    nl = np.flatnonzero(buf[max(lo - 1, 0) : max(hi - 1, 0)] == 10)
+    starts = nl.astype(np.int64) + max(lo - 1, 0) + 1
+    if lo == 0 and len(buf):
+        starts = np.concatenate([[0], starts])
+    return starts
+
+
+def _next_nl(buf: np.ndarray, pos: int) -> int:
+    """Position of the next newline at/after pos (len(buf) if none),
+    scanned in bounded chunks — never a full-tail pass."""
+    ch = 1 << 16
+    n = len(buf)
+    while pos < n:
+        win = buf[pos : min(pos + ch, n)]
+        hits = np.flatnonzero(win == 10)
+        if len(hits):
+            return pos + int(hits[0])
+        pos += ch
+    return n
+
+
+def _line_ends_after(buf: np.ndarray, starts: np.ndarray, need_past: int,
+                     hi: int):
+    """Ends of the lines starting at `starts`, plus up to `need_past`
+    continuation lines past the last one (records owned by a range may
+    spill their tail lines into the next range).  Returns (all_starts,
+    all_ends); ends exclude the newline, a missing final newline ends at
+    len(buf) (same convention as _line_bounds)."""
+    ends = np.empty(len(starts), np.int64)
+    if len(starts) > 1:
+        ends[:-1] = starts[1:] - 1
+    e = _next_nl(buf, int(starts[-1]))
+    ends[-1] = e
+    extra_s, extra_e = [], []
+    for _ in range(need_past):
+        s = e + 1
+        if s >= len(buf):
+            break
+        e = _next_nl(buf, s)
+        extra_s.append(s)
+        extra_e.append(min(e, len(buf)))
+        if e >= len(buf):
+            break
+    all_s = np.concatenate([starts, np.asarray(extra_s, np.int64)])
+    all_e = np.concatenate([ends, np.asarray(extra_e, np.int64)])
+    return all_s, all_e
+
+
+def build_readset_range(
+    buf: np.ndarray,
+    min_read_length: int,
+    max_read_length: int,
+    lo: int,
+    hi: int,
+    first_line: int,
+) -> LocalReads:
+    """Prep the records whose name line starts in byte range [lo, hi).
+    `first_line` is the global line number of the range's first line (from
+    the collective prefix-sum of count_lines_range over all ranges)."""
+    starts = _range_line_starts(buf, lo, hi)
+    # Records owned here: global line numbers ≡ 0 (mod 4).
+    skip = (-first_line) % 4
+    rec_starts = starts[skip::4]
+    nrec = len(rec_starts)
+    if nrec == 0:
+        return LocalReads(
+            codes=np.zeros((0, 8), np.uint8), lengths=np.zeros(0, np.int32),
+            counts=np.zeros(0, np.int64), num_total=0,
+            mem_blob=np.zeros(0, np.uint8), mem_off=np.zeros(1, np.int64),
+            row_mem=np.zeros(1, np.int64),
+        )
+    # The last record may spill up to 3 lines past the range end.
+    all_s, all_e = _line_ends_after(buf, starts, 3, hi)
+    base = skip
+    name_s = all_s[base::4][:nrec]
+    name_e = all_e[base::4][:nrec]
+    seq_s = all_s[base + 1 :: 4][:nrec]
+    seq_e = all_e[base + 1 :: 4][:nrec]
+    nrec = min(len(name_s), len(seq_s))
+    name_s, name_e = name_s[:nrec], name_e[:nrec]
+    seq_s, seq_e = seq_s[:nrec], seq_e[:nrec]
+
+    core = _sorted_unique_records(
+        buf, name_s, name_e, seq_s, seq_e, min_read_length, max_read_length
+    )
+    if core is None:
+        return LocalReads(
+            codes=np.zeros((0, 8), np.uint8), lengths=np.zeros(0, np.int32),
+            counts=np.zeros(0, np.int64), num_total=0,
+            mem_blob=np.zeros(0, np.uint8), mem_off=np.zeros(1, np.int64),
+            row_mem=np.zeros(1, np.int64),
+        )
+    srt, order, starts_u, counts_u, group_of, lens, name_s, name_e, n = core
+    ucodes = srt[starts_u]
+    np.subtract(ucodes, 1, out=ucodes, where=ucodes > 0)
+    ulens = lens[order[starts_u]]
+
+    # Member name pieces (group-sorted by _sorted_unique_records), byte-
+    # capped per group at _MEMBER_CAP cumulative joined bytes.
+    ns, ne = name_s[order], name_e[order]
+    nlen = (ne - ns).astype(np.int64)
+    trunc = nlen > _MAX_NAME
+    tlen = np.where(trunc, _MAX_NAME - 5 + 3, nlen)
+    copy_len = np.where(trunc, _MAX_NAME - 5, nlen)
+    piece = tlen + 1  # + separator
+    cum = np.cumsum(piece)
+    first = np.concatenate([[True], group_of[1:] != group_of[:-1]])
+    gbase = (cum - piece)[first][group_of]
+    keep = (cum - piece - gbase) <= _MEMBER_CAP
+    ns_k, cl_k, tl_k, tr_k = ns[keep], copy_len[keep], tlen[keep], trunc[keep]
+    mem_off = np.zeros(len(ns_k) + 1, np.int64)
+    mem_off[1:] = np.cumsum(tl_k)
+    mem_blob = np.zeros(int(mem_off[-1]), np.uint8)
+    ranged_copy(mem_blob, mem_off[:-1], buf, ns_k, cl_k)
+    dots = np.frombuffer(b"...", np.uint8)
+    for i in np.flatnonzero(tr_k):
+        a = mem_off[i] + _MAX_NAME - 5
+        mem_blob[a : a + 3] = dots
+    # members per row (post-cap)
+    row_mem = np.zeros(len(starts_u) + 1, np.int64)
+    np.cumsum(np.bincount(group_of[keep], minlength=len(starts_u)),
+              out=row_mem[1:])
+
+    return LocalReads(
+        codes=ucodes, lengths=ulens.astype(np.int32), counts=counts_u,
+        num_total=n, mem_blob=mem_blob, mem_off=mem_off, row_mem=row_mem,
+    )
+
+
+def merge_local_readsets(
+    parts: List["LocalReads"], max_read_length: int
+) -> ReadSet:
+    """Merge per-host locally-deduped LocalReads (in host order) into the
+    global ReadSet — byte-identical to build_readset over the whole file.
+    Counts add across hosts; member names of cross-host duplicate
+    sequences are re-sorted by name bytes (stable, so equal names keep
+    host = file order), then joined/truncated by the same
+    _join_group_names the single-host path uses."""
+    num_total = sum(p.num_total for p in parts)
+    parts = [p for p in parts if p.num_unique]
+    if not parts:
+        return _empty_readset(max_read_length)
+    w = max(p.codes.shape[1] for p in parts)
+
+    rows_l, mem_cnt_l, mstart_l = [], [], []
+    mem_base = 0
+    for p in parts:
+        m = np.zeros((p.num_unique, w), np.uint8)
+        pw = p.codes.shape[1]
+        col = np.arange(pw, dtype=np.int32)
+        m[:, :pw] = np.where(
+            col[None, :] < p.lengths[:, None], p.codes + np.uint8(1), 0
+        )
+        rows_l.append(m)
+        mem_cnt_l.append(np.diff(p.row_mem))
+        mstart_l.append(p.row_mem[:-1] + mem_base)
+        mem_base += len(p.mem_off) - 1
+    rows = np.concatenate(rows_l)
+    counts = np.concatenate([p.counts for p in parts])
+    lengths = np.concatenate([p.lengths for p in parts])
+    mem_cnt = np.concatenate(mem_cnt_l)
+    mem_start = np.concatenate(mstart_l)
+    # Global member metadata (byte ranges into the concatenated blob).
+    blob_cat = np.concatenate([p.mem_blob for p in parts])
+    boff = np.cumsum([0] + [len(p.mem_blob) for p in parts])
+    m_s = np.concatenate(
+        [p.mem_off[:-1] + boff[i] for i, p in enumerate(parts)]
+    )
+    m_e = np.concatenate(
+        [p.mem_off[1:] + boff[i] for i, p in enumerate(parts)]
+    )
+
+    n = rows.shape[0]
+    order = np.argsort(
+        np.ascontiguousarray(rows).view(f"V{w}").ravel(), kind="stable"
+    )
+    srt = rows[order]
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    np.any(srt[1:] != srt[:-1], axis=1, out=boundary[1:])
+    starts_u = np.flatnonzero(boundary)
+    group_of = np.cumsum(boundary) - 1
+    counts_u = np.zeros(len(starts_u), np.int64)
+    np.add.at(counts_u, group_of, counts[order])
+
+    ucodes = srt[starts_u]
+    np.subtract(ucodes, 1, out=ucodes, where=ucodes > 0)
+    ulens = lengths[order[starts_u]]
+
+    # Lay members out in merged row order; cross-host groups re-sort
+    # their members by the stored name bytes (Python work ∝ cross-host
+    # duplicate sequences only).
+    mc = mem_cnt[order]
+    midx = gather_ranges(mem_start[order], mc)
+    gm_s, gm_e = m_s[midx], m_e[midx]
+    mrow = np.repeat(group_of, mc)
+    multi = np.flatnonzero(np.diff(np.append(starts_u, n)) > 1)
+    if len(multi):
+        row_m_off = np.zeros(len(starts_u) + 1, np.int64)
+        np.cumsum(np.bincount(mrow, minlength=len(starts_u)),
+                  out=row_m_off[1:])
+        for gi in multi:
+            a, b = row_m_off[gi], row_m_off[gi + 1]
+            keys = [
+                blob_cat[gm_s[j] : gm_e[j]].tobytes() for j in range(a, b)
+            ]
+            sub = np.argsort(np.array(keys, dtype=object), kind="stable")
+            gm_s[a:b] = gm_s[a:b][sub]
+            gm_e[a:b] = gm_e[a:b][sub]
+    name_blob, name_off = _join_group_names(blob_cat, gm_s, gm_e, mrow)
+
+    return ReadSet(
+        codes=ucodes, lengths=ulens.astype(np.int32), counts=counts_u,
+        name_blob=name_blob, name_off=name_off, num_total=num_total,
+    )
 
 
 def write_reads_sorted(rs: ReadSet, path: str) -> None:

@@ -51,6 +51,42 @@ def main():
     mr = pmesh.run_matching_sharded(cfg, rs, sidx, mesh)
 
     assert dist.is_primary() == (pid == 0)
+
+    # Range-sharded multi-host read prep: each process parses a disjoint
+    # byte range; the merged ReadSet must equal the single-host build.
+    from muscato_tpu.io import reads as reads_io
+
+    fq = os.path.join(outdir, "mh_reads.fastq")
+    if pid == 0:
+        recs = []
+        g = np.random.default_rng(5)
+        for i in range(200):
+            seq = "".join("ACGT"[c] for c in g.integers(0, 4, 30))
+            recs.append(f"@mh{i % 37:03d}\n{seq}\n+\n{'I' * 30}")
+        with open(fq, "w") as f:
+            f.write("\n".join(recs) + "\n")
+    # Both processes need the file; rendezvous via the collective.
+    from jax.experimental import multihost_utils as mhu
+
+    mhu.sync_global_devices("mh_fastq_written")
+    rs_mh = dist.build_readset_multihost(fq, 0, 40)
+    rs_full = reads_io.build_readset(fq, 0, 40)
+    np.testing.assert_array_equal(rs_mh.codes, rs_full.codes)
+    np.testing.assert_array_equal(rs_mh.counts, rs_full.counts)
+    np.testing.assert_array_equal(rs_mh.name_blob, rs_full.name_blob)
+    assert rs_mh.num_total == rs_full.num_total
+    # The per-process parse really was a slice, not the whole file.
+    buf = reads_io._map_bytes(fq)
+    bounds = [i * len(buf) // nproc for i in range(nproc + 1)]
+    nl = reads_io.count_lines_range(buf, bounds[pid], bounds[pid + 1])
+    first = 0 if pid == 0 else len(buf) and sum(
+        reads_io.count_lines_range(buf, bounds[p], bounds[p + 1])
+        for p in range(pid)
+    )
+    local = reads_io.build_readset_range(
+        buf, 0, 40, bounds[pid], bounds[pid + 1], first
+    )
+    assert 0 < local.num_total < rs_full.num_total
     np.savez(
         os.path.join(outdir, f"mr_{pid}.npz"),
         read_row=mr.read_row, gene=mr.gene, start=mr.start, nmiss=mr.nmiss,
