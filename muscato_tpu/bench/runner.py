@@ -273,8 +273,8 @@ def main(argv=None) -> int:
 
     flags = {
         k: os.environ[k]
-        for k in ("MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_PALLAS",
-                  "MUSCATO_SPARSECORE")
+        for k in ("MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
+                  "MUSCATO_PALLAS", "MUSCATO_SPARSECORE")
         if os.environ.get(k)
     }
     if flags:

@@ -143,6 +143,30 @@ def set_pjoin_scale(s: int) -> None:
     _PJOIN_SCALE[0] = s
 
 
+# Diagonal-major dedup verify (MUSCATO_DORDER=1): sort the pair buffer by
+# (diagonal, read) instead of (read, diagonal).  The unique-(r, d) set and
+# every downstream contract are unchanged; what changes is which verify
+# fetch stream is monotone.  In (r, d) order the READ rows walk
+# sequentially but the TARGET row-gather is random over the trows view
+# (~2.75x the packed stream — the largest table the engine touches, and
+# random row gathers there are latency-bound at ~30 ns/row, BENCHMARKS.md
+# microbenchmarks).  In (d, r) order the TARGET stream is monotone — with
+# MUSCATO_MGATHER the trows fetch rides the windowed monotone-gather
+# kernel at DMA bandwidth — and the random side moves to the read matrix,
+# which is several times smaller (~8-15 ns/row).  Net: the verify's
+# dominant latency-bound gather is replaced by a windowed DMA plus a
+# cheaper random gather.  Opt-in pending a measured TPU A/B.
+_DORDER = [_os_mod.environ.get("MUSCATO_DORDER", "0") == "1"]
+
+
+def dorder_enabled() -> bool:
+    return _DORDER[0]
+
+
+def set_dorder(on: bool) -> None:
+    _DORDER[0] = on
+
+
 _jit_cache = {}
 
 
@@ -606,7 +630,8 @@ def _expand_verify_impl(
 
 
 def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
-                       mgather=False, mg_window=8192, interpret=False):
+                       mgather=False, mg_window=8192, interpret=False,
+                       dorder=False):
     """Vectorized pair expansion into a (pair_cap,) column buffer, sorted
     by (read, diagonal) with run-start bookkeeping for the diagonal-dedup
     verify.
@@ -665,13 +690,24 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
         oflow = jnp.int32(0)
     d = site.astype(jnp.int32) - q1s[k_lane]
 
-    # Sort by (read, diagonal); inactive lanes key to int32-max and sink
-    # to the end (no real read row reaches 2**31-1).
+    # Sort by (read, diagonal) — or (diagonal, read) under dorder; either
+    # total order yields the same unique-(r, d) set, the choice only
+    # decides which verify fetch stream is monotone.  Inactive lanes key
+    # to int32-max and sink to the end (no real read row or diagonal
+    # reaches 2**31-1).
     rkey = jnp.where(act, r_lane, inf)
     qid_pay = jnp.where(act, qid, -1)
-    rkey_s, d_s, qid_s = lax.sort((rkey, d, qid_pay), num_keys=2)
+    if dorder:
+        dkey = jnp.where(act, d, inf)
+        d_s, rkey_s, qid_s = lax.sort((dkey, rkey, qid_pay), num_keys=2)
+        act_s = d_s != inf
+        r_s = jnp.where(act_s, rkey_s, -1)
+        d_s = jnp.where(act_s, d_s, 0)
+    else:
+        rkey_s, d_s, qid_s = lax.sort((rkey, d, qid_pay), num_keys=2)
+        act_s = rkey_s != inf
+        r_s = jnp.where(act_s, rkey_s, -1)
 
-    act_s = rkey_s != inf
     run_start = (
         jnp.concatenate(
             [jnp.ones(1, bool),
@@ -682,7 +718,6 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
     u_idx = jnp.cumsum(run_start.astype(jnp.int32)) - 1
     nuniq = u_idx[-1] + 1
     utgt = jnp.where(run_start, u_idx, pair_cap + 1)
-    r_s = jnp.where(act_s, rkey_s, -1)
     ur = jnp.full(pair_cap, -1, jnp.int32).at[utgt].set(r_s, mode="drop")
     ud = jnp.zeros(pair_cap, jnp.int32).at[utgt].set(d_s, mode="drop")
     return qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow
@@ -692,7 +727,7 @@ def _verify_diagonals_impl(
     qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
     rpacked, lengths, tpacked, gene_start, budget, trows=None, gblock=None,
     *, nreads, width, max_read_length, vchunk, surv_cap, smax, gsteps=0,
-    mgather=False, mg_rows_window=2048, interpret=False,
+    mgather=False, mg_rows_window=2048, interpret=False, dorder=False,
 ):
     """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
     to the pair lanes, and survivor compaction.  Work in the gather-heavy
@@ -728,7 +763,7 @@ def _verify_diagonals_impl(
             q1s, width, max_read_length, smax,
             trows=trows, gblock=gblock, gsteps=gsteps,
             mgather=mgather, mg_rows_window=mg_rows_window,
-            interpret=interpret,
+            interpret=interpret, dorder=dorder,
         )
         nxb = lax.dynamic_update_slice(nxb, nx, (off,))
         gb = lax.dynamic_update_slice(gb, g, (off,))
@@ -1053,19 +1088,23 @@ def expand_verify_dedup(
     nreads = rpacked.shape[0]
     mg = _MGATHER[0]
     scale = _MG_SCALE[0]
+    dorder = _DORDER[0]
     interp = mg and jax.default_backend() == "cpu"
     expand = _tpu_jit(
         _expand_pairs_impl,
-        ("nreads", "pair_cap", "mgather", "mg_window", "interpret"),
+        ("nreads", "pair_cap", "mgather", "mg_window", "interpret",
+         "dorder"),
     )
     qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow = expand(
         counts_m, lo_m, qid_m, q1s, spos, nreads=nreads, pair_cap=pair_cap,
         mgather=mg, mg_window=_MG_WINDOW * scale, interpret=interp,
+        dorder=dorder,
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,
         ("nreads", "width", "max_read_length", "vchunk", "surv_cap",
-         "smax", "gsteps", "mgather", "mg_rows_window", "interpret"),
+         "smax", "gsteps", "mgather", "mg_rows_window", "interpret",
+         "dorder"),
     )
     surv, nsurv, oflow_v = verify(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
@@ -1073,6 +1112,7 @@ def expand_verify_dedup(
         nreads=nreads, width=width, max_read_length=max_read_length,
         vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
         mgather=mg, mg_rows_window=_MG_ROWS_WINDOW * scale, interpret=interp,
+        dorder=dorder,
     )
     if mg:
         flag = jnp.maximum(oflow, oflow_v)

@@ -130,6 +130,15 @@ def build_trows(tpacked: jnp.ndarray, nwords: int, smax: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=1)
 
 
+def _trows_select(t: jnp.ndarray, woff: jnp.ndarray, nwords: int) -> jnp.ndarray:
+    """3-level column select: rows fetched from trows -> the nwords+1
+    stream words starting at each lane's in-row word offset (in [0, 8))."""
+    t = jnp.where((woff & 4).astype(bool)[:, None], t[:, 4:], t[:, : t.shape[1] - 4])
+    t = jnp.where((woff & 2).astype(bool)[:, None], t[:, 2:], t[:, : t.shape[1] - 2])
+    t = jnp.where((woff & 1).astype(bool)[:, None], t[:, 1:], t[:, : t.shape[1] - 1])
+    return t[:, : nwords + 1]
+
+
 def _trows_fetch(trows: jnp.ndarray, dc: jnp.ndarray, nwords: int) -> jnp.ndarray:
     """Words tpacked[dc>>3 : (dc>>3) + nwords + 1] per lane, via one row
     gather + 3-level column select."""
@@ -137,10 +146,7 @@ def _trows_fetch(trows: jnp.ndarray, dc: jnp.ndarray, nwords: int) -> jnp.ndarra
     row = base >> 3
     woff = base & 7
     t = trows[jnp.clip(row, 0, trows.shape[0] - 1)]
-    t = jnp.where((woff & 4).astype(bool)[:, None], t[:, 4:], t[:, : t.shape[1] - 4])
-    t = jnp.where((woff & 2).astype(bool)[:, None], t[:, 2:], t[:, : t.shape[1] - 2])
-    t = jnp.where((woff & 1).astype(bool)[:, None], t[:, 1:], t[:, : t.shape[1] - 1])
-    return t[:, : nwords + 1]
+    return _trows_select(t, woff, nwords)
 
 
 def build_gene_block(gene_start_np: np.ndarray, smax: int):
@@ -220,6 +226,7 @@ def verify_diagonals_packed(
     mgather: bool = False,
     mg_rows_window: int = 2048,
     interpret: bool = False,
+    dorder: bool = False,
 ):
     """Verify one (read, diagonal) once for ALL windows at once.
 
@@ -241,12 +248,15 @@ def verify_diagonals_packed(
       win_ok    <=> zero mismatching nibbles under window k's mask
       budget/nx are diagonal-level by definition.
 
-    The caller sorts lanes by (read, diagonal), so the read rows are
-    nondecreasing; mgather=True fetches the read rows and lengths through
-    the windowed monotone-gather kernels (ops/pallas_gather.py) instead
-    of per-lane HBM row gathers.  Returns (nx, g, s, okbits, oflow);
-    oflow is nonzero iff a gather window overflowed (results are then
-    unusable and the caller must retry without mgather)."""
+    The caller sorts lanes by (read, diagonal) — or (diagonal, read) with
+    dorder=True.  mgather=True routes the monotone stream of the chosen
+    order through the windowed monotone-gather kernels
+    (ops/pallas_gather.py) instead of per-lane HBM row gathers: the read
+    rows and lengths in (r, d) order, the trows TARGET rows in (d, r)
+    order (the non-monotone side stays a plain XLA gather).  Returns
+    (nx, g, s, okbits, oflow); oflow is nonzero iff a gather window
+    overflowed (results are then unusable and the caller must retry
+    without mgather)."""
     nwords = rpacked.shape[1]
     nwin = q1s.shape[0]
     active = (r >= 0) & (d >= 0)
@@ -262,9 +272,10 @@ def verify_diagonals_packed(
     gend = gene_start[g + 1]
     glen = gend - gstart
     s_local = dc - gstart
-    if mgather:
-        # Inactive lanes sort to the end; mapping them to the LAST read
-        # row (not row 0) keeps the index stream nondecreasing.
+    if mgather and not dorder:
+        # (r, d) order: the read-row stream is monotone.  Inactive lanes
+        # sort to the end; mapping them to the LAST read row (not row 0)
+        # keeps the index stream nondecreasing.
         from . import pallas_gather as _pg
 
         rc_mono = jnp.where(r >= 0, rc, jnp.int32(rpacked.shape[0] - 1))
@@ -283,7 +294,23 @@ def verify_diagonals_packed(
 
     # ---- SWAR mismatch count over the aligned diagonal (once) ----
     rshift = (dc & 7).astype(jnp.uint32) * 4
-    if trows is not None:
+    if trows is not None and mgather and dorder:
+        # (d, r) order: the TARGET row stream (trows row = dc >> 6) is
+        # monotone — windowed DMA instead of a random row gather over the
+        # engine's largest table.  Inactive lanes sort to the end and map
+        # to the last row.
+        from . import pallas_gather as _pg
+
+        row = jnp.where(
+            active, jnp.clip(dc >> 6, 0, trows.shape[0] - 1),
+            jnp.int32(trows.shape[0] - 1),
+        )
+        t_rows, of_t = _pg.monotone_gather_rows(
+            trows, row, window_rows=mg_rows_window, interpret=interpret
+        )
+        oflow = jnp.maximum(oflow, of_t)
+        tw = _trows_select(t_rows, (dc >> 3) & 7, nwords)
+    elif trows is not None:
         tw = _trows_fetch(trows, dc, nwords)  # (C, NW+1), one gather/lane
     else:
         base = dc >> 3
@@ -298,7 +325,7 @@ def verify_diagonals_packed(
     )
     taligned = lowpart | hipart
 
-    rw = rw_mono if mgather else rpacked[rc]
+    rw = rw_mono if (mgather and not dorder) else rpacked[rc]
     x = taligned ^ rw
     wordbase = jnp.arange(nwords, dtype=jnp.int32) * BASES_PER_WORD
     mask_len = _nibble_mask(rlen[:, None] - wordbase[None, :])

@@ -261,7 +261,7 @@ def _verify_step_dedup(
     counts, lo, qid, rpacked, lengths, gene_start, spos, tpacked, trows,
     gblock, gene_base, budget, q1s, *, width, min_dinuc, max_read_length,
     pair_cap, vchunk, surv_cap, smax, gsteps, mm, mmtol, match_mode,
-    mgather, mg_window, mg_rows_window, interpret,
+    mgather, mg_window, mg_rows_window, interpret, dorder,
 ):
     """Stage 2 per-device body (diagonal-dedup engine): the SAME expand +
     verify the single-chip path runs (fused._expand_pairs_impl /
@@ -280,6 +280,7 @@ def _verify_step_dedup(
         fused._expand_pairs_impl(
             counts, lo, qid, q1s, spos, nreads=nreads, pair_cap=pair_cap,
             mgather=mgather, mg_window=mg_window, interpret=interpret,
+            dorder=dorder,
         )
     )
     surv, nsurv, oflow_v = fused._verify_diagonals_impl(
@@ -288,6 +289,7 @@ def _verify_step_dedup(
         nreads=nreads, width=width, max_read_length=max_read_length,
         vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
         mgather=mgather, mg_rows_window=mg_rows_window, interpret=interpret,
+        dorder=dorder,
     )
     flag = jnp.maximum(oflow, oflow_v) if mgather else jnp.int32(0)
     out = _rank_gathered(surv, nsurv, totalf, gene_base, mm, mmtol,
@@ -500,6 +502,7 @@ def sharded_match_arrays(
                 mg_window=fused._MG_WINDOW * scale,
                 mg_rows_window=fused._MG_ROWS_WINDOW * scale,
                 interpret=interpret and mgather,
+                dorder=fused.dorder_enabled(),
             )
             vkey = ("vdedup", id(mesh)) + tuple(sorted(statics.items()))
             step = _verify_step_dedup

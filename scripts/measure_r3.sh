@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-3 measurement sweep (run when the TPU relay is reachable).
+# Usage: bash scripts/measure_r3.sh [outdir]
+# Sequential, unbuffered, one log per step; each step is its own process
+# so a hang or OOM cannot take down the sweep.  Supersedes measure_r2.sh.
+set -u
+OUT=${1:-/tmp/measure_r3}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+step() {
+  name=$1; shift
+  echo "=== $name: $* ($(date +%H:%M:%S))" | tee -a "$OUT/sweep.log"
+  timeout 5400 python -u "$@" >"$OUT/$name.log" 2>&1
+  echo "    exit=$? ($(date +%H:%M:%S))" | tee -a "$OUT/sweep.log"
+}
+
+# 0. FIRST TPU MINUTE: surface Mosaic compile errors in the Pallas kernels
+#    before anything else (round-2 VERDICT weak #5).  conftest pins tests
+#    to CPU, so drive the kernels directly on the device.
+step pallas_compile -m muscato_tpu.bench.pallas_device_check
+
+# 1. headline A/B ladder on the big workload
+step bench_xla bench.py --Workload big --Repeats 3
+MUSCATO_MGATHER=1 step bench_mg bench.py --Workload big --Repeats 3
+MUSCATO_PJOIN=1 step bench_pj bench.py --Workload big --Repeats 3
+MUSCATO_DORDER=1 step bench_do bench.py --Workload big --Repeats 3
+MUSCATO_MGATHER=1 MUSCATO_DORDER=1 step bench_mg_do bench.py --Workload big --Repeats 3
+MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 step bench_mg_pj bench.py --Workload big --Repeats 3
+MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=1 step bench_all bench.py --Workload big --Repeats 3
+# 2. phase breakdown at 4M reads
+step profile_xla -m muscato_tpu.bench.profile_match 4
+MUSCATO_MGATHER=1 MUSCATO_DORDER=1 step profile_mg_do -m muscato_tpu.bench.profile_match 4
+# 3. batch-size scaling (8M reads, one batch) — amortizes the probe sort
+step bench_8m bench.py --Workload big --NumRead 8000000 --ReadBatch 8388608 --Repeats 2
+# 4. small workload for continuity
+step bench_small bench.py --Workload small --Repeats 3
+grep -h '"metric"' "$OUT"/bench_*.log | tee -a "$OUT/sweep.log"

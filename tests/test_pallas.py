@@ -324,6 +324,39 @@ def test_pjoin_env_wired_probe(monkeypatch):
     assert rows_a == rows_b and int(n_a) > 0
 
 
+@pytest.mark.parametrize("with_mgather", [False, True])
+def test_dorder_equals_rorder(with_mgather):
+    """MUSCATO_DORDER (diagonal-major pair sort + windowed trows fetch)
+    must produce the exact (r, d)-order MatchResult, with and without the
+    monotone-gather kernels."""
+    from muscato_tpu import config as config_mod
+    from muscato_tpu.bench import gendat
+    from muscato_tpu.engine import pipeline
+
+    rs, ts = gendat.generate_arrays_realistic(18_000, 60, 250, 400, 3)
+    cfg = config_mod.Config(
+        Windows=[0, 10, 25], WindowWidth=10, PMatch=0.9, MinDinuc=2,
+        MaxReadLength=120, MMTol=1, MaxMatches=10**6, MatchMode="best",
+    )
+    mr_a = pipeline.run_matching(cfg, rs, ts)
+    fused.set_dorder(True)
+    fused.set_mgather(with_mgather)
+    try:
+        mr_b = pipeline.run_matching(cfg, rs, ts)
+        if with_mgather:
+            assert fused.mgather_enabled(), "unexpected mgather fallback"
+    finally:
+        fused.set_dorder(False)
+        fused.set_mgather(False)
+        fused.set_mg_scale(1)
+    for a, b in zip(
+        (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
+        (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert len(mr_a.read_row) > 1000
+
+
 def test_pjoin_streamed_path_compacted_layout():
     """The pjoin probe's compacted slot layout must feed the STREAMED
     expand path (NoDedup) directly — no re-probe — with identical output
