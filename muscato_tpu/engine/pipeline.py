@@ -217,12 +217,13 @@ def run_matching_indexed(
         pack_bits = _fetch_pack_bits(index, batch, cfg)
         if pack_bits is not None and sum(pack_bits) > 64:
             pack_bits = None
+    next_dev = _device_read_batch(
+        rs, 0, batch, l_eff, cache_ok=(nreads <= batch)
+    )
     for b0 in range(0, nreads, batch):
         t_batch = _time.perf_counter()
         b1 = min(b0 + batch, nreads)
-        rpacked, lengths = _device_read_batch(
-            rs, b0, b0 + batch, l_eff, cache_ok=(nreads <= batch)
-        )
+        rpacked, lengths = next_dev
         # Probe first; its exact pair total (one scalar fetch that
         # overlaps nothing the host needs sooner) sizes the dedup pair
         # buffer exactly — no overflow/regrow re-dispatches.
@@ -230,6 +231,14 @@ def run_matching_indexed(
             rpacked, lengths, q1s, index.skeys,
             width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
         )
+        # Stage batch N+1's host matrix + upload NOW, while batch N's
+        # probe executes (the int(total) sync below would otherwise
+        # serialize host staging against device compute; device_put is
+        # async, so the copy rides alongside the probe).
+        if b0 + batch < nreads:
+            next_dev = _device_read_batch(
+                rs, b0 + batch, b0 + 2 * batch, l_eff, cache_ok=False
+            )
         total = int(pr[5])
         while total < 0:
             # Sorted-join window overflow (a block's candidate span beat

@@ -915,7 +915,9 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
     else:
         extras = ()
 
-    # 2. exact dedup on (read, gene, start)
+    # 2. exact dedup on (read, gene, start).  This sort also establishes
+    #    the FINAL canonical order: live rows first, then (r, g, s) —
+    #    stages 3 and 4 never reorder again.
     dead2 = (~keep).astype(jnp.int32)
     dead2, r, g, s, nx, *extras = lax.sort(
         (dead2, r, g, s, nx, *extras), num_keys=4
@@ -926,21 +928,30 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
     )
     keep = (dead2 == 0) & first_rgs
 
-    # 3. per-read best + MMTol (order by (read, nmiss); the best fills down)
-    dead3 = (~keep).astype(jnp.int32)
-    dead3, r, nx, g, s, *extras = lax.sort(
-        (dead3, r, nx, g, s, *extras), num_keys=3
-    )
+    # 3. per-read best + MMTol — as a SEGMENT-MIN over the existing
+    #    (r, g, s) order instead of a third full multi-operand sort: the
+    #    kept rows of one read are already contiguous, so scatter-min
+    #    their nmiss into a per-segment table and gather it back (the
+    #    round-2 rank analysis; the sort carried 5-8 operands for what is
+    #    a 1-word reduction).  Dead rows must not contribute: a row capped
+    #    out in stage 1 may carry a smaller nmiss than any surviving row.
+    inf32 = jnp.int32(0x7FFFFFFF)
+    nxm = jnp.where(keep, nx, inf32)
     new_read = jnp.concatenate(
-        [jnp.ones(1, bool), (r[1:] != r[:-1]) | (dead3[1:] != dead3[:-1])]
+        [jnp.ones(1, bool), (r[1:] != r[:-1]) | (dead2[1:] != dead2[:-1])]
     )
-    best = lax.cummax(jnp.where(new_read, nx, -1))
-    keep = (dead3 == 0) & (nx <= best + mmtol)
+    seg_id = jnp.cumsum(new_read.astype(jnp.int32)) - 1
+    best = jnp.full(n, inf32).at[seg_id].min(nxm, mode="drop")[seg_id]
+    # best+mmtol may wrap for all-dead segments (best = int32-max); keep
+    # is already false there.
+    keep = keep & (nxm <= best + mmtol)
 
-    # 4. compact to canonical (read, gene, start) order
+    # 4. compact the kept rows to the front.  Order within kept rows is
+    #    already canonical (r, g, s), so one STABLE single-key sort
+    #    replaces the former 4-key compaction.
     dead4 = (~keep).astype(jnp.int32)
     dead4, r, g, s, nx, *extras = lax.sort(
-        (dead4, r, g, s, nx, *extras), num_keys=4
+        (dead4, r, g, s, nx, *extras), num_keys=1, is_stable=True
     )
     if full_cols:
         rows = jnp.stack([r, g, s, nx, *extras], axis=1)
