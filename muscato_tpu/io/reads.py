@@ -408,16 +408,29 @@ class LocalReads:
         return self.codes.shape[0]
 
 
+_SCAN_CHUNK = 1 << 24  # newline scans walk the mmap in 16MB windows
+
+
 def count_lines_range(buf: np.ndarray, lo: int, hi: int) -> int:
     """Number of lines STARTING in [lo, hi): line starts are byte 0 and
-    every byte following a newline."""
-    n = int(np.count_nonzero(buf[max(lo - 1, 0) : max(hi - 1, 0)] == 10))
+    every byte following a newline.  Chunked so the comparison temp never
+    materializes the whole range (it would double the range's RSS)."""
+    a, b = max(lo - 1, 0), max(hi - 1, 0)
+    n = 0
+    for p in range(a, b, _SCAN_CHUNK):
+        n += int(np.count_nonzero(buf[p : min(p + _SCAN_CHUNK, b)] == 10))
     return n + (1 if lo == 0 and len(buf) else 0)
 
 
 def _range_line_starts(buf: np.ndarray, lo: int, hi: int) -> np.ndarray:
-    nl = np.flatnonzero(buf[max(lo - 1, 0) : max(hi - 1, 0)] == 10)
-    starts = nl.astype(np.int64) + max(lo - 1, 0) + 1
+    a, b = max(lo - 1, 0), max(hi - 1, 0)
+    parts = []
+    for p in range(a, b, _SCAN_CHUNK):
+        nl = np.flatnonzero(buf[p : min(p + _SCAN_CHUNK, b)] == 10)
+        parts.append(nl.astype(np.int64) + p + 1)
+    starts = (
+        np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    )
     if lo == 0 and len(buf):
         starts = np.concatenate([[0], starts])
     return starts
