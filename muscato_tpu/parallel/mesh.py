@@ -326,6 +326,16 @@ def _verify_step_streamed(
 _JIT_CACHE: dict = {}
 
 
+def _mesh_key(mesh: Mesh):
+    """Stable cache identity for a mesh: shape + device ids (id(mesh) can
+    be recycled after GC; two meshes over the same devices and axes yield
+    equivalent executables)."""
+    return (
+        tuple(mesh.shape.items()),
+        tuple(d.id for d in np.asarray(mesh.devices).flat),
+    )
+
+
 def _cached_mapped(key, make):
     """jit(shard_map(...)) executables keyed by their static parameters —
     a fresh partial per call would retrace every batch."""
@@ -416,7 +426,7 @@ def sharded_match_arrays(
         # The index side is globalized once per (index, mesh, width) and
         # cached; only the per-batch read arrays cross the host->device
         # boundary each call.
-        ckey = (id(mesh), nwords, cfg.PMatch, cfg.MaxReadLength,
+        ckey = (_mesh_key(mesh), nwords, cfg.PMatch, cfg.MaxReadLength,
                 tuple(cfg.Windows))
         cache = getattr(sidx, "_global_cache", None)
         if cache is None or cache[0] != ckey:
@@ -444,7 +454,7 @@ def sharded_match_arrays(
     while True:
         pjoin = fused.pjoin_enabled()
         pjoin_rows = fused._PJOIN_ROWS * fused.pjoin_scale()
-        pkey = ("probe", id(mesh), cfg.WindowWidth, cfg.MinDinuc, pjoin,
+        pkey = ("probe", _mesh_key(mesh), cfg.WindowWidth, cfg.MinDinuc, pjoin,
                 pjoin_rows, interpret)
         mapped_probe = _cached_mapped(pkey, lambda: jax.shard_map(
             partial(_probe_step, width=cfg.WindowWidth,
@@ -504,7 +514,7 @@ def sharded_match_arrays(
                 interpret=interpret and mgather,
                 dorder=fused.dorder_enabled(),
             )
-            vkey = ("vdedup", id(mesh)) + tuple(sorted(statics.items()))
+            vkey = ("vdedup", _mesh_key(mesh)) + tuple(sorted(statics.items()))
             step = _verify_step_dedup
         else:
             statics = dict(
@@ -514,7 +524,7 @@ def sharded_match_arrays(
                 gsteps=gsteps, mm=cfg.MaxMatches, mmtol=cfg.MMTol,
                 match_mode=cfg.MatchMode,
             )
-            vkey = ("vstream", id(mesh)) + tuple(sorted(statics.items()))
+            vkey = ("vstream", _mesh_key(mesh)) + tuple(sorted(statics.items()))
             step = _verify_step_streamed
         mapped_verify = _cached_mapped(vkey, lambda: jax.shard_map(
             partial(step, **statics),
