@@ -297,12 +297,16 @@ def verify_diagonals_packed(
     if trows is not None and mgather and dorder:
         # (d, r) order: the TARGET row stream (trows row = dc >> 6) is
         # monotone — windowed DMA instead of a random row gather over the
-        # engine's largest table.  Inactive lanes sort to the end and map
-        # to the last row.
+        # engine's largest table.  Only truly-inactive lanes (r < 0, which
+        # sort to the END) map to the last row; negative-diagonal lanes
+        # sort to the FRONT and dc = clip(d, 0, ..) already sends them to
+        # row 0, which keeps the stream monotone (mapping them to the
+        # last row would guarantee a window overflow and silently
+        # self-disable the kernel on routine batches).
         from . import pallas_gather as _pg
 
         row = jnp.where(
-            active, jnp.clip(dc >> 6, 0, trows.shape[0] - 1),
+            r >= 0, jnp.clip(dc >> 6, 0, trows.shape[0] - 1),
             jnp.int32(trows.shape[0] - 1),
         )
         t_rows, of_t = _pg.monotone_gather_rows(

@@ -667,3 +667,56 @@ def test_packed_window_queries_equal_codes_path():
         np.testing.assert_array_equal(v_c, np.asarray(v_p))
         np.testing.assert_array_equal(np.asarray(k1_c)[v_c], np.asarray(k1_p)[v_c])
         np.testing.assert_array_equal(np.asarray(k2_c)[v_c], np.asarray(k2_p)[v_c])
+
+
+def test_dorder_negative_diagonal_no_overflow():
+    """Regression: in (d, r) order negative-diagonal lanes sort to the
+    FRONT; the dorder trows monotone fetch must map them to row 0 (via
+    the d clip), not to the last row — mapping them last broke the
+    monotone stream and fired a guaranteed window overflow that silently
+    self-disabled the kernels on routine batches."""
+    import jax.numpy as jnp
+    from muscato_tpu.ops import packed as pops
+
+    rng = np.random.default_rng(9)
+    max_rl = 64
+    width = 8
+    S = 4000
+    gene_start = np.array([0, 1500, S], np.int32)
+    tcat = rng.integers(0, 4, S).astype(np.uint8)
+    codes = rng.integers(0, 4, (32, max_rl)).astype(np.uint8)
+    lengths = np.full(32, max_rl, np.int32)
+    budget = jnp.asarray(vops.mismatch_budget_table(0.9, max_rl))
+    rpacked = pops.pack_rows(jnp.asarray(codes))
+    tpacked = pops.pack_stream(tcat)
+    trows = pops.build_trows(tpacked, int(rpacked.shape[1]), S)
+    gb_np, steps = pops.build_gene_block(gene_start, S)
+    q1s = jnp.asarray(np.array([0, 10], np.int32))
+
+    n = 1024
+    # (d, r)-sorted unique stream with negative diagonals at the front
+    # and inactive lanes at the end.
+    d = np.sort(rng.integers(0, S - max_rl, n)).astype(np.int32)
+    d[:5] = [-7, -3, -3, -1, 0]
+    r = rng.integers(0, 32, n).astype(np.int32)
+    r[-37:] = -1
+
+    base = pops.verify_diagonals_packed(
+        jnp.asarray(r), jnp.asarray(d), rpacked, jnp.asarray(lengths),
+        tpacked, jnp.asarray(gene_start), budget, q1s, width, max_rl, S,
+        trows=trows, gblock=jnp.asarray(gb_np), gsteps=steps,
+    )
+    out = pops.verify_diagonals_packed(
+        jnp.asarray(r), jnp.asarray(d), rpacked, jnp.asarray(lengths),
+        tpacked, jnp.asarray(gene_start), budget, q1s, width, max_rl, S,
+        trows=trows, gblock=jnp.asarray(gb_np), gsteps=steps,
+        mgather=True, dorder=True, interpret=True,
+    )
+    assert int(out[4]) == 0, "negative diagonals must not trip the window"
+    # okbits must match on every lane; nx/g/s are unspecified on inactive
+    # lanes (r < 0) — downstream fetches them only for okbits-retained
+    # lanes — so compare them on active lanes only.
+    np.testing.assert_array_equal(np.asarray(base[3]), np.asarray(out[3]))
+    act = (r >= 0) & (d >= 0)
+    for a, b in zip(base[:3], out[:3]):
+        np.testing.assert_array_equal(np.asarray(a)[act], np.asarray(b)[act])
