@@ -271,14 +271,13 @@ def main(argv=None) -> int:
     # against (BASELINE.md; round-1 VERDICT item 1).
     import os
 
-    flags = {
-        k: os.environ[k]
-        for k in ("MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
-                  "MUSCATO_PALLAS", "MUSCATO_SPARSECORE")
-        if os.environ.get(k)
-    }
-    if flags:
-        detail["flags"] = flags
+    from ..ops import fused as _fused
+
+    flags = dict(_fused.effective_flags())
+    for k in ("MUSCATO_PALLAS", "MUSCATO_SPARSECORE"):
+        if os.environ.get(k):
+            flags[k] = os.environ[k]
+    detail["flags"] = flags
     # Self-describing provenance: record what actually ran the timed region
     # so a CPU fallback can never masquerade as a chip number.
     import jax

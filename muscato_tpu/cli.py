@@ -13,10 +13,27 @@ a single process over device arrays.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
+def _apply_platform_override() -> None:
+    """Honor MUSCATO_PLATFORM=cpu|tpu|axon before the first device touch.
+
+    Hosts that reach their TPU through a site-pinned relay plugin import
+    jax at interpreter start, so a plain JAX_PLATFORMS env var is too
+    late; jax.config.update still works until a backend is initialized.
+    A CPU run of the full pipeline is also the supported way to verify
+    outputs on a machine with no accelerator."""
+    plat = os.environ.get("MUSCATO_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main_prep_targets(argv=None) -> int:
+    _apply_platform_override()
     p = argparse.ArgumentParser(prog="muscato_prep_targets")
     p.add_argument("-rev", "--rev", action="store_true", help="Include reverse complement sequences")
     p.add_argument("genefile", nargs=1)
@@ -31,6 +48,7 @@ def main_prep_targets(argv=None) -> int:
 
 
 def main_muscato(argv=None) -> int:
+    _apply_platform_override()
     from muscato_tpu import config as config_mod
     from muscato_tpu.engine import driver
 

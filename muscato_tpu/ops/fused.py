@@ -83,12 +83,58 @@ else:
         "xla_tpu_enable_offloading_sort_to_sparsecore": "false",
     }
 
+# Measured-on-device kernel defaults: scripts/autotune_r3.py runs the
+# A/B ladder on real TPU hardware and writes the winning flag combination
+# to muscato_tpu/TUNED.json; those become the defaults here, so a plain
+# `python bench.py` (and every production run) gets the tuned
+# configuration.  Environment variables still override per-process for
+# A/B sweeps.  A missing or unreadable TUNED.json means "never measured":
+# every kernel stays off, the safe XLA-primitive path.
+
+
+def _load_tuned() -> dict:
+    import json
+    import os
+
+    path = os.environ.get(
+        "MUSCATO_TUNED",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "TUNED.json"),
+    )
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return d.get("flags", {}) if isinstance(d, dict) else {}
+    except Exception:
+        return {}
+
+
+_TUNED = _load_tuned()
+
+
+def _flag(name: str, default: bool = False) -> bool:
+    v = _os_mod.environ.get(name)
+    if v is not None:
+        return v == "1"
+    return bool(_TUNED.get(name, default))
+
+
+def effective_flags() -> dict:
+    """The engine-kernel flags actually in effect (env > TUNED.json >
+    off) — recorded in bench provenance so every measurement is
+    self-describing."""
+    return {
+        "MUSCATO_MGATHER": int(_MGATHER[0]),
+        "MUSCATO_PJOIN": int(_PJOIN[0]),
+        "MUSCATO_DORDER": int(_DORDER[0]),
+    }
+
+
 # Windowed monotone-gather kernel (ops/pallas_gather.py) for the pair
 # expansion's postings fetch and the dedup verify's verdict map-back —
 # both index streams are (piecewise) nondecreasing.  Opt-in pending a
 # measured TPU A/B (MUSCATO_MGATHER=1); window overflow falls back to the
 # XLA gather path via a flag the pipeline reads out of the nsurv scalar.
-_MGATHER = [_os_mod.environ.get("MUSCATO_MGATHER", "0") == "1"]
+_MGATHER = [_flag("MUSCATO_MGATHER")]
 _MG_WINDOW = int(_os_mod.environ.get("MUSCATO_MGATHER_WINDOW", "8192"))
 _MG_ROWS_WINDOW = 2048
 MG_FLAG_BIT = 30  # expand_verify_dedup ORs overflow into bit 30 of nsurv
@@ -119,7 +165,7 @@ def set_mg_scale(s: int) -> None:
 # instead of re-sorting the whole index with every batch.  Opt-in pending
 # a measured TPU A/B (MUSCATO_PJOIN=1).  On window overflow the probe
 # returns total = -1 and the pipeline re-probes via the sort-merge path.
-_PJOIN = [_os_mod.environ.get("MUSCATO_PJOIN", "0") == "1"]
+_PJOIN = [_flag("MUSCATO_PJOIN")]
 _PJOIN_ROWS = 256  # join window in 128-key rows (32768 keys)
 # One 4x growth is allowed on overflow; past ~1024 rows the per-query
 # one-hot matmul cost overtakes the sort-merge probe, so then fall back.
@@ -156,7 +202,7 @@ def set_pjoin_scale(s: int) -> None:
 # which is several times smaller (~8-15 ns/row).  Net: the verify's
 # dominant latency-bound gather is replaced by a windowed DMA plus a
 # cheaper random gather.  Opt-in pending a measured TPU A/B.
-_DORDER = [_os_mod.environ.get("MUSCATO_DORDER", "0") == "1"]
+_DORDER = [_flag("MUSCATO_DORDER")]
 
 
 def dorder_enabled() -> bool:

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Unattended TPU kernel autotune (round 3).
+
+Runs the engine-flag A/B ladder on the big workload IN PRIORITY ORDER
+(the relay to this host's TPU has unpredictable uptime windows — the
+most decision-relevant numbers must land first), then writes the winning
+flag combination to muscato_tpu/TUNED.json.  From then on the tuned
+flags are the engine defaults (ops/fused.py reads TUNED.json; env vars
+still override), so the driver's plain `python bench.py` and every
+production run get the measured-best configuration.
+
+Usage:  python scripts/autotune_r3.py [outdir]        (default /tmp/autotune_r3)
+
+Every step is its own subprocess with a hard timeout, so a relay hang or
+device OOM cannot take down the sweep; a failed step is recorded as null
+and the ladder continues.  Artifacts:
+  outdir/<step>.log      full stdout/stderr per step
+  outdir/ladder.json     step -> parsed bench JSON (or null)
+  outdir/ladder.md       markdown A/B table for BENCHMARKS.md
+  muscato_tpu/TUNED.json the winner (only written if a step succeeded)
+  outdir/final.json      confirmation run with tuned defaults
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STEP_TIMEOUT = int(os.environ.get("AUTOTUNE_STEP_TIMEOUT", "5400"))
+FLAG_NAMES = ("MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER")
+
+# Priority order: projected winner first, then the baseline it must beat,
+# then single-flag attributions, then the remaining pair.
+LADDER = [
+    ("all", dict(MUSCATO_MGATHER="1", MUSCATO_PJOIN="1", MUSCATO_DORDER="1")),
+    ("xla", dict(MUSCATO_MGATHER="0", MUSCATO_PJOIN="0", MUSCATO_DORDER="0")),
+    ("mg_do", dict(MUSCATO_MGATHER="1", MUSCATO_PJOIN="0", MUSCATO_DORDER="1")),
+    ("mg", dict(MUSCATO_MGATHER="1", MUSCATO_PJOIN="0", MUSCATO_DORDER="0")),
+    ("pj", dict(MUSCATO_PJOIN="1", MUSCATO_MGATHER="0", MUSCATO_DORDER="0")),
+    ("do", dict(MUSCATO_DORDER="1", MUSCATO_MGATHER="0", MUSCATO_PJOIN="0")),
+    ("mg_pj", dict(MUSCATO_MGATHER="1", MUSCATO_PJOIN="1", MUSCATO_DORDER="0")),
+]
+
+
+def run_step(name, argv, env_over, outdir, timeout=STEP_TIMEOUT):
+    log = os.path.join(outdir, f"{name}.log")
+    env = dict(os.environ, PYTHONUNBUFFERED="1", **env_over)
+    t0 = time.time()
+    print(f"=== {name}: {' '.join(argv)} {env_over}", flush=True)
+    try:
+        with open(log, "wb") as f:
+            r = subprocess.run(
+                [sys.executable, "-u", *argv],
+                cwd=REPO, env=env, stdout=f, stderr=subprocess.STDOUT,
+                timeout=timeout,
+            )
+        rc = r.returncode
+    except subprocess.TimeoutExpired:
+        rc = -9
+    print(f"    exit={rc} ({time.time() - t0:.0f}s)", flush=True)
+    return rc, log
+
+
+def parse_bench(log):
+    """Last {"metric": ...} JSON line in the step log, or None."""
+    try:
+        with open(log, errors="replace") as f:
+            lines = [ln for ln in f if ln.startswith('{"metric"')]
+        return json.loads(lines[-1]) if lines else None
+    except Exception:
+        return None
+
+
+def chip_value(rec):
+    if not rec or rec.get("skipped") or rec.get("metric") != "reads_per_sec_chip":
+        return None
+    return rec.get("value")
+
+
+def main() -> int:
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/autotune_r3"
+    os.makedirs(outdir, exist_ok=True)
+    ladder: dict = {}
+    lpath = os.path.join(outdir, "ladder.json")
+
+    def save():
+        with open(lpath, "w") as f:
+            json.dump(ladder, f, indent=1)
+
+    # 0. First TPU minute: compile + oracle-check every Pallas kernel on
+    #    the device, so a Mosaic rejection is diagnosed before any bench
+    #    (round-2 VERDICT weak #5).
+    rc, log = run_step(
+        "pallas_compile", ["-m", "muscato_tpu.bench.pallas_device_check"],
+        {}, outdir, timeout=3600,
+    )
+    pallas_ok = rc == 0
+    ladder["pallas_compile_ok"] = pallas_ok
+    save()
+    steps = LADDER if pallas_ok else [s for s in LADDER if s[0] in ("xla", "do")]
+    if not pallas_ok:
+        print("!!! Pallas device check FAILED — ladder restricted to XLA paths",
+              flush=True)
+
+    # 1. The A/B ladder, most decision-relevant first.
+    for name, env_over in steps:
+        rc, log = run_step(
+            name,
+            ["bench.py", "--Workload", "big", "--Repeats", "2", "--NoProbe"],
+            env_over, outdir,
+        )
+        ladder[name] = parse_bench(log)
+        save()
+
+    scored = {n: chip_value(ladder.get(n)) for n, _ in steps}
+    ok = {n: v for n, v in scored.items() if v}
+    with open(os.path.join(outdir, "ladder.md"), "w") as f:
+        f.write("| config | reads/s/chip | device match s |\n|---|---|---|\n")
+        for n, _ in steps:
+            rec = ladder.get(n) or {}
+            d = (rec.get("detail") or {}).get("big", {})
+            f.write(f"| {n} | {scored.get(n) or 'FAILED'} "
+                    f"| {d.get('match_device_s', '-')} |\n")
+    if not ok:
+        print("No step produced a chip number — TUNED.json not written",
+              flush=True)
+        return 1
+
+    winner = max(ok, key=lambda n: ok[n])
+    env_over = dict(LADDER)[winner]
+    flags = {k: int(env_over.get(k, "0")) for k in FLAG_NAMES}
+    rec = ladder[winner]
+    tuned = {
+        "flags": flags,
+        "provenance": {
+            "winner": winner,
+            "reads_per_sec_chip": ok[winner],
+            "ladder": scored,
+            "device_kind": (rec.get("detail") or {}).get("device_kind"),
+            "pallas_compile_ok": pallas_ok,
+            "date": time.strftime("%Y-%m-%d"),
+            "tool": "scripts/autotune_r3.py",
+        },
+    }
+    tpath = os.path.join(REPO, "muscato_tpu", "TUNED.json")
+    with open(tpath, "w") as f:
+        json.dump(tuned, f, indent=1)
+        f.write("\n")
+    print(f"winner={winner} {ok[winner]:.0f} reads/s -> {tpath}", flush=True)
+
+    # 2. Confirmation with tuned defaults (what the driver will run),
+    #    plus the 8M single-batch scaling point.
+    rc, log = run_step(
+        "final", ["bench.py", "--Workload", "both", "--Repeats", "3",
+                  "--NoProbe"], {}, outdir,
+    )
+    final = parse_bench(log)
+    with open(os.path.join(outdir, "final.json"), "w") as f:
+        json.dump(final, f, indent=1)
+    run_step(
+        "bench_8m", ["bench.py", "--Workload", "big", "--NumRead", "8000000",
+                     "--ReadBatch", "8388608", "--Repeats", "2", "--NoProbe"],
+        {}, outdir,
+    )
+    ladder["final"] = final
+    ladder["bench_8m"] = parse_bench(os.path.join(outdir, "bench_8m.log"))
+    save()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,45 @@
+"""TUNED.json kernel-default mechanism (scripts/autotune_r3.py writes it,
+ops/fused.py reads it; precedence env > TUNED.json > off)."""
+
+import json
+
+from muscato_tpu.ops import fused
+
+
+def test_load_tuned_missing(monkeypatch, tmp_path):
+    monkeypatch.setenv("MUSCATO_TUNED", str(tmp_path / "absent.json"))
+    assert fused._load_tuned() == {}
+
+
+def test_load_tuned_reads_flags(monkeypatch, tmp_path):
+    p = tmp_path / "TUNED.json"
+    p.write_text(json.dumps({
+        "flags": {"MUSCATO_MGATHER": 1, "MUSCATO_DORDER": 0},
+        "provenance": {"winner": "mg"},
+    }))
+    monkeypatch.setenv("MUSCATO_TUNED", str(p))
+    assert fused._load_tuned() == {"MUSCATO_MGATHER": 1, "MUSCATO_DORDER": 0}
+
+
+def test_load_tuned_corrupt_is_off(monkeypatch, tmp_path):
+    p = tmp_path / "TUNED.json"
+    p.write_text("{not json")
+    monkeypatch.setenv("MUSCATO_TUNED", str(p))
+    assert fused._load_tuned() == {}
+
+
+def test_flag_precedence(monkeypatch):
+    monkeypatch.setattr(fused, "_TUNED", {"MUSCATO_MGATHER": 1})
+    monkeypatch.delenv("MUSCATO_MGATHER", raising=False)
+    assert fused._flag("MUSCATO_MGATHER") is True          # tuned beats default
+    monkeypatch.setenv("MUSCATO_MGATHER", "0")
+    assert fused._flag("MUSCATO_MGATHER") is False         # env beats tuned
+    monkeypatch.setattr(fused, "_TUNED", {})
+    monkeypatch.delenv("MUSCATO_MGATHER", raising=False)
+    assert fused._flag("MUSCATO_MGATHER") is False         # hard default: off
+
+
+def test_effective_flags_shape():
+    f = fused.effective_flags()
+    assert set(f) == {"MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER"}
+    assert all(v in (0, 1) for v in f.values())
