@@ -763,9 +763,21 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
     )
     u_idx = jnp.cumsum(run_start.astype(jnp.int32)) - 1
     nuniq = u_idx[-1] + 1
-    utgt = jnp.where(run_start, u_idx, pair_cap + 1)
-    ur = jnp.full(pair_cap, -1, jnp.int32).at[utgt].set(r_s, mode="drop")
-    ud = jnp.zeros(pair_cap, jnp.int32).at[utgt].set(d_s, mode="drop")
+    # Compact the unique (r, d) run starts to a prefix with ONE unstable
+    # 1-key sort instead of two full-lane scatters: run starts carry
+    # their (unique, increasing) u_idx as the key, every other lane keys
+    # to int32-max and sinks.  Measured rates (BENCHMARKS.md): scatter
+    # ~0.2G updates/s (~240ms for two pair_cap-sized compactions at 24M
+    # lanes) vs 1-key radix sort ~0.29G rows/s (~80ms once).  The sunk
+    # tail holds payloads of duplicate lanes in arbitrary order, so it is
+    # masked inactive — the verify chunks over ceil(nuniq/vchunk) lanes
+    # and the mgather target stream must stay monotone through the tail.
+    ukey = jnp.where(run_start, u_idx, inf)
+    _, ur, ud = lax.sort((ukey, r_s, d_s), num_keys=1)
+    lane = jnp.arange(pair_cap, dtype=jnp.int32)
+    live = lane < nuniq
+    ur = jnp.where(live, ur, -1)
+    ud = jnp.where(live, ud, 0)
     return qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow
 
 
