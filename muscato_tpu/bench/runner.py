@@ -216,6 +216,10 @@ def _device_reachable(timeout_s: float | None = None) -> bool:
 def main(argv=None) -> int:
     import argparse
 
+    from ..cli import _apply_platform_override
+
+    _apply_platform_override()
+
     p = argparse.ArgumentParser()
     p.add_argument("--Workload", choices=("big", "small", "both"), default="both")
     p.add_argument("--NumRead", type=int, default=4_000_000)
@@ -285,6 +289,12 @@ def main(argv=None) -> int:
     dev = jax.devices()[0]
     detail["backend"] = jax.default_backend()
     detail["device_kind"] = getattr(dev, "device_kind", str(dev))
+    # The metric NAME is derived from the backend that actually ran the
+    # timed region, so a CPU run (fallback, --NoProbe on a relay-down
+    # host, or MUSCATO_PLATFORM=cpu) can never report the chip metric.
+    if detail["backend"] == "cpu" and not fallback:
+        fallback = True
+        note = note or "timed region ran on the CPU backend"
     out = {
         "metric": "reads_per_sec_cpu_fallback" if fallback else "reads_per_sec_chip",
         "value": round(headline.reads_per_sec, 1),

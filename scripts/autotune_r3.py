@@ -32,6 +32,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STEP_TIMEOUT = int(os.environ.get("AUTOTUNE_STEP_TIMEOUT", "5400"))
 FLAG_NAMES = ("MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER")
+# Dry-run knobs (tests/test_autotune.py drives the whole script on CPU):
+BENCH_ARGS = os.environ.get(
+    "AUTOTUNE_BENCH_ARGS", "--Workload big --Repeats 2 --NoProbe"
+).split()
+ACCEPT_CPU = os.environ.get("AUTOTUNE_ACCEPT_CPU") == "1"
+LADDER_SUBSET = [
+    s for s in os.environ.get("AUTOTUNE_LADDER", "").split(",") if s
+]
+SKIP_PALLAS = os.environ.get("AUTOTUNE_SKIP_PALLAS") == "1"
 
 # Priority order: projected winner first, then the baseline it must beat,
 # then single-flag attributions, then the remaining pair.
@@ -76,9 +85,13 @@ def parse_bench(log):
 
 
 def chip_value(rec):
-    if not rec or rec.get("skipped") or rec.get("metric") != "reads_per_sec_chip":
+    if not rec:
         return None
-    return rec.get("value")
+    if rec.get("metric") == "reads_per_sec_chip" and not rec.get("skipped"):
+        return rec.get("value")
+    if ACCEPT_CPU and rec.get("metric") == "reads_per_sec_cpu_fallback":
+        return rec.get("value")
+    return None
 
 
 def main() -> int:
@@ -94,25 +107,26 @@ def main() -> int:
     # 0. First TPU minute: compile + oracle-check every Pallas kernel on
     #    the device, so a Mosaic rejection is diagnosed before any bench
     #    (round-2 VERDICT weak #5).
-    rc, log = run_step(
-        "pallas_compile", ["-m", "muscato_tpu.bench.pallas_device_check"],
-        {}, outdir, timeout=3600,
-    )
-    pallas_ok = rc == 0
+    if SKIP_PALLAS:
+        pallas_ok = True
+    else:
+        rc, log = run_step(
+            "pallas_compile", ["-m", "muscato_tpu.bench.pallas_device_check"],
+            {}, outdir, timeout=3600,
+        )
+        pallas_ok = rc == 0
     ladder["pallas_compile_ok"] = pallas_ok
     save()
     steps = LADDER if pallas_ok else [s for s in LADDER if s[0] in ("xla", "do")]
+    if LADDER_SUBSET:
+        steps = [s for s in steps if s[0] in LADDER_SUBSET]
     if not pallas_ok:
         print("!!! Pallas device check FAILED — ladder restricted to XLA paths",
               flush=True)
 
     # 1. The A/B ladder, most decision-relevant first.
     for name, env_over in steps:
-        rc, log = run_step(
-            name,
-            ["bench.py", "--Workload", "big", "--Repeats", "2", "--NoProbe"],
-            env_over, outdir,
-        )
+        rc, log = run_step(name, ["bench.py", *BENCH_ARGS], env_over, outdir)
         ladder[name] = parse_bench(log)
         save()
 
@@ -146,7 +160,9 @@ def main() -> int:
             "tool": "scripts/autotune_r3.py",
         },
     }
-    tpath = os.path.join(REPO, "muscato_tpu", "TUNED.json")
+    tpath = os.environ.get(
+        "AUTOTUNE_TUNED_PATH", os.path.join(REPO, "muscato_tpu", "TUNED.json")
+    )
     with open(tpath, "w") as f:
         json.dump(tuned, f, indent=1)
         f.write("\n")
@@ -154,20 +170,21 @@ def main() -> int:
 
     # 2. Confirmation with tuned defaults (what the driver will run),
     #    plus the 8M single-batch scaling point.
-    rc, log = run_step(
-        "final", ["bench.py", "--Workload", "both", "--Repeats", "3",
-                  "--NoProbe"], {}, outdir,
-    )
+    env_tuned = {"MUSCATO_TUNED": tpath}
+    if ACCEPT_CPU:
+        final_args, m8_args = BENCH_ARGS, None  # dry-run: keep it small
+    else:
+        final_args = ["--Workload", "both", "--Repeats", "3", "--NoProbe"]
+        m8_args = ["--Workload", "big", "--NumRead", "8000000",
+                   "--ReadBatch", "8388608", "--Repeats", "2", "--NoProbe"]
+    rc, log = run_step("final", ["bench.py", *final_args], env_tuned, outdir)
     final = parse_bench(log)
     with open(os.path.join(outdir, "final.json"), "w") as f:
         json.dump(final, f, indent=1)
-    run_step(
-        "bench_8m", ["bench.py", "--Workload", "big", "--NumRead", "8000000",
-                     "--ReadBatch", "8388608", "--Repeats", "2", "--NoProbe"],
-        {}, outdir,
-    )
     ladder["final"] = final
-    ladder["bench_8m"] = parse_bench(os.path.join(outdir, "bench_8m.log"))
+    if m8_args:
+        run_step("bench_8m", ["bench.py", *m8_args], env_tuned, outdir)
+        ladder["bench_8m"] = parse_bench(os.path.join(outdir, "bench_8m.log"))
     save()
     return 0
 
