@@ -70,6 +70,20 @@ def _pow2ceil(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 
 
+def _bucket_ceil(n: int) -> int:
+    """Smallest p * 2^k >= n with p in {5,6,7,8}: quarter-pow2 capacity
+    buckets.  Power-of-two sizing overshoots by up to 2x, and the pair
+    sort plus every dense expansion pass scales with the buffer, not
+    with the live prefix; quarter buckets cap the overshoot at 25% while
+    keeping the set of distinct executables bounded (a fixed batch size
+    produces totals that land in the same bucket run after run).  For
+    n >= 8192 the result is automatically 1024-aligned (TPU 1-D layout
+    tiles)."""
+    n = max(int(n), 8)
+    k = max((n - 1).bit_length() - 3, 0)
+    return ((n + (1 << k) - 1) >> k) << k
+
+
 def _window_has_reads(rs: ReadSet, q1: int, width: int, min_dinuc: int) -> bool:
     """The reference's per-window abort counts reads passing the *length*
     gate only (cmd/muscato_window_reads/main.go:108-112 increments before
@@ -288,7 +302,7 @@ def run_matching_indexed(
         )
         while True:
             if use_dedup:
-                pair_cap = max(_PAIR_FLOOR, _pow2ceil(total))
+                pair_cap = max(_PAIR_FLOOR, _bucket_ceil(total))
                 buf, nsurv_d, _t, _tf = fused.expand_verify_dedup(
                     pr, q1s, rpacked, lengths, index.spos,
                     index.tpacked, index.gene_start, budget,
@@ -340,7 +354,7 @@ def run_matching_indexed(
             # batch.  The grown capacity persists process-wide so later
             # runs and batches start right-sized (regrows force a fresh
             # executable, which remote-compile backends make expensive).
-            surv_cap = max(surv_cap * 2, _pow2ceil(nsurv))
+            surv_cap = max(surv_cap * 2, _bucket_ceil(nsurv))
             _CAP_HINT[0] = surv_cap
         total_pairs += total
         if nsurv:

@@ -362,7 +362,9 @@ def _global_minmax(arr) -> tuple[float, float]:
 
 
 # Mirrors engine.pipeline's dedup-path sizing policy (same constants).
-from ..engine.pipeline import _MAX_PAIR_CAP, _PAIR_FLOOR, _pow2ceil  # noqa: E402
+from ..engine.pipeline import (  # noqa: E402
+    _MAX_PAIR_CAP, _PAIR_FLOOR, _bucket_ceil,
+)
 
 import logging as _logging  # noqa: E402
 
@@ -501,7 +503,7 @@ def sharded_match_arrays(
         mgather = fused.mgather_enabled() and use_dedup
         scale = fused.mg_scale()
         if use_dedup:
-            pair_cap = max(_PAIR_FLOOR, _pow2ceil(max_total))
+            pair_cap = max(_PAIR_FLOOR, _bucket_ceil(max_total))
             statics = dict(
                 width=cfg.WindowWidth, min_dinuc=cfg.MinDinuc,
                 max_read_length=cfg.MaxReadLength,
@@ -554,7 +556,7 @@ def sharded_match_arrays(
         if int(ns_max) > surv_cap:
             # Exact pow2 bucket over the known need (same policy as the
             # single-chip loop); the probe result is reused.
-            surv_cap = max(surv_cap * 2, _pow2ceil(int(ns_max)))
+            surv_cap = max(surv_cap * 2, _bucket_ceil(int(ns_max)))
             logger.info("mesh: survivor capacity regrown to %d", surv_cap)
             continue
         break
