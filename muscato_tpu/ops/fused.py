@@ -878,19 +878,14 @@ def _verify_diagonals_impl(
     return surv, nsurv, oflow_v
 
 
-def _pack_rows64(r, g, s, nx, pack_bits):
-    """Pack (r, g, s, nx) into two int32 words (a 64-bit value split
-    lo/hi), LSB-first field order (nx, s, g, r).  pack_bits is the static
-    (rbits, gbits, sbits, xbits) tuple; the caller guarantees the fields
-    fit (engine.pipeline derives the widths from the batch size, gene
-    count, longest gene, and the mismatch-budget maximum).  Halves the
-    retained-row fetch (8 bytes/match vs 16) — the dominant per-batch
-    device->host transfer at realistic hit density."""
-    rb, gb, sb, xb = pack_bits
-    lo = jnp.zeros_like(r, dtype=jnp.uint32)
-    hi = jnp.zeros_like(r, dtype=jnp.uint32)
+def _pack64_fields(fields, bits):
+    """LSB-first pack of nonnegative int32 fields into (lo, hi) uint32
+    words; unsigned 64-bit comparison of the result is lexicographic
+    comparison of the fields MSB-first (i.e. reversed(fields))."""
+    lo = jnp.zeros_like(fields[0], dtype=jnp.uint32)
+    hi = jnp.zeros_like(fields[0], dtype=jnp.uint32)
     pos = 0
-    for v, b in ((nx, xb), (s, sb), (g, gb), (r, rb)):
+    for v, b in zip(fields, bits):
         vu = v.astype(jnp.uint32)
         if b < 32:
             vu = vu & jnp.uint32((1 << b) - 1)
@@ -901,6 +896,36 @@ def _pack_rows64(r, g, s, nx, pack_bits):
         else:
             hi = hi | (vu << jnp.uint32(pos - 32))
         pos += b
+    return lo, hi
+
+
+def _extract64(lo, hi, pos, b):
+    """Field extraction from _pack64_fields words; pos and b static."""
+    if pos >= 32:
+        w = hi >> jnp.uint32(pos - 32)
+    else:
+        w = lo >> jnp.uint32(pos)
+        if pos + b > 32:
+            w = w | (hi << jnp.uint32(32 - pos))
+    if b < 32:
+        w = w & jnp.uint32((1 << b) - 1)
+    return w.astype(jnp.int32)
+
+
+def _u32(x):
+    return lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _pack_rows64(r, g, s, nx, pack_bits):
+    """Pack (r, g, s, nx) into two int32 words (a 64-bit value split
+    lo/hi), LSB-first field order (nx, s, g, r).  pack_bits is the static
+    (rbits, gbits, sbits, xbits) tuple; the caller guarantees the fields
+    fit (engine.pipeline derives the widths from the batch size, gene
+    count, longest gene, and the mismatch-budget maximum).  Halves the
+    retained-row fetch (8 bytes/match vs 16) — the dominant per-batch
+    device->host transfer at realistic hit density."""
+    rb, gb, sb, xb = pack_bits
+    lo, hi = _pack64_fields((nx, s, g, r), (xb, sb, gb, rb))
     return jnp.stack(
         [lax.bitcast_convert_type(lo, jnp.int32),
          lax.bitcast_convert_type(hi, jnp.int32)],
@@ -935,8 +960,98 @@ def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
                       full_cols=full_cols, pack_bits=pack_bits)
 
 
+def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits):
+    """_rank_core with the (r, g, s, nx) columns packed into 64-bit
+    lo/hi uint32 words through every sort: stage 1 runs on 5 operands
+    instead of 8, stages 2 and 4 on 3 instead of 5 (XLA sort throughput
+    scales with operand count — BENCHMARKS.md microbenchmarks).  Taken
+    when the field widths fit 64 bits and the caller wants the packed
+    return anyway (the single-batch engine path); the multi-batch/mesh
+    re-cap path keeps the unpacked implementation, which doubles as the
+    equivalence oracle (tests/test_kernels.py).  Group hash words are
+    compared as uint32 — inter-group order differs from the signed
+    compare of the unpacked path, but group membership, the in-group
+    rank order, and the final canonical (r, g, s) order are identical,
+    so the retained rows are bit-equal."""
+    rb, gb, sb, xb = pack_bits
+    n = buf.shape[0]
+    r, g, s, nx = buf[:, 0], buf[:, 1], buf[:, 2], buf[:, 3]
+    grp, grp2, win = buf[:, 4], buf[:, 5], buf[:, 6]
+    dead = (~live).astype(jnp.int32)
+
+    # 1. MaxMatches cap per (window, key1, key2) group.  In-group rank
+    #    order matches the unpacked path exactly: (nx, g, s, r) for
+    #    best, (g, s, r, nx) for first — packed LSB-first in reverse.
+    dw = ((dead << 16) | win).astype(jnp.uint32)  # nwin << 2**16 always
+    if match_mode == "first":
+        lo1, hi1 = _pack64_fields((nx, r, s, g), (xb, rb, sb, gb))
+    else:
+        lo1, hi1 = _pack64_fields((r, s, g, nx), (rb, sb, gb, xb))
+    dw, grp_s, grp2_s, hi1, lo1 = lax.sort(
+        (dw, _u32(grp), _u32(grp2), hi1, lo1), num_keys=5
+    )
+    iota = jnp.arange(n, dtype=jnp.int32)
+    newgrp = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (dw[1:] != dw[:-1]) | (grp_s[1:] != grp_s[:-1])
+         | (grp2_s[1:] != grp2_s[:-1])]
+    )
+    seg_start = lax.cummax(jnp.where(newgrp, iota, 0))
+    rank = iota - seg_start
+    cap = mm + jnp.int32(1 if match_mode == "first" else 0)
+    keep = (dw < jnp.uint32(1 << 16)) & (rank < cap)
+
+    # 2. exact dedup on (read, gene, start), canonical order.  nx is
+    #    carried in the low bits of the packed key: it is a function of
+    #    (r, g, s) — one verify per unique (read, diagonal) — so it
+    #    never changes the order or the equality classes.
+    if match_mode == "first":
+        fields = [_extract64(lo1, hi1, p, b) for p, b in
+                  ((0, xb), (xb, rb), (xb + rb, sb), (xb + rb + sb, gb))]
+        nx2, r2, s2, g2 = fields
+    else:
+        fields = [_extract64(lo1, hi1, p, b) for p, b in
+                  ((0, rb), (rb, sb), (rb + sb, gb), (rb + sb + gb, xb))]
+        r2, s2, g2, nx2 = fields
+    loc, hic = _pack64_fields((nx2, s2, g2, r2), (xb, sb, gb, rb))
+    dead2 = (~keep).astype(jnp.uint32)
+    dead2, hic, loc = lax.sort((dead2, hic, loc), num_keys=3)
+    first_rgs = jnp.concatenate(
+        [jnp.ones(1, bool), (hic[1:] != hic[:-1]) | (loc[1:] != loc[:-1])]
+    )
+    keep = (dead2 == 0) & first_rgs
+
+    # 3. per-read best + MMTol (segment-min over the established order).
+    inf32 = jnp.int32(0x7FFFFFFF)
+    nx3 = _extract64(loc, hic, 0, xb)
+    r3 = _extract64(loc, hic, xb + sb + gb, rb)
+    nxm = jnp.where(keep, nx3, inf32)
+    new_read = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (r3[1:] != r3[:-1]) | (dead2[1:] != dead2[:-1])]
+    )
+    seg_id = jnp.cumsum(new_read.astype(jnp.int32)) - 1
+    best = jnp.full(n, inf32).at[seg_id].min(nxm, mode="drop")[seg_id]
+    keep = keep & (nxm <= best + mmtol)
+
+    # 4. stable single-key compaction; the packed words ARE the return.
+    dead4 = (~keep).astype(jnp.uint32)
+    dead4, hic, loc = lax.sort((dead4, hic, loc), num_keys=1, is_stable=True)
+    rows = jnp.stack(
+        [lax.bitcast_convert_type(loc, jnp.int32),
+         lax.bitcast_convert_type(hic, jnp.int32)],
+        axis=1,
+    )
+    count = jnp.sum(keep.astype(jnp.int32))
+    return rows, count
+
+
 def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
                pack_bits=None):
+    if pack_bits is not None and not full_cols:
+        return _rank_core_packed(
+            buf, live, mm, mmtol, match_mode=match_mode, pack_bits=pack_bits
+        )
     n = buf.shape[0]
     r, g, s, nx = buf[:, 0], buf[:, 1], buf[:, 2], buf[:, 3]
     grp, grp2, win = buf[:, 4], buf[:, 5], buf[:, 6]

@@ -720,3 +720,53 @@ def test_dorder_negative_diagonal_no_overflow():
     act = (r >= 0) & (d >= 0)
     for a, b in zip(base[:3], out[:3]):
         np.testing.assert_array_equal(np.asarray(a)[act], np.asarray(b)[act])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_rank_core_packed_equals_unpacked(seed):
+    """_rank_core_packed (sorts on packed 64-bit words) must retain
+    bit-identical rows to the unpacked oracle for both match modes,
+    including duplicate (r, g, s) rows, group collisions, negative group
+    hash words, dead lanes, and fields straddling the 32-bit seam."""
+    from muscato_tpu.ops import fused
+
+    rng = np.random.default_rng(100 + seed)
+    n = 2048
+    bits = [(22, 17, 21, 4), (20, 20, 20, 4), (10, 10, 10, 4)][seed % 3]
+    rb, gb, sb, xb = bits
+    # Small value ranges force duplicate (r, g, s) triples; nx is a hash
+    # of (r, g, s) — the engine invariant (one verify per read-diagonal).
+    r = rng.integers(0, min(1 << rb, 37), n).astype(np.int32)
+    g = rng.integers(0, min(1 << gb, 11), n).astype(np.int32)
+    s = rng.integers(0, min(1 << sb, 23), n).astype(np.int32)
+    r64, g64, s64 = (v.astype(np.int64) for v in (r, g, s))
+    nx = ((r64 * 2654435761 + g64 * 40503 + s64 * 2246822519) % (1 << xb)).astype(
+        np.int32
+    )
+    # Group hash words: full int32 range incl. negatives, few buckets so
+    # groups actually collide across windows.
+    grp = rng.choice(
+        np.array([-2**31, -7, 0, 5, 2**31 - 1], dtype=np.int32), n
+    )
+    grp2 = rng.choice(np.array([-1, 0, 9], dtype=np.int32), n)
+    win = rng.integers(0, 3, n).astype(np.int32)
+    live = rng.random(n) < 0.85
+    buf = jnp.asarray(np.stack([r, g, s, nx, grp, grp2, win], axis=1))
+    live_j = jnp.asarray(live)
+
+    for mode in ("best", "first"):
+        for mm, mmtol in ((1, 0), (2, 1), (3, 2)):
+            exp_rows, exp_n = fused._rank_core(
+                buf, live_j, jnp.int32(mm), jnp.int32(mmtol),
+                match_mode=mode, full_cols=False, pack_bits=None,
+            )
+            got_rows, got_n = fused._rank_core(
+                buf, live_j, jnp.int32(mm), jnp.int32(mmtol),
+                match_mode=mode, full_cols=False, pack_bits=bits,
+            )
+            assert int(got_n) == int(exp_n) > 0
+            got = pipeline._unpack_rows64(
+                np.asarray(got_rows)[: int(got_n)], bits
+            )
+            exp = np.asarray(exp_rows)[: int(exp_n)]
+            assert np.array_equal(got, exp), (mode, mm, mmtol)
