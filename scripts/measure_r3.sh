@@ -8,31 +8,37 @@ OUT=${1:-/tmp/measure_r3}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+# step NAME "FLAG=1 FLAG=0" ARGS... — flags are passed via env(1) so they
+# cannot leak between steps (bash makes `VAR=1 funcname` assignments
+# persist after the function returns, which would contaminate the ladder).
 step() {
-  name=$1; shift
-  echo "=== $name: $* ($(date +%H:%M:%S))" | tee -a "$OUT/sweep.log"
-  timeout 5400 python -u "$@" >"$OUT/$name.log" 2>&1
+  name=$1; flags=$2; shift 2
+  echo "=== $name: [$flags] $* ($(date +%H:%M:%S))" | tee -a "$OUT/sweep.log"
+  # shellcheck disable=SC2086
+  timeout 5400 env $flags python -u "$@" >"$OUT/$name.log" 2>&1
   echo "    exit=$? ($(date +%H:%M:%S))" | tee -a "$OUT/sweep.log"
 }
 
 # 0. FIRST TPU MINUTE: surface Mosaic compile errors in the Pallas kernels
 #    before anything else (round-2 VERDICT weak #5).  conftest pins tests
 #    to CPU, so drive the kernels directly on the device.
-step pallas_compile -m muscato_tpu.bench.pallas_device_check
+step pallas_compile "" -m muscato_tpu.bench.pallas_device_check
 
-# 1. headline A/B ladder on the big workload
-step bench_xla bench.py --Workload big --Repeats 3
-MUSCATO_MGATHER=1 step bench_mg bench.py --Workload big --Repeats 3
-MUSCATO_PJOIN=1 step bench_pj bench.py --Workload big --Repeats 3
-MUSCATO_DORDER=1 step bench_do bench.py --Workload big --Repeats 3
-MUSCATO_MGATHER=1 MUSCATO_DORDER=1 step bench_mg_do bench.py --Workload big --Repeats 3
-MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 step bench_mg_pj bench.py --Workload big --Repeats 3
-MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=1 step bench_all bench.py --Workload big --Repeats 3
+# 1. headline A/B ladder on the big workload.  Every step pins ALL three
+#    flags (0 is an explicit pin, in case TUNED.json flips defaults).
+AB="MUSCATO_MGATHER=0 MUSCATO_PJOIN=0 MUSCATO_DORDER=0"
+step bench_xla "$AB" bench.py --Workload big --Repeats 3
+step bench_mg "MUSCATO_MGATHER=1 MUSCATO_PJOIN=0 MUSCATO_DORDER=0" bench.py --Workload big --Repeats 3
+step bench_pj "MUSCATO_MGATHER=0 MUSCATO_PJOIN=1 MUSCATO_DORDER=0" bench.py --Workload big --Repeats 3
+step bench_do "MUSCATO_MGATHER=0 MUSCATO_PJOIN=0 MUSCATO_DORDER=1" bench.py --Workload big --Repeats 3
+step bench_mg_do "MUSCATO_MGATHER=1 MUSCATO_PJOIN=0 MUSCATO_DORDER=1" bench.py --Workload big --Repeats 3
+step bench_mg_pj "MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=0" bench.py --Workload big --Repeats 3
+step bench_all "MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=1" bench.py --Workload big --Repeats 3
 # 2. phase breakdown at 4M reads
-step profile_xla -m muscato_tpu.bench.profile_match 4
-MUSCATO_MGATHER=1 MUSCATO_DORDER=1 step profile_mg_do -m muscato_tpu.bench.profile_match 4
+step profile_xla "$AB" -m muscato_tpu.bench.profile_match 4
+step profile_mg_do "MUSCATO_MGATHER=1 MUSCATO_PJOIN=0 MUSCATO_DORDER=1" -m muscato_tpu.bench.profile_match 4
 # 3. batch-size scaling (8M reads, one batch) — amortizes the probe sort
-step bench_8m bench.py --Workload big --NumRead 8000000 --ReadBatch 8388608 --Repeats 2
+step bench_8m "" bench.py --Workload big --NumRead 8000000 --ReadBatch 8388608 --Repeats 2
 # 4. small workload for continuity
-step bench_small bench.py --Workload small --Repeats 3
+step bench_small "" bench.py --Workload small --Repeats 3
 grep -h '"metric"' "$OUT"/bench_*.log | tee -a "$OUT/sweep.log"
