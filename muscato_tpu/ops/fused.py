@@ -677,7 +677,7 @@ def _expand_verify_impl(
 
 def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
                        mgather=False, mg_window=8192, interpret=False,
-                       dorder=False):
+                       dorder=False, smax=None, max_read_length=0):
     """Vectorized pair expansion into a (pair_cap,) column buffer, sorted
     by (read, diagonal) with run-start bookkeeping for the diagonal-dedup
     verify.
@@ -741,23 +741,64 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
     # decides which verify fetch stream is monotone.  Inactive lanes key
     # to int32-max and sink to the end (no real read row or diagonal
     # reaches 2**31-1).
+    #
+    # qid = k*nreads + r, and r IS (part of) the sort key — so the window
+    # index k (a couple of bits) rides the MINOR key's low bits and the
+    # 32-bit qid payload operand disappears: the biggest sort after the
+    # probe's drops from 3 operands to 2 (XLA sort rate scales with
+    # operand count, BENCHMARKS.md).  k must sit BELOW the (r, d) order,
+    # never above it, so run detection masks it off.  Gated on the packed
+    # minor key fitting int32: d in [-q1, smax) with q1 <= max_read_length
+    # for the non-dorder minor (d, k); r < nreads for the dorder minor
+    # (r, k).  Callers that do not pass smax keep the payload sort.
+    nwin = q1s.shape[0]
+    kbits = max((nwin - 1).bit_length(), 1)
+    kmax = (1 << kbits) - 1
+    doff = max_read_length
+    if smax is not None and dorder:
+        packk = ((nreads << kbits) | kmax) < 0x7FFFFFFF
+    elif smax is not None:
+        packk = (((smax + doff) << kbits) | kmax) < 0x7FFFFFFF
+    else:
+        packk = False
     rkey = jnp.where(act, r_lane, inf)
-    qid_pay = jnp.where(act, qid, -1)
-    if dorder:
+    if packk and dorder:
+        dkey = jnp.where(act, d, inf)
+        minor = jnp.where(act, (r_lane << kbits) | k_lane, inf)
+        d_s, minor_s = lax.sort((dkey, minor), num_keys=2)
+        act_s = d_s != inf
+        r_s = jnp.where(act_s, minor_s >> kbits, -1)
+        d_s = jnp.where(act_s, d_s, 0)
+        run_maj, run_min = d_s, minor_s >> kbits
+    elif packk:
+        minor = jnp.where(act, ((d + doff) << kbits) | k_lane, inf)
+        rkey_s, minor_s = lax.sort((rkey, minor), num_keys=2)
+        act_s = rkey_s != inf
+        r_s = jnp.where(act_s, rkey_s, -1)
+        d_s = jnp.where(act_s, (minor_s >> kbits) - doff, 0)
+        run_maj, run_min = rkey_s, minor_s >> kbits
+    elif dorder:
+        qid_pay = jnp.where(act, qid, -1)
         dkey = jnp.where(act, d, inf)
         d_s, rkey_s, qid_s = lax.sort((dkey, rkey, qid_pay), num_keys=2)
         act_s = d_s != inf
         r_s = jnp.where(act_s, rkey_s, -1)
         d_s = jnp.where(act_s, d_s, 0)
+        run_maj, run_min = d_s, rkey_s
     else:
+        qid_pay = jnp.where(act, qid, -1)
         rkey_s, d_s, qid_s = lax.sort((rkey, d, qid_pay), num_keys=2)
         act_s = rkey_s != inf
         r_s = jnp.where(act_s, rkey_s, -1)
+        run_maj, run_min = rkey_s, d_s
+    if packk:
+        k_s = jnp.where(act_s, minor_s & jnp.int32(kmax), 0)
+        qid_s = jnp.where(act_s, k_s * nreads + jnp.maximum(r_s, 0), -1)
 
     run_start = (
         jnp.concatenate(
             [jnp.ones(1, bool),
-             (rkey_s[1:] != rkey_s[:-1]) | (d_s[1:] != d_s[:-1])]
+             (run_maj[1:] != run_maj[:-1]) | (run_min[1:] != run_min[:-1])]
         )
         & act_s
     )
@@ -1277,12 +1318,12 @@ def expand_verify_dedup(
     expand = _tpu_jit(
         _expand_pairs_impl,
         ("nreads", "pair_cap", "mgather", "mg_window", "interpret",
-         "dorder"),
+         "dorder", "smax", "max_read_length"),
     )
     qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow = expand(
         counts_m, lo_m, qid_m, q1s, spos, nreads=nreads, pair_cap=pair_cap,
         mgather=mg, mg_window=_MG_WINDOW * scale, interpret=interp,
-        dorder=dorder,
+        dorder=dorder, smax=smax, max_read_length=max_read_length,
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,

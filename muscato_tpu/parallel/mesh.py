@@ -280,7 +280,7 @@ def _verify_step_dedup(
         fused._expand_pairs_impl(
             counts, lo, qid, q1s, spos, nreads=nreads, pair_cap=pair_cap,
             mgather=mgather, mg_window=mg_window, interpret=interpret,
-            dorder=dorder,
+            dorder=dorder, smax=smax, max_read_length=max_read_length,
         )
     )
     surv, nsurv, oflow_v = fused._verify_diagonals_impl(

@@ -770,3 +770,44 @@ def test_rank_core_packed_equals_unpacked(seed):
             )
             exp = np.asarray(exp_rows)[: int(exp_n)]
             assert np.array_equal(got, exp), (mode, mm, mmtol)
+
+
+@pytest.mark.parametrize("dorder", [False, True])
+def test_expand_pairs_packed_minor_key_equals_payload_sort(dorder):
+    """With smax given, the pair sort packs the window index into the
+    minor key's low bits and drops the qid payload operand; the unique
+    (r, d) set, lane->unique mapping, and recomputed qid multiset must
+    match the payload-carrying sort exactly."""
+    from muscato_tpu.ops import fused
+
+    rng = np.random.default_rng(7 + int(dorder))
+    nreads, nwin, S, max_rl = 50, 3, 5000, 40
+    q1s = jnp.asarray(np.array([0, 7, 19], np.int32))
+    m = nwin * nreads
+    counts = rng.integers(0, 6, m).astype(np.int32)
+    spos = rng.integers(0, S, 4096).astype(np.int32)
+    lo = rng.integers(0, 4096 - 8, m).astype(np.int32)
+    qid = np.arange(m, dtype=np.int32)
+    dead = rng.random(m) < 0.3
+    qid[dead] = -1
+    counts[dead] = 0
+    pair_cap = 1 << int(np.ceil(np.log2(max(int(counts.sum()), 2))))
+    args = (jnp.asarray(counts), jnp.asarray(lo), jnp.asarray(qid), q1s,
+            jnp.asarray(spos))
+    kw = dict(nreads=nreads, pair_cap=pair_cap, dorder=dorder,
+              max_read_length=max_rl)
+    base = fused._expand_pairs_impl(*args, **kw, smax=None)
+    got = fused._expand_pairs_impl(*args, **kw, smax=S)
+    for name, a, b in (("nuniq", base[4], got[4]), ("total", base[5], got[5])):
+        assert int(a) == int(b), name
+    nu = int(base[4])
+    np.testing.assert_array_equal(np.asarray(base[2])[:nu], np.asarray(got[2])[:nu])
+    np.testing.assert_array_equal(np.asarray(base[3])[:nu], np.asarray(got[3])[:nu])
+    # lane -> (qid, unique id) mapping as a multiset (in-run lane order is
+    # unspecified: the packed sort orders by k within (r, d) runs).
+    def pairs(out):
+        q, u = np.asarray(out[0]), np.asarray(out[1])
+        act = q >= 0
+        return sorted(zip(q[act].tolist(), u[act].tolist()))
+    assert pairs(base) == pairs(got)
+    assert int(base[5]) > 0
