@@ -109,10 +109,28 @@ def main() -> int:
             np.asarray(k1)[np.asarray(v)], np.asarray(ek1)[np.asarray(ev)]
         )
 
+    def _stream_compact():
+        rng = np.random.default_rng(5)
+        from ..ops import pallas_compact as pc
+
+        m, take = 1 << 18, 1 << 14
+        qid = rng.integers(-1, 1 << 24, m).astype(np.int32)
+        uix = np.sort(rng.integers(0, m, m)).astype(np.int32)
+        keep = (rng.random(m) < 0.05) & (qid >= 0)
+        qd, ut, ns = pc.stream_compact(
+            jnp.asarray(qid), jnp.asarray(uix),
+            jnp.asarray(keep.astype(np.int32)), take, interpret=interp,
+        )
+        eqd, eut, ens = pc.stream_compact_np(qid, uix, keep, take)
+        assert int(ns) == ens
+        np.testing.assert_array_equal(np.asarray(qd), eqd)
+        np.testing.assert_array_equal(np.asarray(ut), eut)
+
     check("monotone_gather", _monotone_gather)
     check("monotone_gather_rows", _monotone_gather_rows)
     check("sorted_join", _sorted_join)
     check("window_queries_pallas", _window_queries)
+    check("stream_compact", _stream_compact)
     print(f"{'OK' if not failures else 'FAILURES'}: {failures} failed",
           flush=True)
     return 1 if failures else 0

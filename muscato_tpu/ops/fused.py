@@ -126,6 +126,7 @@ def effective_flags() -> dict:
         "MUSCATO_MGATHER": int(_MGATHER[0]),
         "MUSCATO_PJOIN": int(_PJOIN[0]),
         "MUSCATO_DORDER": int(_DORDER[0]),
+        "MUSCATO_VTAIL": int(_VTAIL[0]),
     }
 
 
@@ -211,6 +212,23 @@ def dorder_enabled() -> bool:
 
 def set_dorder(on: bool) -> None:
     _DORDER[0] = on
+
+
+# Sort-free verify-tail compaction (MUSCATO_VTAIL=1): replace the dedup
+# verify's survivor-compaction sort (1-key over the full pair buffer,
+# ~80ms at 24M lanes) with the chunked one-hot MXU compaction kernel
+# (ops/pallas_compact.py).  Exact and overflow-free; survivors arrive in
+# stream order instead of qid order, which the rank stage's canonical
+# re-sort erases.  Opt-in pending a measured TPU A/B.
+_VTAIL = [_flag("MUSCATO_VTAIL")]
+
+
+def vtail_enabled() -> bool:
+    return _VTAIL[0]
+
+
+def set_vtail(on: bool) -> None:
+    _VTAIL[0] = on
 
 
 _jit_cache = {}
@@ -827,6 +845,7 @@ def _verify_diagonals_impl(
     rpacked, lengths, tpacked, gene_start, budget, trows=None, gblock=None,
     *, nreads, width, max_read_length, vchunk, surv_cap, smax, gsteps=0,
     mgather=False, mg_rows_window=2048, interpret=False, dorder=False,
+    vtail=False,
 ):
     """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
     to the pair lanes, and survivor compaction.  Work in the gather-heavy
@@ -896,14 +915,25 @@ def _verify_diagonals_impl(
     ok = (okw >> kc) & 1
     keep = (qid_s >= 0) & (ok == 1)
 
-    # Compaction: survivors first.  dead lanes key to int32-max (no real
-    # qid reaches 2**31-1), so one word orders the sort; the unique-row
-    # id rides as the only payload.
-    qd = jnp.where(keep, qid_s, jnp.int32(0x7FFFFFFF))
-    qd, uix2 = lax.sort((qd, uix), num_keys=1)
+    # Compaction: survivors first.  With MUSCATO_VTAIL the sort-free
+    # chunked one-hot MXU compaction (ops/pallas_compact.py) replaces the
+    # 1-key sort over the full pair buffer; survivors then arrive in
+    # stream order rather than qid order, which the rank stage's
+    # canonical re-sort erases.  Otherwise dead lanes key to int32-max
+    # (no real qid reaches 2**31-1), so one word orders the sort; the
+    # unique-row id rides as the only payload.
     take = min(surv_cap, cap)
-    qdt = qd[:take]
-    ut = uix2[:take]
+    if vtail:
+        from . import pallas_compact as _pc
+
+        qdt, ut, _ = _pc.stream_compact(
+            qid_s, uix, keep, take, interpret=interpret
+        )
+    else:
+        qd = jnp.where(keep, qid_s, jnp.int32(0x7FFFFFFF))
+        qd, uix2 = lax.sort((qd, uix), num_keys=1)
+        qdt = qd[:take]
+        ut = uix2[:take]
     nx2 = nxb[ut]
     g2 = gb[ut]
     s2 = sb[ut]
@@ -1314,7 +1344,8 @@ def expand_verify_dedup(
     mg = _MGATHER[0]
     scale = _MG_SCALE[0]
     dorder = _DORDER[0]
-    interp = mg and jax.default_backend() == "cpu"
+    vtail = _VTAIL[0]
+    interp = (mg or vtail) and jax.default_backend() == "cpu"
     expand = _tpu_jit(
         _expand_pairs_impl,
         ("nreads", "pair_cap", "mgather", "mg_window", "interpret",
@@ -1329,7 +1360,7 @@ def expand_verify_dedup(
         _verify_diagonals_impl,
         ("nreads", "width", "max_read_length", "vchunk", "surv_cap",
          "smax", "gsteps", "mgather", "mg_rows_window", "interpret",
-         "dorder"),
+         "dorder", "vtail"),
     )
     surv, nsurv, oflow_v = verify(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
@@ -1337,7 +1368,7 @@ def expand_verify_dedup(
         nreads=nreads, width=width, max_read_length=max_read_length,
         vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
         mgather=mg, mg_rows_window=_MG_ROWS_WINDOW * scale, interpret=interp,
-        dorder=dorder,
+        dorder=dorder, vtail=vtail,
     )
     if mg:
         flag = jnp.maximum(oflow, oflow_v)

@@ -261,7 +261,7 @@ def _verify_step_dedup(
     counts, lo, qid, rpacked, lengths, gene_start, spos, tpacked, trows,
     gblock, gene_base, budget, q1s, *, width, min_dinuc, max_read_length,
     pair_cap, vchunk, surv_cap, smax, gsteps, mm, mmtol, match_mode,
-    mgather, mg_window, mg_rows_window, interpret, dorder,
+    mgather, mg_window, mg_rows_window, interpret, dorder, vtail,
 ):
     """Stage 2 per-device body (diagonal-dedup engine): the SAME expand +
     verify the single-chip path runs (fused._expand_pairs_impl /
@@ -289,7 +289,7 @@ def _verify_step_dedup(
         nreads=nreads, width=width, max_read_length=max_read_length,
         vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
         mgather=mgather, mg_rows_window=mg_rows_window, interpret=interpret,
-        dorder=dorder,
+        dorder=dorder, vtail=vtail,
     )
     flag = jnp.maximum(oflow, oflow_v) if mgather else jnp.int32(0)
     out = _rank_gathered(surv, nsurv, totalf, gene_base, mm, mmtol,
@@ -513,8 +513,9 @@ def sharded_match_arrays(
                 match_mode=cfg.MatchMode, mgather=mgather,
                 mg_window=fused._MG_WINDOW * scale,
                 mg_rows_window=fused._MG_ROWS_WINDOW * scale,
-                interpret=interpret and mgather,
+                interpret=interpret and (mgather or fused.vtail_enabled()),
                 dorder=fused.dorder_enabled(),
+                vtail=fused.vtail_enabled(),
             )
             vkey = ("vdedup", _mesh_key(mesh)) + tuple(sorted(statics.items()))
             step = _verify_step_dedup

@@ -31,7 +31,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STEP_TIMEOUT = int(os.environ.get("AUTOTUNE_STEP_TIMEOUT", "5400"))
-FLAG_NAMES = ("MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER")
+FLAG_NAMES = ("MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
+              "MUSCATO_VTAIL")
 # Dry-run knobs (tests/test_autotune.py drives the whole script on CPU):
 BENCH_ARGS = os.environ.get(
     "AUTOTUNE_BENCH_ARGS", "--Workload big --Repeats 2 --NoProbe"
@@ -44,14 +45,23 @@ SKIP_PALLAS = os.environ.get("AUTOTUNE_SKIP_PALLAS") == "1"
 
 # Priority order: projected winner first, then the baseline it must beat,
 # then single-flag attributions, then the remaining pair.
+def _cfg(mg=0, pj=0, do=0, vt=0):
+    return dict(
+        MUSCATO_MGATHER=str(mg), MUSCATO_PJOIN=str(pj),
+        MUSCATO_DORDER=str(do), MUSCATO_VTAIL=str(vt),
+    )
+
+
 LADDER = [
-    ("all", dict(MUSCATO_MGATHER="1", MUSCATO_PJOIN="1", MUSCATO_DORDER="1")),
-    ("xla", dict(MUSCATO_MGATHER="0", MUSCATO_PJOIN="0", MUSCATO_DORDER="0")),
-    ("mg_do", dict(MUSCATO_MGATHER="1", MUSCATO_PJOIN="0", MUSCATO_DORDER="1")),
-    ("mg", dict(MUSCATO_MGATHER="1", MUSCATO_PJOIN="0", MUSCATO_DORDER="0")),
-    ("pj", dict(MUSCATO_PJOIN="1", MUSCATO_MGATHER="0", MUSCATO_DORDER="0")),
-    ("do", dict(MUSCATO_DORDER="1", MUSCATO_MGATHER="0", MUSCATO_PJOIN="0")),
-    ("mg_pj", dict(MUSCATO_MGATHER="1", MUSCATO_PJOIN="1", MUSCATO_DORDER="0")),
+    ("all_vt", _cfg(1, 1, 1, 1)),
+    ("all", _cfg(1, 1, 1, 0)),
+    ("xla", _cfg(0, 0, 0, 0)),
+    ("mg_do", _cfg(1, 0, 1, 0)),
+    ("vt", _cfg(0, 0, 0, 1)),
+    ("mg", _cfg(1, 0, 0, 0)),
+    ("pj", _cfg(0, 1, 0, 0)),
+    ("do", _cfg(0, 0, 1, 0)),
+    ("mg_pj", _cfg(1, 1, 0, 0)),
 ]
 
 

@@ -416,3 +416,61 @@ def test_kernels_combined_random_workload(seed):
     ):
         np.testing.assert_array_equal(a, b)
     assert len(mr_a.read_row) > 1000
+
+
+def test_stream_compact_matches_oracle():
+    """Sort-free survivor compaction (ops/pallas_compact.py): chunked
+    one-hot MXU compaction + scatter/cummax run merge must equal the
+    numpy oracle across densities, sizes, and take < / > nsurv."""
+    from muscato_tpu.ops import pallas_compact as pc
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (20000, 0.3, 4096), (8192, 1.0, 8192), (8192, 0.0, 128),
+        (100000, 0.01, 2048), (3000, 0.5, 512), (8192, 0.9, 100),
+        (1, 1.0, 64),
+    ]
+    for m, density, take in cases:
+        qid = rng.integers(-1, 1 << 24, m).astype(np.int32)
+        uix = np.sort(rng.integers(0, m, m)).astype(np.int32)
+        keep = (rng.random(m) < density) & (qid >= 0)
+        qd, ut, ns = pc.stream_compact(
+            jnp.asarray(qid), jnp.asarray(uix),
+            jnp.asarray(keep.astype(np.int32)), take, interpret=True,
+        )
+        eqd, eut, ens = pc.stream_compact_np(qid, uix, keep, take)
+        assert int(ns) == ens, (m, density, take)
+        np.testing.assert_array_equal(np.asarray(qd), eqd)
+        np.testing.assert_array_equal(np.asarray(ut), eut)
+
+
+@pytest.mark.parametrize("with_mgather", [False, True])
+def test_vtail_equals_sort_compaction(with_mgather):
+    """MUSCATO_VTAIL (sort-free verify-tail compaction) must produce the
+    exact sort-path MatchResult — the rank stage erases the stream-vs-qid
+    survivor order difference — with and without the monotone-gather
+    kernels."""
+    from muscato_tpu import config as config_mod
+    from muscato_tpu.bench import gendat
+    from muscato_tpu.engine import pipeline
+
+    rs, ts = gendat.generate_arrays_realistic(18_000, 60, 250, 400, 5)
+    cfg = config_mod.Config(
+        Windows=[0, 10, 25], WindowWidth=10, PMatch=0.9, MinDinuc=2,
+        MaxReadLength=120, MMTol=1, MaxMatches=10**6, MatchMode="best",
+    )
+    mr_a = pipeline.run_matching(cfg, rs, ts)
+    fused.set_vtail(True)
+    fused.set_mgather(with_mgather)
+    try:
+        mr_b = pipeline.run_matching(cfg, rs, ts)
+    finally:
+        fused.set_vtail(False)
+        fused.set_mgather(False)
+        fused.set_mg_scale(1)
+    for a, b in zip(
+        (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
+        (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert len(mr_a.read_row) > 1000

@@ -41,5 +41,6 @@ def test_flag_precedence(monkeypatch):
 
 def test_effective_flags_shape():
     f = fused.effective_flags()
-    assert set(f) == {"MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER"}
+    assert set(f) == {"MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
+                      "MUSCATO_VTAIL"}
     assert all(v in (0, 1) for v in f.values())
