@@ -695,7 +695,8 @@ def _expand_verify_impl(
 
 def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
                        mgather=False, mg_window=8192, interpret=False,
-                       dorder=False, smax=None, max_read_length=0):
+                       dorder=False, smax=None, max_read_length=0,
+                       vtail=False):
     """Vectorized pair expansion into a (pair_cap,) column buffer, sorted
     by (read, diagonal) with run-start bookkeeping for the diagonal-dedup
     verify.
@@ -831,12 +832,24 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
     # tail holds payloads of duplicate lanes in arbitrary order, so it is
     # masked inactive — the verify chunks over ceil(nuniq/vchunk) lanes
     # and the mgather target stream must stay monotone through the tail.
-    ukey = jnp.where(run_start, u_idx, inf)
-    _, ur, ud = lax.sort((ukey, r_s, d_s), num_keys=1)
-    lane = jnp.arange(pair_cap, dtype=jnp.int32)
-    live = lane < nuniq
-    ur = jnp.where(live, ur, -1)
-    ud = jnp.where(live, ud, 0)
+    # Under MUSCATO_VTAIL the same sort-free chunked MXU compaction that
+    # replaces the verify-tail sort replaces this one: run starts are
+    # kept in stream order (= increasing u_idx — exactly the order the
+    # 1-key sort produces), so the output is bit-identical, at linear
+    # HBM cost instead of a 3-operand radix sort.
+    if vtail:
+        from . import pallas_compact as _pc
+
+        ur, ud, _ = _pc.stream_compact(
+            r_s, d_s, run_start, pair_cap, interpret=interpret, dead_val=-1
+        )
+    else:
+        ukey = jnp.where(run_start, u_idx, inf)
+        _, ur, ud = lax.sort((ukey, r_s, d_s), num_keys=1)
+        lane = jnp.arange(pair_cap, dtype=jnp.int32)
+        live = lane < nuniq
+        ur = jnp.where(live, ur, -1)
+        ud = jnp.where(live, ud, 0)
     return qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow
 
 
@@ -1013,7 +1026,8 @@ def _rank_survivors_live_impl(buf, live, mm, mmtol, *, match_mode, full_cols=Tru
 
 
 def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
-                         full_cols=True, pack_bits=None):
+                         full_cols=True, pack_bits=None, vtail=False,
+                         interpret=False):
     """Device-side cap + dedup + best+MMTol over one batch's survivors.
 
     Replicates engine.pipeline._apply_max_matches and _dedup_and_rank
@@ -1028,10 +1042,12 @@ def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
     (read, gene, start) order — and the retained count)."""
     live = jnp.arange(surv_cap, dtype=jnp.int32) < nsurv
     return _rank_core(buf, live, mm, mmtol, match_mode=match_mode,
-                      full_cols=full_cols, pack_bits=pack_bits)
+                      full_cols=full_cols, pack_bits=pack_bits,
+                      vtail=vtail, interpret=interpret)
 
 
-def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits):
+def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits,
+                      vtail=False, interpret=False):
     """_rank_core with the (r, g, s, nx) columns packed into 64-bit
     lo/hi uint32 words through every sort: stage 1 runs on 5 operands
     instead of 8, stages 2 and 4 on 3 instead of 5 (XLA sort throughput
@@ -1106,22 +1122,33 @@ def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits):
     keep = keep & (nxm <= best + mmtol)
 
     # 4. stable single-key compaction; the packed words ARE the return.
-    dead4 = (~keep).astype(jnp.uint32)
-    dead4, hic, loc = lax.sort((dead4, hic, loc), num_keys=1, is_stable=True)
-    rows = jnp.stack(
-        [lax.bitcast_convert_type(loc, jnp.int32),
-         lax.bitcast_convert_type(hic, jnp.int32)],
-        axis=1,
-    )
+    #    Under MUSCATO_VTAIL the chunked MXU compaction replaces the
+    #    stable sort — both preserve the stage-2 canonical order, so the
+    #    retained prefix is bit-identical.
+    loc_i = lax.bitcast_convert_type(loc, jnp.int32)
+    hic_i = lax.bitcast_convert_type(hic, jnp.int32)
+    if vtail:
+        from . import pallas_compact as _pc
+
+        loc_i, hic_i, _ = _pc.stream_compact(
+            loc_i, hic_i, keep, n, interpret=interpret, dead_val=0
+        )
+    else:
+        dead4 = (~keep).astype(jnp.uint32)
+        _, hic_i, loc_i = lax.sort(
+            (dead4, hic_i, loc_i), num_keys=1, is_stable=True
+        )
+    rows = jnp.stack([loc_i, hic_i], axis=1)
     count = jnp.sum(keep.astype(jnp.int32))
     return rows, count
 
 
 def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
-               pack_bits=None):
+               pack_bits=None, vtail=False, interpret=False):
     if pack_bits is not None and not full_cols:
         return _rank_core_packed(
-            buf, live, mm, mmtol, match_mode=match_mode, pack_bits=pack_bits
+            buf, live, mm, mmtol, match_mode=match_mode, pack_bits=pack_bits,
+            vtail=vtail, interpret=interpret,
         )
     n = buf.shape[0]
     r, g, s, nx = buf[:, 0], buf[:, 1], buf[:, 2], buf[:, 3]
@@ -1212,14 +1239,17 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
 
 def rank_survivors(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
                    full_cols=True, pack_bits=None):
+    vtail = _VTAIL[0]
+    interp = vtail and jax.default_backend() == "cpu"
     fn = _tpu_jit(
         _rank_survivors_impl,
-        ("match_mode", "surv_cap", "full_cols", "pack_bits"),
+        ("match_mode", "surv_cap", "full_cols", "pack_bits", "vtail",
+         "interpret"),
     )
     return fn(
         buf, nsurv, jnp.int32(mm), jnp.int32(mmtol),
         match_mode=match_mode, surv_cap=surv_cap, full_cols=full_cols,
-        pack_bits=pack_bits,
+        pack_bits=pack_bits, vtail=vtail, interpret=interp,
     )
 
 
@@ -1349,12 +1379,13 @@ def expand_verify_dedup(
     expand = _tpu_jit(
         _expand_pairs_impl,
         ("nreads", "pair_cap", "mgather", "mg_window", "interpret",
-         "dorder", "smax", "max_read_length"),
+         "dorder", "smax", "max_read_length", "vtail"),
     )
     qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow = expand(
         counts_m, lo_m, qid_m, q1s, spos, nreads=nreads, pair_cap=pair_cap,
         mgather=mg, mg_window=_MG_WINDOW * scale, interpret=interp,
         dorder=dorder, smax=smax, max_read_length=max_read_length,
+        vtail=vtail,
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,

@@ -281,6 +281,7 @@ def _verify_step_dedup(
             counts, lo, qid, q1s, spos, nreads=nreads, pair_cap=pair_cap,
             mgather=mgather, mg_window=mg_window, interpret=interpret,
             dorder=dorder, smax=smax, max_read_length=max_read_length,
+            vtail=vtail,
         )
     )
     surv, nsurv, oflow_v = fused._verify_diagonals_impl(

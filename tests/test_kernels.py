@@ -763,6 +763,7 @@ def test_rank_core_packed_equals_unpacked(seed):
             got_rows, got_n = fused._rank_core(
                 buf, live_j, jnp.int32(mm), jnp.int32(mmtol),
                 match_mode=mode, full_cols=False, pack_bits=bits,
+                vtail=bool(seed % 2), interpret=True,
             )
             assert int(got_n) == int(exp_n) > 0
             got = pipeline._unpack_rows64(
