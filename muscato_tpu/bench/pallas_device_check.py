@@ -117,14 +117,18 @@ def main() -> int:
         qid = rng.integers(-1, 1 << 24, m).astype(np.int32)
         uix = np.sort(rng.integers(0, m, m)).astype(np.int32)
         keep = (rng.random(m) < 0.05) & (qid >= 0)
-        qd, ut, ns = pc.stream_compact(
-            jnp.asarray(qid), jnp.asarray(uix),
+        (qd, ut, x3), ns = pc.stream_compact(
+            (jnp.asarray(qid), jnp.asarray(uix), jnp.asarray(uix + 7)),
             jnp.asarray(keep.astype(np.int32)), take, interpret=interp,
+            dead_vals=(0x7FFFFFFF, 0, -1),
         )
-        eqd, eut, ens = pc.stream_compact_np(qid, uix, keep, take)
+        (eqd, eut, ex3), ens = pc.stream_compact_np(
+            (qid, uix, uix + 7), keep, take, dead_vals=(0x7FFFFFFF, 0, -1)
+        )
         assert int(ns) == ens
         np.testing.assert_array_equal(np.asarray(qd), eqd)
         np.testing.assert_array_equal(np.asarray(ut), eut)
+        np.testing.assert_array_equal(np.asarray(x3), ex3)
 
     check("monotone_gather", _monotone_gather)
     check("monotone_gather_rows", _monotone_gather_rows)

@@ -1,36 +1,40 @@
-"""Pallas TPU kernel: sort-free survivor compaction (the verify tail).
+"""Pallas TPU kernel: sort-free stream compaction (MUSCATO_VTAIL).
 
-After the dedup verify maps verdict bits back to pair lanes, the engine
-must compact the surviving (qid, unique-row) pairs to a dense prefix so
-the per-survivor fetches and the rank stage run on ``surv_cap`` lanes
-instead of ``pair_cap``.  The XLA path does this with a 1-key sort over
-the full pair buffer (~80ms at 24M lanes, BENCHMARKS.md "Architecture
-floor") — compaction-by-sort, because XLA has no cheaper dense scatter.
+Several engine stages end with "compact the kept lanes to a dense
+prefix, preserving stream order": the probe's active-slot compaction
+(~116M lanes on the big workload — the largest sort in the engine), the
+expand's unique-(r, d) run compaction (~24M), the verify tail's survivor
+compaction (~24M), and the rank's stage-4 compaction (~surv_cap).  The
+XLA idiom for all four is compaction-by-sort (1-key radix over the full
+buffer, ~0.29G rows/s measured), because XLA has no cheaper dense
+scatter.
 
-This kernel removes the sort.  Survivor ORDER does not matter (the rank
-stage re-sorts canonically), so compaction only needs each survivor at a
-unique dense slot:
+This kernel compacts at linear HBM cost instead:
 
-  1. (in-kernel) each 1024-lane chunk is compacted to its own prefix with
-     an exact one-hot matmul on the MXU: ``pos = tril @ keep`` ranks the
-     kept lanes (f32 accumulate — exact to 2**24), and a (1024, 1024)
-     one-hot picks byte planes of the packed values (a one-hot row sum is
-     a single byte — exact in bf16).  The one-hot never leaves VMEM,
-     which is why XLA cannot express this without materializing it.
+  1. (in-kernel) each 1024-lane chunk is compacted to its own prefix
+     with exact one-hot matmuls on the MXU: ``pos = tril @ keep`` ranks
+     the kept lanes (f32 accumulate — exact to 2**24), and a
+     (1024, 1024) one-hot picks byte planes of the packed values (a
+     one-hot row sum is a single byte — exact in bf16).  The one-hot
+     never leaves VMEM, which is why XLA cannot express this without
+     materializing it.
   2. (in XLA) per-chunk counts are a dense reduce of ``keep``; the chunk
-     runs are merged into a global prefix with two tiny scatters (one id,
-     one offset — both over num-chunks elements) forward-filled by
-     cummax, and ONE monotone gather over the retained prefix only.
+     runs are merged into a global prefix with two tiny scatters (one
+     chunk id, one offset — both over num-chunks elements) forward-
+     filled by cummax, and ONE monotone gather per value over the
+     retained ``take`` lanes only (``take`` << input lanes for the
+     probe and verify uses).
 
-Per 24M-lane batch the kernel is ~480MB of linear HBM traffic plus
-~200 GMAC of one-hot matmuls (~10ms total at v5e rates) vs the ~80ms
-sort; the fused-verify-tail analysis in BENCHMARKS.md bounds the win at
-~8-10% of batch time.  Enabled with MUSCATO_VTAIL=1 (autotuned).
+Per 24M-lane, 2-value compaction: ~480MB linear HBM traffic + ~200 GMAC
+of one-hot matmuls (~10ms at v5e rates) vs an ~80ms 3-operand sort; the
+probe's 116M-lane, 3-value compaction replaces a ~400ms sort.  Enabled
+with MUSCATO_VTAIL=1 (autotuned).
 
-No counterpart in the reference: its confirm loop appends matches to a
-Go slice one at a time (/root/reference/cmd/muscato_confirm/main.go:
-171-250); this kernel exists purely for the TPU execution model, where
-dense compaction is the idiom.
+No counterpart in the reference: its hot loops append matches to Go
+slices one at a time (/root/reference/cmd/muscato_screen/main.go:
+256-366, cmd/muscato_confirm/main.go:171-250); this kernel exists
+purely for the TPU execution model, where dense compaction is the
+idiom.
 """
 
 from __future__ import annotations
@@ -74,7 +78,10 @@ def _reassemble(planes_f32):
     )
 
 
-def _kernel(qid_ref, uix_ref, keep_ref, qc_ref, uc_ref, *, block):
+def _kernel(*refs, block, nvals):
+    val_refs = refs[:nvals]
+    keep_ref = refs[nvals]
+    out_refs = refs[nvals + 1:]
     nchunk = block // CHUNK
     # Rank matrix: pos[j] = #kept lanes before j within the chunk.  Strict
     # lower-triangular ones, built once per grid step from iotas; the
@@ -96,67 +103,68 @@ def _kernel(qid_ref, uix_ref, keep_ref, qc_ref, uc_ref, *, block):
             jnp.bfloat16(1), jnp.bfloat16(0),
         )
         planes = jnp.concatenate(
-            [_byte_planes(qid_ref[sl]), _byte_planes(uix_ref[sl])], axis=1
-        )  # (CHUNK, 8) bf16
+            [_byte_planes(vr[sl]) for vr in val_refs], axis=1
+        )  # (CHUNK, 4*nvals) bf16
         out = jax.lax.dot_general(
             onehot, planes, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (CHUNK, 8) f32; rows past the chunk's count are all-zero
-        qc_ref[sl] = _reassemble(out[:, 0:4])
-        uc_ref[sl] = _reassemble(out[:, 4:8])
+        )  # (CHUNK, 4*nvals) f32; rows past the chunk's count are all-zero
+        for v, out_ref in enumerate(out_refs):
+            out_ref[sl] = _reassemble(out[:, 4 * v:4 * v + 4])
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def chunk_compact(qid, uix, keep, *, block: int = 8192,
-                  interpret: bool = False):
-    """Compact (qid, uix) within each CHUNK-lane chunk.
+def chunk_compact(vals, keep, *, block: int = 8192, interpret: bool = False):
+    """Compact each value array within each CHUNK-lane chunk.
 
-    ``keep`` is int32/bool per lane.  Returns (qc, uc): in every chunk
-    the kept lanes' values occupy the chunk prefix in stream order and
-    the remainder is zero.  Exact for any int32 values (byte-plane
-    matmuls).  Inputs must be a multiple of ``block`` lanes (callers pad
-    with keep=0)."""
-    m = qid.shape[0]
+    ``vals`` is a tuple of (m,) int32 arrays, ``keep`` int32/bool per
+    lane.  Returns a tuple: in every chunk the kept lanes' values occupy
+    the chunk prefix in stream order and the remainder is zero.  Exact
+    for any int32 values (byte-plane matmuls).  Inputs must be a
+    multiple of ``block`` lanes (callers pad with keep=0)."""
+    m = vals[0].shape[0]
     assert block % CHUNK == 0 and m % block == 0, (m, block)
     nblocks = m // block
     spec = pl.BlockSpec((block,), lambda b: (b,))
-    qc, uc = pl.pallas_call(
-        functools.partial(_kernel, block=block),
+    nvals = len(vals)
+    out = pl.pallas_call(
+        functools.partial(_kernel, block=block, nvals=nvals),
         grid=(nblocks,),
-        in_specs=[spec, spec, spec],
-        out_specs=[spec, spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((m,), jnp.int32),
-            jax.ShapeDtypeStruct((m,), jnp.int32),
-        ],
+        in_specs=[spec] * (nvals + 1),
+        out_specs=[spec] * nvals,
+        out_shape=[jax.ShapeDtypeStruct((m,), jnp.int32)] * nvals,
         interpret=interpret,
-    )(qid, uix, keep.astype(jnp.int32))
-    return qc, uc
+    )(*vals, keep.astype(jnp.int32))
+    return tuple(out)
 
 
-def stream_compact(qid, uix, keep, take: int, *, block: int = 8192,
-                   interpret: bool = False, dead_val: int = 0x7FFFFFFF):
-    """Dense-prefix compaction of the survivor stream without a sort.
+def stream_compact(vals, keep, take: int, *, block: int = 8192,
+                   interpret: bool = False, dead_vals=None):
+    """Dense-prefix compaction of a lane stream without a sort.
 
-    Drop-in for ``sort((where(keep, qid, INT_MAX), uix), num_keys=1)``
-    followed by a [:take] slice — EXCEPT survivors arrive in stream
-    order, not qid order (the rank stage canonicalizes, so callers must
-    be order-free).  Returns (qd, ut, nsurv): lanes [0, nsurv) hold the
-    kept (qid, uix) pairs, lanes [nsurv, take) hold (dead_val, 0).
+    Drop-in for ``sort((where(keep, key, INT_MAX), payload...),
+    num_keys=1)`` followed by a [:take] slice — with stream order in
+    place of key order (identical when the key is increasing along the
+    stream, e.g. a run index or an already-canonical order).  Returns
+    (compacted_vals_tuple, nkeep): lanes [0, nkeep) of each output hold
+    the kept values in stream order; lanes [nkeep, take) hold
+    ``dead_vals[v]`` (default 0).
     """
-    m = qid.shape[0]
+    nvals = len(vals)
+    if dead_vals is None:
+        dead_vals = (0,) * nvals
+    m = vals[0].shape[0]
     pad = -m % block
     if pad:
         z = jnp.zeros(pad, jnp.int32)
-        qid = jnp.concatenate([qid, z])
-        uix = jnp.concatenate([uix, z])
+        vals = tuple(jnp.concatenate([v, z]) for v in vals)
         keep = jnp.concatenate([keep, jnp.zeros(pad, dtype=keep.dtype)])
-    qc, uc = chunk_compact(qid, uix, keep, block=block, interpret=interpret)
+    cvals = chunk_compact(vals, keep, block=block, interpret=interpret)
 
-    nc = qid.shape[0] // CHUNK
+    nc = vals[0].shape[0] // CHUNK
     counts = jnp.sum(keep.reshape(nc, CHUNK).astype(jnp.int32), axis=1)
     csum = jnp.cumsum(counts)
-    nsurv = csum[-1]
+    nkeep = csum[-1]
     prefix = csum - counts  # exclusive
     # Forward-fill chunk ids and chunk start offsets over the output
     # lanes: non-empty chunk c owns [prefix[c], prefix[c] + counts[c]).
@@ -169,33 +177,34 @@ def stream_compact(qid, uix, keep, take: int, *, block: int = 8192,
     start = jnp.zeros(take, jnp.int32).at[tgt].max(prefix, mode="drop")
     start = jax.lax.cummax(start)
     t = jnp.arange(take, dtype=jnp.int32)
-    idx = jnp.clip(blk * CHUNK + (t - start), 0, qid.shape[0] - 1)
+    idx = jnp.clip(blk * CHUNK + (t - start), 0, vals[0].shape[0] - 1)
     # idx is nondecreasing: within a chunk's run it steps by 1, across
     # runs it jumps to the next chunk's base.  Span within a 1024-lane
     # gather block is <= block + CHUNK, so a 4*CHUNK window never
     # overflows for CHUNK-sized gather blocks; fall back on the exact
     # XLA gather if it somehow does.
-    qg, of1 = pg.monotone_gather(
-        qc, idx, block=CHUNK, window=4 * CHUNK, interpret=interpret
-    )
-    ug, of2 = pg.monotone_gather(
-        uc, idx, block=CHUNK, window=4 * CHUNK, interpret=interpret
-    )
-    qg = jnp.where(of1 + of2 > 0, qc[idx], qg)
-    ug = jnp.where(of1 + of2 > 0, uc[idx], ug)
-    live = t < nsurv
-    qd = jnp.where(live, qg, jnp.int32(dead_val))
-    ut = jnp.where(live, ug, 0)
-    return qd, ut, nsurv
+    live = t < nkeep
+    outs = []
+    for v, cv in enumerate(cvals):
+        g, of = pg.monotone_gather(
+            cv, idx, block=CHUNK, window=4 * CHUNK, interpret=interpret
+        )
+        g = jnp.where(of > 0, cv[idx], g)
+        outs.append(jnp.where(live, g, jnp.int32(dead_vals[v])))
+    return tuple(outs), nkeep
 
 
-def stream_compact_np(qid, uix, keep, take, dead_val=0x7FFFFFFF):
+def stream_compact_np(vals, keep, take, dead_vals=None):
     """NumPy oracle for tests."""
-    qid, uix = np.asarray(qid), np.asarray(uix)
+    nvals = len(vals)
+    if dead_vals is None:
+        dead_vals = (0,) * nvals
     keep = np.asarray(keep).astype(bool)
-    qk, uk = qid[keep][:take], uix[keep][:take]
-    qd = np.full(take, dead_val, np.int32)
-    ut = np.zeros(take, np.int32)
-    qd[: len(qk)] = qk
-    ut[: len(uk)] = uk
-    return qd, ut, int(keep.sum())
+    outs = []
+    for v, val in enumerate(vals):
+        val = np.asarray(val)
+        kept = val[keep][:take]
+        out = np.full(take, dead_vals[v], np.int32)
+        out[: len(kept)] = kept
+        outs.append(out)
+    return tuple(outs), int(keep.sum())

@@ -202,7 +202,7 @@ def _addressable_by_dp(arr, dp: int, axis0_size: int):
 
 def _probe_step(
     rpacked, lengths, skeys, q1s, *, width, min_dinuc, pjoin, pjoin_rows,
-    interpret,
+    interpret, vtail=False,
 ):
     """Stage 1 per-device body: probe the local read block against the
     local index shard (sort-merge join, or the Pallas sorted-join when
@@ -216,12 +216,13 @@ def _probe_step(
             fused._probe_windows_pjoin_impl(
                 rpacked, lengths, q1s, skeys,
                 width=width, min_dinuc=min_dinuc,
-                window_rows=pjoin_rows, interpret=interpret,
+                window_rows=pjoin_rows, interpret=interpret, vtail=vtail,
             )
         )
     else:
         counts, lo, qid, _kf, _k2, total, totalf = fused._probe_windows_impl(
             rpacked, lengths, q1s, skeys, width=width, min_dinuc=min_dinuc,
+            vtail=vtail, interpret=interpret and vtail,
         )
     # keyf/key2f are read-only functions of the dp block; stage 2
     # recomputes them (one packed extraction) instead of carrying two
@@ -457,12 +458,14 @@ def sharded_match_arrays(
     while True:
         pjoin = fused.pjoin_enabled()
         pjoin_rows = fused._PJOIN_ROWS * fused.pjoin_scale()
+        vtail = fused.vtail_enabled()
         pkey = ("probe", _mesh_key(mesh), cfg.WindowWidth, cfg.MinDinuc, pjoin,
-                pjoin_rows, interpret)
+                pjoin_rows, interpret, vtail)
         mapped_probe = _cached_mapped(pkey, lambda: jax.shard_map(
             partial(_probe_step, width=cfg.WindowWidth,
                     min_dinuc=cfg.MinDinuc, pjoin=pjoin,
-                    pjoin_rows=pjoin_rows, interpret=interpret),
+                    pjoin_rows=pjoin_rows, interpret=interpret,
+                    vtail=vtail),
             mesh=mesh, in_specs=probe_in, out_specs=probe_out,
             check_vma=False,
         ))

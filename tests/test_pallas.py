@@ -426,30 +426,32 @@ def test_stream_compact_matches_oracle():
 
     rng = np.random.default_rng(0)
     cases = [
-        (20000, 0.3, 4096), (8192, 1.0, 8192), (8192, 0.0, 128),
-        (100000, 0.01, 2048), (3000, 0.5, 512), (8192, 0.9, 100),
-        (1, 1.0, 64),
+        (20000, 0.3, 4096, 2), (8192, 1.0, 8192, 2), (8192, 0.0, 128, 2),
+        (100000, 0.01, 2048, 3), (3000, 0.5, 512, 3), (8192, 0.9, 100, 2),
+        (1, 1.0, 64, 1),
     ]
-    for m, density, take in cases:
-        qid = rng.integers(-1, 1 << 24, m).astype(np.int32)
-        uix = np.sort(rng.integers(0, m, m)).astype(np.int32)
-        keep = (rng.random(m) < density) & (qid >= 0)
-        qd, ut, ns = pc.stream_compact(
-            jnp.asarray(qid), jnp.asarray(uix),
+    for m, density, take, nvals in cases:
+        vals = [rng.integers(-1, 1 << 24, m).astype(np.int32)
+                for _ in range(nvals)]
+        keep = (rng.random(m) < density) & (vals[0] >= 0)
+        dead = tuple(rng.integers(-1, 2, nvals).tolist())
+        got, ns = pc.stream_compact(
+            tuple(jnp.asarray(v) for v in vals),
             jnp.asarray(keep.astype(np.int32)), take, interpret=True,
+            dead_vals=dead,
         )
-        eqd, eut, ens = pc.stream_compact_np(qid, uix, keep, take)
+        exp, ens = pc.stream_compact_np(vals, keep, take, dead_vals=dead)
         assert int(ns) == ens, (m, density, take)
-        np.testing.assert_array_equal(np.asarray(qd), eqd)
-        np.testing.assert_array_equal(np.asarray(ut), eut)
+        for g, e in zip(got, exp):
+            np.testing.assert_array_equal(np.asarray(g), e)
 
 
-@pytest.mark.parametrize("with_mgather", [False, True])
-def test_vtail_equals_sort_compaction(with_mgather):
-    """MUSCATO_VTAIL (sort-free verify-tail compaction) must produce the
-    exact sort-path MatchResult — the rank stage erases the stream-vs-qid
-    survivor order difference — with and without the monotone-gather
-    kernels."""
+@pytest.mark.parametrize("combo", ["plain", "mgather", "pjoin"])
+def test_vtail_equals_sort_compaction(combo):
+    """MUSCATO_VTAIL (sort-free compaction through probe, expand, verify
+    tail, and rank) must produce the exact sort-path MatchResult — the
+    rank stage erases the stream-vs-qid survivor order difference —
+    alone and combined with the monotone-gather / sorted-join kernels."""
     from muscato_tpu import config as config_mod
     from muscato_tpu.bench import gendat
     from muscato_tpu.engine import pipeline
@@ -461,13 +463,16 @@ def test_vtail_equals_sort_compaction(with_mgather):
     )
     mr_a = pipeline.run_matching(cfg, rs, ts)
     fused.set_vtail(True)
-    fused.set_mgather(with_mgather)
+    fused.set_mgather(combo == "mgather")
+    fused.set_pjoin(combo == "pjoin")
     try:
         mr_b = pipeline.run_matching(cfg, rs, ts)
     finally:
         fused.set_vtail(False)
         fused.set_mgather(False)
+        fused.set_pjoin(False)
         fused.set_mg_scale(1)
+        fused.set_pjoin_scale(1)
     for a, b in zip(
         (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
         (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
