@@ -130,11 +130,31 @@ def main() -> int:
         np.testing.assert_array_equal(np.asarray(ut), eut)
         np.testing.assert_array_equal(np.asarray(x3), ex3)
 
+    def _expand_owners():
+        rng = np.random.default_rng(6)
+        from ..ops import pallas_expand as pe
+
+        m = 1 << 16
+        counts = rng.integers(0, 6, m).astype(np.int32)
+        oexcl = (np.cumsum(counts) - counts).astype(np.int32)
+        total = int(counts.sum())
+        lo = rng.integers(0, 1 << 20, m).astype(np.int32)
+        qid = rng.integers(0, 1 << 24, m).astype(np.int32)
+        cap = 1 << 18
+        q, sx = pe.expand_owners(
+            jnp.asarray(oexcl), jnp.asarray(lo), jnp.asarray(qid),
+            pair_cap=cap, interpret=interp,
+        )
+        eq, es = pe.expand_owners_np(oexcl, lo, qid, cap)
+        np.testing.assert_array_equal(np.asarray(q)[:total], eq[:total])
+        np.testing.assert_array_equal(np.asarray(sx)[:total], es[:total])
+
     check("monotone_gather", _monotone_gather)
     check("monotone_gather_rows", _monotone_gather_rows)
     check("sorted_join", _sorted_join)
     check("window_queries_pallas", _window_queries)
     check("stream_compact", _stream_compact)
+    check("expand_owners", _expand_owners)
     print(f"{'OK' if not failures else 'FAILURES'}: {failures} failed",
           flush=True)
     return 1 if failures else 0

@@ -127,6 +127,7 @@ def effective_flags() -> dict:
         "MUSCATO_PJOIN": int(_PJOIN[0]),
         "MUSCATO_DORDER": int(_DORDER[0]),
         "MUSCATO_VTAIL": int(_VTAIL[0]),
+        "MUSCATO_PEXPAND": int(_PEXPAND[0]),
     }
 
 
@@ -229,6 +230,23 @@ def vtail_enabled() -> bool:
 
 def set_vtail(on: bool) -> None:
     _VTAIL[0] = on
+
+
+# Pair expansion by windowed rank (MUSCATO_PEXPAND=1): replace the
+# expansion's slot-id scatter + cummax forward-fill + two per-lane slot
+# gathers with the chunked rank/one-hot kernel (ops/pallas_expand.py) —
+# scatters run ~0.2G updates/s and per-lane gathers ~one HBM latency
+# each, several hundred ms at realistic slot/pair counts.  Exact and
+# overflow-free by construction.  Opt-in pending a measured TPU A/B.
+_PEXPAND = [_flag("MUSCATO_PEXPAND")]
+
+
+def pexpand_enabled() -> bool:
+    return _PEXPAND[0]
+
+
+def set_pexpand(on: bool) -> None:
+    _PEXPAND[0] = on
 
 
 _jit_cache = {}
@@ -719,7 +737,7 @@ def _expand_verify_impl(
 def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
                        mgather=False, mg_window=8192, interpret=False,
                        dorder=False, smax=None, max_read_length=0,
-                       vtail=False):
+                       vtail=False, pexpand=False):
     """Vectorized pair expansion into a (pair_cap,) column buffer, sorted
     by (read, diagonal) with run-start bookkeeping for the diagonal-dedup
     verify.
@@ -751,17 +769,27 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
     oexcl = offsets - counts_m
 
     inf = jnp.int32(0x7FFFFFFF)
-    lanes = jnp.full(pair_cap, -1, jnp.int32)
-    tgt = jnp.where(counts_m > 0, oexcl, pair_cap + 1)
-    lanes = lanes.at[tgt].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
-    owner = jnp.clip(lax.cummax(lanes), 0, m - 1)
     pid = jnp.arange(pair_cap, dtype=jnp.int32)
-    qid = qid_m[owner]
+    if pexpand:
+        # Windowed-rank expansion kernel (ops/pallas_expand.py): no
+        # scatter, no cummax, no per-lane slot gathers.
+        from . import pallas_expand as _pe
+
+        qid, sidx0 = _pe.expand_owners(
+            oexcl, lo_m, qid_m, pair_cap=pair_cap, interpret=interpret
+        )
+        sidx = jnp.clip(sidx0, 0, spos.shape[0] - 1)
+    else:
+        lanes = jnp.full(pair_cap, -1, jnp.int32)
+        tgt = jnp.where(counts_m > 0, oexcl, pair_cap + 1)
+        lanes = lanes.at[tgt].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+        owner = jnp.clip(lax.cummax(lanes), 0, m - 1)
+        qid = qid_m[owner]
+        within = pid - oexcl[owner]
+        sidx = jnp.clip(lo_m[owner] + within, 0, spos.shape[0] - 1)
     act = (pid < total) & (qid >= 0)
     k_lane = jnp.maximum(qid, 0) // nreads
     r_lane = jnp.maximum(qid, 0) - k_lane * nreads
-    within = pid - oexcl[owner]
-    sidx = jnp.clip(lo_m[owner] + within, 0, spos.shape[0] - 1)
     if mgather:
         # sidx is piecewise nondecreasing (owners arrive in sorted-key
         # order; a postings run re-expanded for the next same-key query
@@ -1406,17 +1434,20 @@ def expand_verify_dedup(
     scale = _MG_SCALE[0]
     dorder = _DORDER[0]
     vtail = _VTAIL[0]
-    interp = (mg or vtail) and jax.default_backend() == "cpu"
+    from . import pallas_expand as _pe_mod
+
+    pexpand = _PEXPAND[0] and pair_cap % _pe_mod.BLOCK == 0
+    interp = (mg or vtail or pexpand) and jax.default_backend() == "cpu"
     expand = _tpu_jit(
         _expand_pairs_impl,
         ("nreads", "pair_cap", "mgather", "mg_window", "interpret",
-         "dorder", "smax", "max_read_length", "vtail"),
+         "dorder", "smax", "max_read_length", "vtail", "pexpand"),
     )
     qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow = expand(
         counts_m, lo_m, qid_m, q1s, spos, nreads=nreads, pair_cap=pair_cap,
         mgather=mg, mg_window=_MG_WINDOW * scale, interpret=interp,
         dorder=dorder, smax=smax, max_read_length=max_read_length,
-        vtail=vtail,
+        vtail=vtail, pexpand=pexpand,
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,

@@ -1,0 +1,247 @@
+"""Pallas TPU kernel: pair expansion by windowed rank (MUSCATO_PEXPAND).
+
+The pair expansion turns the probe's compacted slots (count, postings
+lo, query id per active slot) into per-pair lanes.  The XLA path is a
+scatter of each slot id at its first pair lane (+cummax forward-fill)
+followed by two slot-array gathers per lane — ~0.2G updates/s for the
+scatter and ~one latency per element for the gathers, several hundred
+ms at 16M slots / 24M lanes (BENCHMARKS.md microbenchmark rates).
+
+The structure the XLA path cannot exploit: pair lane p's owning slot is
+``the last slot s with oexcl[s] <= p``, and because oexcl is a prefix
+sum, the slots owning one 1024-lane chunk all lie in a window of at
+most 1025 consecutive slots starting at a position the host can
+precompute with one small searchsorted.  So each chunk:
+
+  1. slices its slot window from the block's DMA'd span (slot arrays
+     stream into VMEM once per 8192-lane block),
+  2. ranks every lane against the window's oexcl on the MXU
+     (``rank = cmp @ 1`` — bf16 inputs, f32 accumulate, exact),
+  3. picks the owner's (oexcl, lo, qid) with an exact byte-plane
+     one-hot matmul (the one-hot never leaves VMEM),
+  4. emits qid per lane and the flat postings index
+     ``sidx = lo + (p - oexcl)`` — ready for the monotone postings
+     fetch.
+
+Duplicate oexcl values (empty slots) resolve to the LAST slot of the
+tie, which is the unique nonempty owner: an empty slot shares oexcl
+with its successor, so the rank always lands past it.
+
+Enabled with MUSCATO_PEXPAND=1 (autotuned); exact and overflow-free by
+construction (window bounds are arithmetic, not data-dependent).  No
+counterpart in the reference — its confirm loop iterates postings
+per query in Go (/root/reference/cmd/muscato_confirm/main.go:171-250).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+CHUNK = 1024
+CW_ROWS = 10           # per-chunk slot window: 1280 slots >= 1025 + align
+BLOCK = 8192
+BW_ROWS = 75           # per-block slot window rows: covers 8193 + align + CW
+
+
+def _dma(table_ref, starts_ref, win_ref, sem, step, rows):
+    slot = jax.lax.rem(step, 2)
+    return pltpu.make_async_copy(
+        table_ref.at[pl.ds(starts_ref[step] // LANE, rows), :],
+        win_ref.at[slot], sem.at[slot],
+    )
+
+
+def _byte_planes_2d(x):
+    """(R, C) int32 -> (R, 4*C) bf16 byte planes."""
+    xu = x.astype(jnp.uint32)
+    return jnp.concatenate(
+        [
+            jnp.bitwise_and(
+                jax.lax.shift_right_logical(xu, jnp.uint32(8 * p)),
+                jnp.uint32(255),
+            ).astype(jnp.bfloat16)
+            for p in range(4)
+        ],
+        axis=1,
+    )
+
+
+def _kernel(starts_ref, cstarts_ref, oexcl_ref, lo_ref, qid_ref,
+            qid_out, sidx_out, ow_ref, lw_ref, qw_ref, sem):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    def dma(step):
+        return [
+            _dma(oexcl_ref, starts_ref, ow_ref, sem.at[0], step, BW_ROWS),
+            _dma(lo_ref, starts_ref, lw_ref, sem.at[1], step, BW_ROWS),
+            _dma(qid_ref, starts_ref, qw_ref, sem.at[2], step, BW_ROWS),
+        ]
+
+    @pl.when(b == 0)
+    def _():
+        for c in dma(0):
+            c.start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        for c in dma(b + 1):
+            c.start()
+
+    for c in dma(b):
+        c.wait()
+    slot = jax.lax.rem(b, 2)
+    w0 = starts_ref[b] & ~(LANE - 1)  # 128-aligned block window base
+    ow = ow_ref[slot].reshape(BW_ROWS * LANE)
+    lw = lw_ref[slot].reshape(BW_ROWS * LANE)
+    qw = qw_ref[slot].reshape(BW_ROWS * LANE)
+
+    cw = CW_ROWS * LANE
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, cw), 1)
+    for k in range(BLOCK // CHUNK):
+        # This chunk's slot window, as a 128-aligned slice of the block
+        # window (sublane-dim dynamic slice, no extra DMA).
+        c0 = cstarts_ref[b * (BLOCK // CHUNK) + k] & ~(LANE - 1)
+        rel = (c0 - w0) // LANE
+        oc = jax.lax.dynamic_slice(ow, ((rel * LANE,)), (cw,))
+        lc = jax.lax.dynamic_slice(lw, ((rel * LANE,)), (cw,))
+        qc = jax.lax.dynamic_slice(qw, ((rel * LANE,)), (cw,))
+
+        pid = (
+            b * BLOCK + k * CHUNK
+            + jax.lax.broadcasted_iota(jnp.int32, (CHUNK,), 0)
+        )
+        # rank = #window slots with oexcl <= pid (f32 accumulate of bf16
+        # ones — exact to 2**24 >> window size).
+        cmp = (oc[None, :] <= pid[:, None]).astype(jnp.bfloat16)
+        rank = jax.lax.dot_general(
+            cmp, jnp.ones((cw, 1), jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, 0].astype(jnp.int32)
+        o = jnp.clip(rank - 1, 0, cw - 1)  # owner offset within the window
+        onehot = (iota_s == o[:, None]).astype(jnp.bfloat16)
+        planes = jnp.concatenate(
+            [
+                _byte_planes_2d(oc[:, None]),
+                _byte_planes_2d(lc[:, None]),
+                _byte_planes_2d(qc[:, None]),
+            ],
+            axis=1,
+        )  # (cw, 12) bf16
+        picked = jax.lax.dot_general(
+            onehot, planes, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, 12) f32
+        def _reassemble(p4):
+            w = [p4[:, i].astype(jnp.int32) for i in range(4)]
+            return (
+                w[0] | jax.lax.shift_left(w[1], 8)
+                | jax.lax.shift_left(w[2], 16)
+                | jax.lax.shift_left(w[3], 24)
+            )
+        oex = _reassemble(picked[:, 0:4])
+        lo = _reassemble(picked[:, 4:8])
+        qid = _reassemble(picked[:, 8:12])
+        sl = pl.ds(k * CHUNK, CHUNK)
+        qid_out[sl] = qid
+        sidx_out[sl] = lo + (pid - oex)
+
+
+@functools.partial(jax.jit, static_argnames=("pair_cap", "interpret"))
+def expand_owners(oexcl, lo, qid, *, pair_cap: int, interpret: bool = False):
+    """Per-pair (qid, flat postings index) from compacted probe slots.
+
+    ``oexcl`` is the exclusive prefix sum of the slot counts (slot s owns
+    pair lanes [oexcl[s], oexcl[s+1])); ``lo``/``qid`` are the slot's
+    postings start and flat query id.  Returns (qid_lane, sidx), each
+    (pair_cap,) int32; lanes past the true pair total carry the last
+    slot's values — callers mask with ``pid < total`` exactly as they do
+    for the scatter path.  Exact for any slot layout (empty slots, empty
+    prefix, one slot owning everything)."""
+    m = oexcl.shape[0]
+    assert pair_cap % BLOCK == 0, pair_cap
+    nblocks = pair_cap // BLOCK
+    nchunks = pair_cap // CHUNK
+
+    # Pad the slot arrays so every window slice is in bounds; padding
+    # oexcl with int32-max means padded slots never count into a rank.
+    padn = BW_ROWS * LANE + LANE
+    inf = jnp.int32(0x7FFFFFFF)
+    oexcl_p = jnp.concatenate([oexcl, jnp.full(padn, inf, jnp.int32)])
+    lo_p = jnp.concatenate([lo, jnp.zeros(padn, jnp.int32)])
+    qid_p = jnp.concatenate([qid, jnp.full(padn, -1, jnp.int32)])
+    mp = m + padn
+    rpad = -mp % LANE
+    if rpad:
+        oexcl_p = jnp.concatenate([oexcl_p, jnp.full(rpad, inf, jnp.int32)])
+        lo_p = jnp.concatenate([lo_p, jnp.zeros(rpad, jnp.int32)])
+        qid_p = jnp.concatenate([qid_p, jnp.full(rpad, -1, jnp.int32)])
+        mp += rpad
+    nrows = mp // LANE
+
+    # Chunk/block window starts: the last slot with oexcl <= the chunk's
+    # first pair lane (one small host-free searchsorted), clipped so the
+    # full window stays inside the padded arrays.
+    firsts = jnp.arange(nchunks, dtype=jnp.int32) * CHUNK
+    cstarts = jnp.clip(
+        jnp.searchsorted(oexcl, firsts, side="right").astype(jnp.int32) - 1,
+        0, max((nrows - CW_ROWS) * LANE - 1, 0),
+    )
+    starts = jnp.clip(
+        cstarts.reshape(nblocks, BLOCK // CHUNK)[:, 0],
+        0, max((nrows - BW_ROWS) * LANE - 1, 0),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK,), lambda b, s, c: (b,)),
+            pl.BlockSpec((BLOCK,), lambda b, s, c: (b,)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, BW_ROWS, LANE), jnp.int32),
+            pltpu.VMEM((2, BW_ROWS, LANE), jnp.int32),
+            pltpu.VMEM((2, BW_ROWS, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+    )
+    qid_lane, sidx = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((pair_cap,), jnp.int32),
+            jax.ShapeDtypeStruct((pair_cap,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        starts, cstarts,
+        oexcl_p.reshape(nrows, LANE),
+        lo_p.reshape(nrows, LANE),
+        qid_p.reshape(nrows, LANE),
+    )
+    return qid_lane, sidx
+
+
+def expand_owners_np(oexcl, lo, qid, pair_cap):
+    """NumPy oracle for tests (active lanes only are specified)."""
+    oexcl = np.asarray(oexcl)
+    lo, qid = np.asarray(lo), np.asarray(qid)
+    pid = np.arange(pair_cap)
+    owner = np.clip(np.searchsorted(oexcl, pid, side="right") - 1, 0,
+                    len(oexcl) - 1)
+    return qid[owner].astype(np.int32), (
+        lo[owner] + (pid - oexcl[owner])
+    ).astype(np.int32)

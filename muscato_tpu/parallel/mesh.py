@@ -262,7 +262,7 @@ def _verify_step_dedup(
     counts, lo, qid, rpacked, lengths, gene_start, spos, tpacked, trows,
     gblock, gene_base, budget, q1s, *, width, min_dinuc, max_read_length,
     pair_cap, vchunk, surv_cap, smax, gsteps, mm, mmtol, match_mode,
-    mgather, mg_window, mg_rows_window, interpret, dorder, vtail,
+    mgather, mg_window, mg_rows_window, interpret, dorder, vtail, pexpand,
 ):
     """Stage 2 per-device body (diagonal-dedup engine): the SAME expand +
     verify the single-chip path runs (fused._expand_pairs_impl /
@@ -282,7 +282,7 @@ def _verify_step_dedup(
             counts, lo, qid, q1s, spos, nreads=nreads, pair_cap=pair_cap,
             mgather=mgather, mg_window=mg_window, interpret=interpret,
             dorder=dorder, smax=smax, max_read_length=max_read_length,
-            vtail=vtail,
+            vtail=vtail, pexpand=pexpand,
         )
     )
     surv, nsurv, oflow_v = fused._verify_diagonals_impl(
@@ -517,9 +517,14 @@ def sharded_match_arrays(
                 match_mode=cfg.MatchMode, mgather=mgather,
                 mg_window=fused._MG_WINDOW * scale,
                 mg_rows_window=fused._MG_ROWS_WINDOW * scale,
-                interpret=interpret and (mgather or fused.vtail_enabled()),
+                interpret=interpret and (
+                    mgather or fused.vtail_enabled()
+                    or fused.pexpand_enabled()
+                ),
                 dorder=fused.dorder_enabled(),
                 vtail=fused.vtail_enabled(),
+                pexpand=(fused.pexpand_enabled()
+                         and pair_cap % 8192 == 0),
             )
             vkey = ("vdedup", _mesh_key(mesh)) + tuple(sorted(statics.items()))
             step = _verify_step_dedup

@@ -32,7 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STEP_TIMEOUT = int(os.environ.get("AUTOTUNE_STEP_TIMEOUT", "5400"))
 FLAG_NAMES = ("MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
-              "MUSCATO_VTAIL")
+              "MUSCATO_VTAIL", "MUSCATO_PEXPAND")
 # Dry-run knobs (tests/test_autotune.py drives the whole script on CPU):
 BENCH_ARGS = os.environ.get(
     "AUTOTUNE_BENCH_ARGS", "--Workload big --Repeats 2 --NoProbe"
@@ -45,23 +45,26 @@ SKIP_PALLAS = os.environ.get("AUTOTUNE_SKIP_PALLAS") == "1"
 
 # Priority order: projected winner first, then the baseline it must beat,
 # then single-flag attributions, then the remaining pair.
-def _cfg(mg=0, pj=0, do=0, vt=0):
+def _cfg(mg=0, pj=0, do=0, vt=0, px=0):
     return dict(
         MUSCATO_MGATHER=str(mg), MUSCATO_PJOIN=str(pj),
         MUSCATO_DORDER=str(do), MUSCATO_VTAIL=str(vt),
+        MUSCATO_PEXPAND=str(px),
     )
 
 
 LADDER = [
+    ("full", _cfg(1, 1, 1, 1, 1)),
+    ("xla", _cfg()),
     ("all_vt", _cfg(1, 1, 1, 1)),
-    ("all", _cfg(1, 1, 1, 0)),
-    ("xla", _cfg(0, 0, 0, 0)),
-    ("mg_do", _cfg(1, 0, 1, 0)),
-    ("vt", _cfg(0, 0, 0, 1)),
-    ("mg", _cfg(1, 0, 0, 0)),
-    ("pj", _cfg(0, 1, 0, 0)),
-    ("do", _cfg(0, 0, 1, 0)),
-    ("mg_pj", _cfg(1, 1, 0, 0)),
+    ("vt", _cfg(vt=1)),
+    ("px", _cfg(px=1)),
+    ("mg_do", _cfg(1, 0, 1)),
+    ("mg", _cfg(mg=1)),
+    ("pj", _cfg(pj=1)),
+    ("do", _cfg(do=1)),
+    ("vt_px", _cfg(vt=1, px=1)),
+    ("mg_pj", _cfg(1, 1)),
 ]
 
 

@@ -36,6 +36,8 @@ step bench_mg_pj "MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=0" bench.py -
 step bench_all "MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=1" bench.py --Workload big --Repeats 3
 step bench_vt "MUSCATO_MGATHER=0 MUSCATO_PJOIN=0 MUSCATO_DORDER=0 MUSCATO_VTAIL=1" bench.py --Workload big --Repeats 3
 step bench_all_vt "MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=1 MUSCATO_VTAIL=1" bench.py --Workload big --Repeats 3
+step bench_px "MUSCATO_MGATHER=0 MUSCATO_PJOIN=0 MUSCATO_DORDER=0 MUSCATO_PEXPAND=1" bench.py --Workload big --Repeats 3
+step bench_full "MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=1 MUSCATO_VTAIL=1 MUSCATO_PEXPAND=1" bench.py --Workload big --Repeats 3
 # 2. phase breakdown at 4M reads
 step profile_xla "$AB" -m muscato_tpu.bench.profile_match 4
 step profile_mg_do "MUSCATO_MGATHER=1 MUSCATO_PJOIN=0 MUSCATO_DORDER=1" -m muscato_tpu.bench.profile_match 4

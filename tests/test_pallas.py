@@ -446,7 +446,7 @@ def test_stream_compact_matches_oracle():
             np.testing.assert_array_equal(np.asarray(g), e)
 
 
-@pytest.mark.parametrize("combo", ["plain", "mgather", "pjoin"])
+@pytest.mark.parametrize("combo", ["plain", "mgather", "pjoin", "pexpand"])
 def test_vtail_equals_sort_compaction(combo):
     """MUSCATO_VTAIL (sort-free compaction through probe, expand, verify
     tail, and rank) must produce the exact sort-path MatchResult — the
@@ -465,12 +465,14 @@ def test_vtail_equals_sort_compaction(combo):
     fused.set_vtail(True)
     fused.set_mgather(combo == "mgather")
     fused.set_pjoin(combo == "pjoin")
+    fused.set_pexpand(combo == "pexpand")
     try:
         mr_b = pipeline.run_matching(cfg, rs, ts)
     finally:
         fused.set_vtail(False)
         fused.set_mgather(False)
         fused.set_pjoin(False)
+        fused.set_pexpand(False)
         fused.set_mg_scale(1)
         fused.set_pjoin_scale(1)
     for a, b in zip(
@@ -479,3 +481,32 @@ def test_vtail_equals_sort_compaction(combo):
     ):
         np.testing.assert_array_equal(a, b)
     assert len(mr_a.read_row) > 1000
+
+
+def test_expand_owners_matches_oracle():
+    """Windowed-rank pair expansion (ops/pallas_expand.py): per-lane
+    (qid, postings index) must equal the searchsorted oracle on every
+    active lane — including one-slot-owns-everything and dead tails."""
+    from muscato_tpu.ops import pallas_expand as pe
+
+    rng = np.random.default_rng(1)
+    for trial in range(5):
+        m = int(rng.integers(1, 40000))
+        counts = rng.integers(0, 6, m).astype(np.int32)
+        if trial == 1:
+            counts[:] = 0
+            counts[0] = 777
+        if trial == 2:
+            counts[m // 2:] = 0
+        oexcl = (np.cumsum(counts) - counts).astype(np.int32)
+        total = int(counts.sum())
+        lo = rng.integers(0, 1 << 20, m).astype(np.int32)
+        qid = rng.integers(0, 1 << 24, m).astype(np.int32)
+        cap = max(8192, 1 << int(np.ceil(np.log2(max(total, 2)))))
+        q, sx = pe.expand_owners(
+            jnp.asarray(oexcl), jnp.asarray(lo), jnp.asarray(qid),
+            pair_cap=cap, interpret=True,
+        )
+        eq, es = pe.expand_owners_np(oexcl, lo, qid, cap)
+        np.testing.assert_array_equal(np.asarray(q)[:total], eq[:total])
+        np.testing.assert_array_equal(np.asarray(sx)[:total], es[:total])

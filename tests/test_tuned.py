@@ -42,5 +42,5 @@ def test_flag_precedence(monkeypatch):
 def test_effective_flags_shape():
     f = fused.effective_flags()
     assert set(f) == {"MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
-                      "MUSCATO_VTAIL"}
+                      "MUSCATO_VTAIL", "MUSCATO_PEXPAND"}
     assert all(v in (0, 1) for v in f.values())
