@@ -446,7 +446,9 @@ def test_stream_compact_matches_oracle():
             np.testing.assert_array_equal(np.asarray(g), e)
 
 
-@pytest.mark.parametrize("combo", ["plain", "mgather", "pjoin", "pexpand"])
+@pytest.mark.parametrize(
+    "combo", ["plain", "mgather", "pjoin", "pexpand", "pexpand_only", "full"]
+)
 def test_vtail_equals_sort_compaction(combo):
     """MUSCATO_VTAIL (sort-free compaction through probe, expand, verify
     tail, and rank) must produce the exact sort-path MatchResult — the
@@ -462,10 +464,12 @@ def test_vtail_equals_sort_compaction(combo):
         MaxReadLength=120, MMTol=1, MaxMatches=10**6, MatchMode="best",
     )
     mr_a = pipeline.run_matching(cfg, rs, ts)
-    fused.set_vtail(True)
-    fused.set_mgather(combo == "mgather")
-    fused.set_pjoin(combo == "pjoin")
-    fused.set_pexpand(combo == "pexpand")
+    full = combo == "full"
+    fused.set_vtail(combo != "pexpand_only")
+    fused.set_mgather(full or combo == "mgather")
+    fused.set_pjoin(full or combo == "pjoin")
+    fused.set_pexpand(full or combo in ("pexpand", "pexpand_only"))
+    fused.set_dorder(full)
     try:
         mr_b = pipeline.run_matching(cfg, rs, ts)
     finally:
@@ -473,6 +477,7 @@ def test_vtail_equals_sort_compaction(combo):
         fused.set_mgather(False)
         fused.set_pjoin(False)
         fused.set_pexpand(False)
+        fused.set_dorder(False)
         fused.set_mg_scale(1)
         fused.set_pjoin_scale(1)
     for a, b in zip(
