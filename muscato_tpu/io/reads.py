@@ -419,7 +419,7 @@ def count_lines_range(buf: np.ndarray, lo: int, hi: int) -> int:
     n = 0
     for p in range(a, b, _SCAN_CHUNK):
         n += int(np.count_nonzero(buf[p : min(p + _SCAN_CHUNK, b)] == 10))
-    return n + (1 if lo == 0 and len(buf) else 0)
+    return n + (1 if lo == 0 and hi > 0 and len(buf) else 0)
 
 
 def _range_line_starts(buf: np.ndarray, lo: int, hi: int) -> np.ndarray:
@@ -431,7 +431,7 @@ def _range_line_starts(buf: np.ndarray, lo: int, hi: int) -> np.ndarray:
     starts = (
         np.concatenate(parts) if parts else np.zeros(0, np.int64)
     )
-    if lo == 0 and len(buf):
+    if lo == 0 and hi > 0 and len(buf):
         starts = np.concatenate([[0], starts])
     return starts
 
@@ -450,8 +450,7 @@ def _next_nl(buf: np.ndarray, pos: int) -> int:
     return n
 
 
-def _line_ends_after(buf: np.ndarray, starts: np.ndarray, need_past: int,
-                     hi: int):
+def _line_ends_after(buf: np.ndarray, starts: np.ndarray, need_past: int):
     """Ends of the lines starting at `starts`, plus up to `need_past`
     continuation lines past the last one (records owned by a range may
     spill their tail lines into the next range).  Returns (all_starts,
@@ -501,7 +500,7 @@ def build_readset_range(
             row_mem=np.zeros(1, np.int64),
         )
     # The last record may spill up to 3 lines past the range end.
-    all_s, all_e = _line_ends_after(buf, starts, 3, hi)
+    all_s, all_e = _line_ends_after(buf, starts, 3)
     base = skip
     name_s = all_s[base::4][:nrec]
     name_e = all_e[base::4][:nrec]

@@ -245,6 +245,17 @@ def pexpand_enabled() -> bool:
     return _PEXPAND[0]
 
 
+def pexpand_gate(pair_cap: int) -> bool:
+    """MUSCATO_PEXPAND applies only when the pair buffer is a whole
+    number of kernel blocks (quarter-pow2 buckets are, above the floor);
+    single source of truth for the single-chip and mesh paths."""
+    if not _PEXPAND[0]:
+        return False
+    from . import pallas_expand as _pe
+
+    return pair_cap % _pe.BLOCK == 0
+
+
 def set_pexpand(on: bool) -> None:
     _PEXPAND[0] = on
 
@@ -1434,9 +1445,7 @@ def expand_verify_dedup(
     scale = _MG_SCALE[0]
     dorder = _DORDER[0]
     vtail = _VTAIL[0]
-    from . import pallas_expand as _pe_mod
-
-    pexpand = _PEXPAND[0] and pair_cap % _pe_mod.BLOCK == 0
+    pexpand = pexpand_gate(pair_cap)
     interp = (mg or vtail or pexpand) and jax.default_backend() == "cpu"
     expand = _tpu_jit(
         _expand_pairs_impl,

@@ -43,6 +43,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_compact import _byte_planes, _reassemble
+
 LANE = 128
 CHUNK = 1024
 CW_ROWS = 10           # per-chunk slot window: 1280 slots >= 1025 + align
@@ -55,21 +57,6 @@ def _dma(table_ref, starts_ref, win_ref, sem, step, rows):
     return pltpu.make_async_copy(
         table_ref.at[pl.ds(starts_ref[step] // LANE, rows), :],
         win_ref.at[slot], sem.at[slot],
-    )
-
-
-def _byte_planes_2d(x):
-    """(R, C) int32 -> (R, 4*C) bf16 byte planes."""
-    xu = x.astype(jnp.uint32)
-    return jnp.concatenate(
-        [
-            jnp.bitwise_and(
-                jax.lax.shift_right_logical(xu, jnp.uint32(8 * p)),
-                jnp.uint32(255),
-            ).astype(jnp.bfloat16)
-            for p in range(4)
-        ],
-        axis=1,
     )
 
 
@@ -128,24 +115,12 @@ def _kernel(starts_ref, cstarts_ref, oexcl_ref, lo_ref, qid_ref,
         o = jnp.clip(rank - 1, 0, cw - 1)  # owner offset within the window
         onehot = (iota_s == o[:, None]).astype(jnp.bfloat16)
         planes = jnp.concatenate(
-            [
-                _byte_planes_2d(oc[:, None]),
-                _byte_planes_2d(lc[:, None]),
-                _byte_planes_2d(qc[:, None]),
-            ],
-            axis=1,
+            [_byte_planes(oc), _byte_planes(lc), _byte_planes(qc)], axis=1
         )  # (cw, 12) bf16
         picked = jax.lax.dot_general(
             onehot, planes, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (CHUNK, 12) f32
-        def _reassemble(p4):
-            w = [p4[:, i].astype(jnp.int32) for i in range(4)]
-            return (
-                w[0] | jax.lax.shift_left(w[1], 8)
-                | jax.lax.shift_left(w[2], 16)
-                | jax.lax.shift_left(w[3], 24)
-            )
         oex = _reassemble(picked[:, 0:4])
         lo = _reassemble(picked[:, 4:8])
         qid = _reassemble(picked[:, 8:12])

@@ -472,6 +472,15 @@ def sharded_match_arrays(
         counts, lo, qid, total_d, totalf_d = mapped_probe(
             rp_g, len_g, skeys_g, q1s_g
         )
+        # Check the float pair total FIRST: an int32-wrapped sort-merge
+        # total is also negative and must raise, not be misread as a
+        # pjoin window overflow (which would ladder forever).
+        _, tfmax = _global_minmax(totalf_d)
+        if tfmax > float(2**30):
+            raise ValueError(
+                "candidate pair count on one device exceeds the 2**30 "
+                "expansion limit; re-run with a smaller ReadBatch"
+            )
         tmin, tmax = _global_minmax(total_d)
         if tmin >= 0:
             break
@@ -488,12 +497,6 @@ def sharded_match_arrays(
             )
             fused.set_pjoin(False)
 
-    _, tfmax = _global_minmax(totalf_d)
-    if tfmax > float(2**30):
-        raise ValueError(
-            "candidate pair count on one device exceeds the 2**30 "
-            "expansion limit; re-run with a smaller ReadBatch"
-        )
     max_total = int(tmax)
     use_dedup = (
         len(cfg.Windows) <= 31 and not cfg.NoDedup
@@ -523,8 +526,7 @@ def sharded_match_arrays(
                 ),
                 dorder=fused.dorder_enabled(),
                 vtail=fused.vtail_enabled(),
-                pexpand=(fused.pexpand_enabled()
-                         and pair_cap % 8192 == 0),
+                pexpand=fused.pexpand_gate(pair_cap),
             )
             vkey = ("vdedup", _mesh_key(mesh)) + tuple(sorted(statics.items()))
             step = _verify_step_dedup

@@ -24,25 +24,33 @@ step() {
 #    to CPU, so drive the kernels directly on the device.
 step pallas_compile "" -m muscato_tpu.bench.pallas_device_check
 
-# 1. headline A/B ladder on the big workload.  Every step pins ALL three
-#    flags (0 is an explicit pin, in case TUNED.json flips defaults).
-AB="MUSCATO_MGATHER=0 MUSCATO_PJOIN=0 MUSCATO_DORDER=0"
-step bench_xla "$AB" bench.py --Workload big --Repeats 3
-step bench_mg "MUSCATO_MGATHER=1 MUSCATO_PJOIN=0 MUSCATO_DORDER=0" bench.py --Workload big --Repeats 3
-step bench_pj "MUSCATO_MGATHER=0 MUSCATO_PJOIN=1 MUSCATO_DORDER=0" bench.py --Workload big --Repeats 3
-step bench_do "MUSCATO_MGATHER=0 MUSCATO_PJOIN=0 MUSCATO_DORDER=1" bench.py --Workload big --Repeats 3
-step bench_mg_do "MUSCATO_MGATHER=1 MUSCATO_PJOIN=0 MUSCATO_DORDER=1" bench.py --Workload big --Repeats 3
-step bench_mg_pj "MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=0" bench.py --Workload big --Repeats 3
-step bench_all "MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=1" bench.py --Workload big --Repeats 3
-step bench_vt "MUSCATO_MGATHER=0 MUSCATO_PJOIN=0 MUSCATO_DORDER=0 MUSCATO_VTAIL=1" bench.py --Workload big --Repeats 3
-step bench_all_vt "MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=1 MUSCATO_VTAIL=1" bench.py --Workload big --Repeats 3
-step bench_px "MUSCATO_MGATHER=0 MUSCATO_PJOIN=0 MUSCATO_DORDER=0 MUSCATO_PEXPAND=1" bench.py --Workload big --Repeats 3
-step bench_full "MUSCATO_MGATHER=1 MUSCATO_PJOIN=1 MUSCATO_DORDER=1 MUSCATO_VTAIL=1 MUSCATO_PEXPAND=1" bench.py --Workload big --Repeats 3
+# 1. headline A/B ladder on the big workload.  Every step pins ALL FIVE
+#    engine flags (0 is an explicit pin — TUNED.json may flip defaults
+#    after an autotune run, which would otherwise contaminate baselines).
+Z="MUSCATO_MGATHER=0 MUSCATO_PJOIN=0 MUSCATO_DORDER=0 MUSCATO_VTAIL=0 MUSCATO_PEXPAND=0"
+pin() {  # pin NAME=1... on top of the all-zero base
+  out="$Z"
+  for f in "$@"; do out="$out $f=1"; done
+  echo "$out"
+}
+step bench_xla "$Z" bench.py --Workload big --Repeats 3
+step bench_mg "$(pin MUSCATO_MGATHER)" bench.py --Workload big --Repeats 3
+step bench_pj "$(pin MUSCATO_PJOIN)" bench.py --Workload big --Repeats 3
+step bench_do "$(pin MUSCATO_DORDER)" bench.py --Workload big --Repeats 3
+step bench_vt "$(pin MUSCATO_VTAIL)" bench.py --Workload big --Repeats 3
+step bench_px "$(pin MUSCATO_PEXPAND)" bench.py --Workload big --Repeats 3
+step bench_mg_do "$(pin MUSCATO_MGATHER MUSCATO_DORDER)" bench.py --Workload big --Repeats 3
+step bench_mg_pj "$(pin MUSCATO_MGATHER MUSCATO_PJOIN)" bench.py --Workload big --Repeats 3
+step bench_vt_px "$(pin MUSCATO_VTAIL MUSCATO_PEXPAND)" bench.py --Workload big --Repeats 3
+step bench_all "$(pin MUSCATO_MGATHER MUSCATO_PJOIN MUSCATO_DORDER)" bench.py --Workload big --Repeats 3
+step bench_all_vt "$(pin MUSCATO_MGATHER MUSCATO_PJOIN MUSCATO_DORDER MUSCATO_VTAIL)" bench.py --Workload big --Repeats 3
+step bench_full "$(pin MUSCATO_MGATHER MUSCATO_PJOIN MUSCATO_DORDER MUSCATO_VTAIL MUSCATO_PEXPAND)" bench.py --Workload big --Repeats 3
 # 2. phase breakdown at 4M reads
-step profile_xla "$AB" -m muscato_tpu.bench.profile_match 4
-step profile_mg_do "MUSCATO_MGATHER=1 MUSCATO_PJOIN=0 MUSCATO_DORDER=1" -m muscato_tpu.bench.profile_match 4
-# 3. batch-size scaling (8M reads, one batch) — amortizes the probe sort
+step profile_xla "$Z" -m muscato_tpu.bench.profile_match 4
+step profile_full "$(pin MUSCATO_MGATHER MUSCATO_PJOIN MUSCATO_DORDER MUSCATO_VTAIL MUSCATO_PEXPAND)" -m muscato_tpu.bench.profile_match 4
+# 3. batch-size scaling (8M reads, one batch) — runs with TUNED defaults
+#    on purpose (the tuned config is what the driver's bench.py measures)
 step bench_8m "" bench.py --Workload big --NumRead 8000000 --ReadBatch 8388608 --Repeats 2
-# 4. small workload for continuity
+# 4. small workload for continuity (TUNED defaults, same reason)
 step bench_small "" bench.py --Workload small --Repeats 3
 grep -h '"metric"' "$OUT"/bench_*.log | tee -a "$OUT/sweep.log"

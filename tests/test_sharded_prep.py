@@ -127,3 +127,25 @@ def test_sharded_prep_names_with_semicolons_and_dup_names(tmp_path):
     full = reads_io.build_readset(path, 0, 20)
     sharded, _ = _build_sharded(path, 0, 20, 3)
     _assert_readsets_equal(full, sharded)
+
+
+def test_more_processes_than_bytes(tmp_path):
+    """Empty byte ranges (file smaller than process count) must own ZERO
+    lines: the line-0 bonus applies only to a range that actually
+    contains byte 0, so no record is double-parsed (code-review round-3
+    finding)."""
+    path = _mk_fastq(tmp_path, [("@r0", "ACGTACGTAC")])
+    buf = reads_io._map_bytes(path)
+    size = len(buf)
+    nproc = size + 3  # several leading ranges are empty [0, 0)
+    bounds = [i * size // nproc for i in range(nproc + 1)]
+    counts = [
+        reads_io.count_lines_range(buf, bounds[p], bounds[p + 1])
+        for p in range(nproc)
+    ]
+    assert sum(counts) == 4  # exactly the file's line count, once
+    assert reads_io.count_lines_range(buf, 0, 0) == 0
+    assert len(reads_io._range_line_starts(buf, 0, 0)) == 0
+    full = reads_io.build_readset(path, 1, 20)
+    merged, _ = _build_sharded(path, 1, 20, nproc)
+    _assert_readsets_equal(full, merged)
