@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main() -> int:
+    from ..cli import _apply_platform_override
+
+    _apply_platform_override()
     import jax
     import jax.numpy as jnp
 
@@ -30,14 +33,18 @@ def main() -> int:
     interp = jax.default_backend() == "cpu"
     failures = 0
 
+    results = {}
+
     def check(name, fn):
         nonlocal failures
         t0 = time.time()
         try:
             fn()
+            results[name] = True
             print(f"PASS {name} ({time.time() - t0:.1f}s)", flush=True)
         except Exception as e:  # loud, per-kernel
             failures += 1
+            results[name] = False
             print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True)
 
     def _monotone_gather():
@@ -155,6 +162,11 @@ def main() -> int:
     check("window_queries_pallas", _window_queries)
     check("stream_compact", _stream_compact)
     check("expand_owners", _expand_owners)
+    import json
+
+    # Machine-readable per-kernel verdicts: the autotune ladder drops
+    # only the flags whose kernels failed, not every kernel config.
+    print("PALLAS_RESULTS " + json.dumps(results), flush=True)
     print(f"{'OK' if not failures else 'FAILURES'}: {failures} failed",
           flush=True)
     return 1 if failures else 0

@@ -119,23 +119,50 @@ def main() -> int:
 
     # 0. First TPU minute: compile + oracle-check every Pallas kernel on
     #    the device, so a Mosaic rejection is diagnosed before any bench
-    #    (round-2 VERDICT weak #5).
+    #    (round-2 VERDICT weak #5).  Per-kernel verdicts restrict only the
+    #    flags whose kernels failed.
+    kernel_flags = {
+        "monotone_gather": "MUSCATO_MGATHER",
+        "monotone_gather_rows": "MUSCATO_MGATHER",
+        "sorted_join": "MUSCATO_PJOIN",
+        "stream_compact": "MUSCATO_VTAIL",
+        "expand_owners": "MUSCATO_PEXPAND",
+    }
     if SKIP_PALLAS:
-        pallas_ok = True
+        pallas_ok, bad_flags = True, set()
     else:
         rc, log = run_step(
             "pallas_compile", ["-m", "muscato_tpu.bench.pallas_device_check"],
             {}, outdir, timeout=3600,
         )
         pallas_ok = rc == 0
+        results = {}
+        try:
+            with open(log, errors="replace") as f:
+                for ln in f:
+                    if ln.startswith("PALLAS_RESULTS "):
+                        results = json.loads(ln.split(" ", 1)[1])
+        except Exception:
+            pass
+        if not pallas_ok and not results:
+            # The check crashed before reporting: distrust every kernel.
+            results = {k: False for k in kernel_flags}
+        bad_flags = {
+            kernel_flags[k] for k, ok in results.items()
+            if not ok and k in kernel_flags
+        }
     ladder["pallas_compile_ok"] = pallas_ok
+    ladder["pallas_bad_flags"] = sorted(bad_flags)
     save()
-    steps = LADDER if pallas_ok else [s for s in LADDER if s[0] in ("xla", "do")]
+    steps = [
+        s for s in LADDER
+        if not any(s[1].get(f) == "1" for f in bad_flags)
+    ]
     if LADDER_SUBSET:
         steps = [s for s in steps if s[0] in LADDER_SUBSET]
-    if not pallas_ok:
-        print("!!! Pallas device check FAILED — ladder restricted to XLA paths",
-              flush=True)
+    if bad_flags:
+        print(f"!!! Pallas kernels failed for {sorted(bad_flags)} — "
+              f"ladder reduced to {[n for n, _ in steps]}", flush=True)
 
     # 1. The A/B ladder, most decision-relevant first.
     for name, env_over in steps:
