@@ -19,6 +19,9 @@ from . import gendat
 
 
 def main():
+    from ..cli import _apply_platform_override
+
+    _apply_platform_override()
     npool_m = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
     num_read = int(npool_m * 1e6)
     read_len, num_gene, gene_len = 100, 100_000, 1_000

@@ -34,6 +34,9 @@ def timeit(fn, reps=3):
 
 
 def main():
+    from ..cli import _apply_platform_override
+
+    _apply_platform_override()
     n = int(float(sys.argv[1] if len(sys.argv) > 1 else 1.0) * 1e6)
     S = 100_000_000
     R = 4_000_000

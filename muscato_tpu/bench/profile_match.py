@@ -24,6 +24,9 @@ from .probe_ab import main as _unused  # noqa: F401  (keeps module import graph 
 
 
 def main():
+    from ..cli import _apply_platform_override
+
+    _apply_platform_override()
     nm = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
     num_read = int(nm * 1e6)
     cfg = Config(

@@ -16,6 +16,9 @@ import time
 
 
 def main(argv=None) -> int:
+    from ..cli import _apply_platform_override
+
+    _apply_platform_override()
     p = argparse.ArgumentParser()
     p.add_argument("--NumRead", type=int, default=100_000)
     p.add_argument("--NumGene", type=int, default=1_000)
