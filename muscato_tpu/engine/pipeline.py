@@ -321,29 +321,38 @@ def run_matching_indexed(
                     trows=trows, gblock=gblock, gsteps=gsteps,
                 )
             nsurv = int(nsurv_d)
-            if nsurv >= (1 << fused.MG_FLAG_BIT):
+            of_spos = bool(nsurv & (1 << fused.MG_FLAG_BIT))
+            of_rows = bool(nsurv & (1 << fused.MG_FLAG_BIT_ROWS))
+            nsurv &= (1 << fused.MG_FLAG_BIT_ROWS) - 1
+            if (of_spos or of_rows) and fused.mgather_enabled():
                 # Monotone-gather window overflow (extreme postings-run
-                # spans): correctness requires the XLA gather path for
-                # this and later batches.  Loud, rare, never wrong.
-                nsurv &= (1 << fused.MG_FLAG_BIT) - 1
-                if fused.mgather_enabled():
-                    if fused.mg_scale() < fused.MG_MAX_SCALE:
-                        # Grow the gather windows 4x (fresh static shape)
-                        # before abandoning the kernels — one recompile
-                        # beats per-batch XLA gathers for the whole run.
-                        fused.set_mg_scale(fused.mg_scale() * 4)
-                        logger.warning(
-                            "monotone-gather window overflow; growing "
-                            "windows to x%d and re-running the batch",
-                            fused.mg_scale(),
-                        )
-                    else:
-                        logger.warning(
-                            "monotone-gather window overflow at max scale; "
-                            "re-running batch on the XLA gather path"
-                        )
-                        fused.set_mgather(False)
-                    continue
+                # or row spans): correctness requires the XLA gather path
+                # for the overflowing stream.  Loud, rare, never wrong.
+                if fused.mg_scale() < fused.MG_MAX_SCALE:
+                    # Grow the gather windows 4x (fresh static shape)
+                    # before abandoning the kernels — one recompile
+                    # beats per-batch XLA gathers for the whole run.
+                    fused.set_mg_scale(fused.mg_scale() * 4)
+                    logger.warning(
+                        "monotone-gather window overflow; growing "
+                        "windows to x%d and re-running the batch",
+                        fused.mg_scale(),
+                    )
+                else:
+                    # Disable ONLY the overflowing stream(s): a postings
+                    # span overflow must not forfeit the windowed rows
+                    # fetch (usually the bigger win), and vice versa.
+                    spos_on, rows_on = fused.mg_streams()
+                    fused.set_mg_streams(
+                        spos_on and not of_spos, rows_on and not of_rows
+                    )
+                    logger.warning(
+                        "monotone-gather window overflow at max scale "
+                        "(postings=%s rows=%s); re-running batch with "
+                        "streams spos=%s rows=%s",
+                        of_spos, of_rows, *fused.mg_streams(),
+                    )
+                continue
             if nsurv <= surv_cap:
                 break
             # Overflow: grow to the exact power-of-two bucket covering the

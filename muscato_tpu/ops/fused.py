@@ -139,7 +139,13 @@ def effective_flags() -> dict:
 _MGATHER = [_flag("MUSCATO_MGATHER")]
 _MG_WINDOW = int(_os_mod.environ.get("MUSCATO_MGATHER_WINDOW", "8192"))
 _MG_ROWS_WINDOW = 2048
-MG_FLAG_BIT = 30  # expand_verify_dedup ORs overflow into bit 30 of nsurv
+MG_FLAG_BIT = 30  # postings-window overflow, ORed into bit 30 of nsurv
+MG_FLAG_BIT_ROWS = 29  # rows-window overflow (verify read/target rows)
+# Per-stream enables under MUSCATO_MGATHER: a postings-span overflow
+# must not forfeit the rows windows (and vice versa) — the pipeline
+# disables only the stream whose window overflowed at max scale.
+_MG_SPOS = [True]
+_MG_ROWS = [True]
 # Window growth factor on overflow (pipeline quadruples it up to MG_MAX_SCALE
 # before abandoning the kernels; each growth is a fresh static shape).
 _MG_SCALE = [1]
@@ -152,6 +158,20 @@ def mgather_enabled() -> bool:
 
 def set_mgather(on: bool) -> None:
     _MGATHER[0] = on
+    if on:
+        _MG_SPOS[0] = True
+        _MG_ROWS[0] = True
+
+
+def mg_streams() -> tuple:
+    return (_MG_SPOS[0], _MG_ROWS[0])
+
+
+def set_mg_streams(spos: bool, rows: bool) -> None:
+    _MG_SPOS[0] = spos
+    _MG_ROWS[0] = rows
+    if not (spos or rows):
+        _MGATHER[0] = False
 
 
 def mg_scale() -> int:
@@ -920,8 +940,8 @@ def _verify_diagonals_impl(
     qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
     rpacked, lengths, tpacked, gene_start, budget, trows=None, gblock=None,
     *, nreads, width, max_read_length, vchunk, surv_cap, smax, gsteps=0,
-    mgather=False, mg_rows_window=2048, interpret=False, dorder=False,
-    vtail=False,
+    mgather=False, mg_rows=None, mg_rows_window=2048, interpret=False,
+    dorder=False, vtail=False,
 ):
     """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
     to the pair lanes, and survivor compaction.  Work in the gather-heavy
@@ -956,7 +976,8 @@ def _verify_diagonals_impl(
             rch, dch, rpacked, lengths, tpacked, gene_start, budget,
             q1s, width, max_read_length, smax,
             trows=trows, gblock=gblock, gsteps=gsteps,
-            mgather=mgather, mg_rows_window=mg_rows_window,
+            mgather=mgather if mg_rows is None else mg_rows,
+            mg_rows_window=mg_rows_window,
             interpret=interpret, dorder=dorder,
         )
         nxb = lax.dynamic_update_slice(nxb, nx, (off,))
@@ -1442,6 +1463,8 @@ def expand_verify_dedup(
     counts_m, lo_m, qid_m, keyf, key2f, _total, _totalf = probe_out
     nreads = rpacked.shape[0]
     mg = _MGATHER[0]
+    mg_spos = mg and _MG_SPOS[0]
+    mg_rows = mg and _MG_ROWS[0]
     scale = _MG_SCALE[0]
     dorder = _DORDER[0]
     vtail = _VTAIL[0]
@@ -1454,27 +1477,29 @@ def expand_verify_dedup(
     )
     qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow = expand(
         counts_m, lo_m, qid_m, q1s, spos, nreads=nreads, pair_cap=pair_cap,
-        mgather=mg, mg_window=_MG_WINDOW * scale, interpret=interp,
+        mgather=mg_spos, mg_window=_MG_WINDOW * scale, interpret=interp,
         dorder=dorder, smax=smax, max_read_length=max_read_length,
         vtail=vtail, pexpand=pexpand,
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,
         ("nreads", "width", "max_read_length", "vchunk", "surv_cap",
-         "smax", "gsteps", "mgather", "mg_rows_window", "interpret",
-         "dorder", "vtail"),
+         "smax", "gsteps", "mgather", "mg_rows", "mg_rows_window",
+         "interpret", "dorder", "vtail"),
     )
     surv, nsurv, oflow_v = verify(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
         rpacked, lengths, tpacked, gene_start, budget, trows, gblock,
         nreads=nreads, width=width, max_read_length=max_read_length,
         vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
-        mgather=mg, mg_rows_window=_MG_ROWS_WINDOW * scale, interpret=interp,
+        mgather=mg, mg_rows=mg_rows,
+        mg_rows_window=_MG_ROWS_WINDOW * scale, interpret=interp,
         dorder=dorder, vtail=vtail,
     )
-    if mg:
-        flag = jnp.maximum(oflow, oflow_v)
-        nsurv = nsurv + flag * jnp.int32(1 << MG_FLAG_BIT)
+    if mg_spos:
+        nsurv = nsurv + oflow * jnp.int32(1 << MG_FLAG_BIT)
+    if mg_rows:
+        nsurv = nsurv + oflow_v * jnp.int32(1 << MG_FLAG_BIT_ROWS)
     return surv, nsurv, total, totalf
 
 

@@ -262,7 +262,8 @@ def _verify_step_dedup(
     counts, lo, qid, rpacked, lengths, gene_start, spos, tpacked, trows,
     gblock, gene_base, budget, q1s, *, width, min_dinuc, max_read_length,
     pair_cap, vchunk, surv_cap, smax, gsteps, mm, mmtol, match_mode,
-    mgather, mg_window, mg_rows_window, interpret, dorder, vtail, pexpand,
+    mgather, mg_spos, mg_rows, mg_window, mg_rows_window, interpret,
+    dorder, vtail, pexpand,
 ):
     """Stage 2 per-device body (diagonal-dedup engine): the SAME expand +
     verify the single-chip path runs (fused._expand_pairs_impl /
@@ -280,7 +281,7 @@ def _verify_step_dedup(
     qid_s, u_idx, ur, ud, nuniq, _total, totalf, oflow = (
         fused._expand_pairs_impl(
             counts, lo, qid, q1s, spos, nreads=nreads, pair_cap=pair_cap,
-            mgather=mgather, mg_window=mg_window, interpret=interpret,
+            mgather=mg_spos, mg_window=mg_window, interpret=interpret,
             dorder=dorder, smax=smax, max_read_length=max_read_length,
             vtail=vtail, pexpand=pexpand,
         )
@@ -290,10 +291,17 @@ def _verify_step_dedup(
         tpacked, gene_start, budget, trows, gblock,
         nreads=nreads, width=width, max_read_length=max_read_length,
         vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
-        mgather=mgather, mg_rows_window=mg_rows_window, interpret=interpret,
+        mgather=mgather, mg_rows=mg_rows,
+        mg_rows_window=mg_rows_window, interpret=interpret,
         dorder=dorder, vtail=vtail,
     )
-    flag = jnp.maximum(oflow, oflow_v) if mgather else jnp.int32(0)
+    # Bit 0: postings-window overflow, bit 1: rows-window overflow —
+    # per-stream so the host disables only the overflowing stream.
+    flag = jnp.int32(0)
+    if mg_spos:
+        flag = flag | oflow
+    if mg_rows:
+        flag = flag | (oflow_v << 1)
     out = _rank_gathered(surv, nsurv, totalf, gene_base, mm, mmtol,
                          surv_cap=surv_cap, match_mode=match_mode)
     return out + (jnp.reshape(flag, (1, 1)),)
@@ -508,6 +516,9 @@ def sharded_match_arrays(
     # ---- Stage 2: expand + verify + mp-merge + on-device rank ----
     while True:
         mgather = fused.mgather_enabled() and use_dedup
+        mg_spos, mg_rows = (
+            (x and mgather) for x in fused.mg_streams()
+        )
         scale = fused.mg_scale()
         if use_dedup:
             pair_cap = max(_PAIR_FLOOR, _bucket_ceil(max_total))
@@ -518,6 +529,7 @@ def sharded_match_arrays(
                 surv_cap=surv_cap, smax=sidx.smax, gsteps=gsteps,
                 mm=cfg.MaxMatches, mmtol=cfg.MMTol,
                 match_mode=cfg.MatchMode, mgather=mgather,
+                mg_spos=mg_spos, mg_rows=mg_rows,
                 mg_window=fused._MG_WINDOW * scale,
                 mg_rows_window=fused._MG_ROWS_WINDOW * scale,
                 interpret=interpret and (
@@ -549,8 +561,12 @@ def sharded_match_arrays(
             counts, lo, qid, rp_g, len_g, *fixed
         )
         if mgather:
-            _, fmax = _global_minmax(flag_d)
-            if fmax > 0:
+            # Two bits per device (postings / rows): sum-reduce each bit
+            # via minmax on the masked values so a device overflowing one
+            # stream cannot hide another device's other-stream overflow.
+            _, f_spos = _global_minmax(flag_d & 1)
+            _, f_rows = _global_minmax(flag_d >> 1)
+            if f_spos > 0 or f_rows > 0:
                 if fused.mg_scale() < fused.MG_MAX_SCALE:
                     fused.set_mg_scale(fused.mg_scale() * 4)
                     logger.warning(
@@ -558,11 +574,16 @@ def sharded_match_arrays(
                         "windows to x%d and re-running", fused.mg_scale(),
                     )
                 else:
+                    spos_on, rows_on = fused.mg_streams()
+                    fused.set_mg_streams(
+                        spos_on and not f_spos > 0,
+                        rows_on and not f_rows > 0,
+                    )
                     logger.warning(
                         "mesh: monotone-gather window overflow at max "
-                        "scale; re-running on the XLA gather path"
+                        "scale; streams now spos=%s rows=%s",
+                        *fused.mg_streams(),
                     )
-                    fused.set_mgather(False)
                 continue
         _, ns_max = _global_minmax(nsurv)
         if int(ns_max) > surv_cap:

@@ -260,6 +260,63 @@ def test_mgather_overflow_falls_back_identically():
     assert len(mr_a.read_row) > 0
 
 
+def test_mgather_per_stream_fallback(monkeypatch):
+    """A postings-window overflow at max scale must disable ONLY the
+    postings stream: the rows windows (usually the bigger win) stay on,
+    mgather remains enabled, and the output is identical (round-3
+    per-stream fallback)."""
+    import numpy as np
+
+    from muscato_tpu.engine import pipeline
+    from muscato_tpu.io.reads import ReadSet
+    from muscato_tpu.io.targets import TargetSet
+    from muscato_tpu.io import seqcodec
+    from muscato_tpu.ops import fused
+
+    rng = np.random.default_rng(11)
+    genes = []
+    for gi in range(40):
+        g = np.zeros(600, np.uint8)
+        pos = rng.integers(0, 600, 5)
+        g[pos] = rng.integers(1, 4, 5)
+        genes.append(g)
+    tcat = np.concatenate(genes)
+    gene_start = np.arange(41, dtype=np.int64) * 600
+    ts = TargetSet(
+        tcat=tcat, gene_start=gene_start,
+        names=[b"g%d" % i for i in range(40)],
+        lengths=np.diff(gene_start),
+    )
+    reads = [bytes(seqcodec.LETTERS[c] for c in g[:60]) for g in genes[:16]]
+    codes, lengths = seqcodec.encode_rows(reads, 64)
+    rs = ReadSet(
+        codes=codes, lengths=lengths,
+        counts=np.ones(len(reads), np.int32),
+        name_blob=b"", name_off=np.zeros(len(reads) + 1, np.int64),
+        num_total=len(reads),
+    )
+    cfg = config_mod.Config(
+        Windows=[0, 8], WindowWidth=8, PMatch=0.9, MinDinuc=0,
+        MaxReadLength=64, MMTol=2, MaxMatches=10**6, MatchMode="best",
+    )
+    mr_a = pipeline.run_matching(cfg, rs, ts)
+    monkeypatch.setattr(fused, "MG_MAX_SCALE", 1)  # no growth: straight to
+    fused.set_mgather(True)                        # the per-stream disable
+    try:
+        mr_b = pipeline.run_matching(cfg, rs, ts)
+        assert fused.mgather_enabled(), "rows stream must survive"
+        assert fused.mg_streams() == (False, True)
+    finally:
+        fused.set_mgather(False)
+        fused.set_mg_scale(1)
+    for a, b in zip(
+        (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
+        (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert len(mr_a.read_row) > 0
+
+
 def test_pjoin_overflow_falls_back_identically():
     """An index whose single-key postings run exceeds the sorted-join
     window must return total = -1 from the probe; the pipeline re-probes
