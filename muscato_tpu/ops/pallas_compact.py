@@ -53,18 +53,25 @@ CHUNK = 1024
 
 
 def _byte_planes(x):
-    """(N,) int32 -> (N, 4) bf16 byte planes (each exact in bf16)."""
+    """(N,) int32 -> (N, 4) bf16 byte planes (each exact in bf16).
+
+    Stays 32-bit through the stack and casts LAST: Mosaic rejects both
+    unsigned->float casts and minor-dim insertion on sub-32-bit types
+    ("Insertion of minor dim that is not a no-op only supported for
+    32-bit types"), so the (N,)->(N,1) expands inside the stack must
+    happen on int32 lanes."""
     xu = x.astype(jnp.uint32)
-    return jnp.stack(
+    planes = jnp.stack(
         [
             jnp.bitwise_and(
                 jax.lax.shift_right_logical(xu, jnp.uint32(8 * p)),
                 jnp.uint32(255),
-            ).astype(jnp.bfloat16)
+            ).astype(jnp.int32)
             for p in range(4)
         ],
         axis=1,
-    )
+    )  # (N, 4) int32
+    return planes.astype(jnp.bfloat16)
 
 
 def _reassemble(planes_f32):
@@ -92,9 +99,10 @@ def _kernel(*refs, block, nvals):
     for k in range(nchunk):
         sl = pl.ds(k * CHUNK, CHUNK)
         keep = (keep_ref[sl] != 0)
-        kb = keep.astype(jnp.bfloat16)
+        # Minor-dim insert on int32 (Mosaic rejects it on bf16), cast after.
+        kb = keep.astype(jnp.int32)[:, None].astype(jnp.bfloat16)
         pos = jax.lax.dot_general(
-            tril, kb[:, None], (((1,), (0,)), ((), ())),
+            tril, kb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[:, 0].astype(jnp.int32)  # (CHUNK,) rank of each kept lane
         # One-hot compaction: onehot[i, j] = (pos[j] == i) & keep[j].

@@ -86,20 +86,19 @@ def _kernel(starts_ref, cstarts_ref, oexcl_ref, lo_ref, qid_ref,
         c.wait()
     slot = jax.lax.rem(b, 2)
     w0 = starts_ref[b] & ~(LANE - 1)  # 128-aligned block window base
-    ow = ow_ref[slot].reshape(BW_ROWS * LANE)
-    lw = lw_ref[slot].reshape(BW_ROWS * LANE)
-    qw = qw_ref[slot].reshape(BW_ROWS * LANE)
 
     cw = CW_ROWS * LANE
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, cw), 1)
     for k in range(BLOCK // CHUNK):
         # This chunk's slot window, as a 128-aligned slice of the block
-        # window (sublane-dim dynamic slice, no extra DMA).
+        # window.  The dynamic start lives in the REF load (sublane-dim
+        # pl.ds), which Mosaic lowers; lax.dynamic_slice on a loaded
+        # value does not (KernelType.TC has no dynamic_slice rule).
         c0 = cstarts_ref[b * (BLOCK // CHUNK) + k] & ~(LANE - 1)
         rel = (c0 - w0) // LANE
-        oc = jax.lax.dynamic_slice(ow, ((rel * LANE,)), (cw,))
-        lc = jax.lax.dynamic_slice(lw, ((rel * LANE,)), (cw,))
-        qc = jax.lax.dynamic_slice(qw, ((rel * LANE,)), (cw,))
+        oc = ow_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(cw)
+        lc = lw_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(cw)
+        qc = qw_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(cw)
 
         pid = (
             b * BLOCK + k * CHUNK

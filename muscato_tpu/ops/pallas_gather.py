@@ -83,11 +83,13 @@ def _kernel(starts_ref, idx_ref, table_ref, out_ref, win_ref, sem,
     win = win_ref[jax.lax.rem(b, 2)]  # (R, 128) int32
 
     # Byte planes, bf16: each matmul output is a one-hot row sum, i.e. a
-    # single byte value 0..255 — exact in bf16/f32.
+    # single byte value 0..255 — exact in bf16/f32.  The masked byte is
+    # re-signed to int32 before the float cast: Mosaic lowers int->float
+    # but rejects unsigned->float (jax mosaic lowering _convert_helper).
     planes = [
         jnp.bitwise_and(jax.lax.shift_right_logical(
             win.astype(jnp.uint32), jnp.uint32(8 * p)), jnp.uint32(255)
-        ).astype(jnp.bfloat16)
+        ).astype(jnp.int32).astype(jnp.bfloat16)
         for p in range(4)
     ]
     winb = jnp.concatenate(planes, axis=1)  # (R, 512) bf16
@@ -224,7 +226,7 @@ def _rows_kernel(starts_ref, ridx_ref, table_ref, out_ref,
     planes = [
         jnp.bitwise_and(jax.lax.shift_right_logical(
             win.astype(jnp.uint32), jnp.uint32(8 * p)), jnp.uint32(255)
-        ).astype(jnp.bfloat16)
+        ).astype(jnp.int32).astype(jnp.bfloat16)  # Mosaic: no uint->float
         for p in range(4)
     ]
     winb = jnp.concatenate(planes, axis=1)  # (WR, 4*NC) bf16

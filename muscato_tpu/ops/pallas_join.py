@@ -96,7 +96,7 @@ def _kernel(starts_ref, q_ref, keys_ref, lo_ref, cnt_ref,
     planes = [
         jnp.bitwise_and(jax.lax.shift_right_logical(
             win_u, jnp.uint32(8 * p)), jnp.uint32(255)
-        ).astype(jnp.bfloat16)
+        ).astype(jnp.int32).astype(jnp.bfloat16)  # Mosaic: no uint->float
         for p in range(4)
     ]
     winb = jnp.concatenate(planes, axis=1)  # (WR, 512) bf16

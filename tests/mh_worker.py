@@ -26,7 +26,9 @@ def main():
     pid, nproc, port, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
     )
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    sys.path.insert(0, os.path.dirname(here))  # repo root: muscato_tpu pkg
 
     from muscato_tpu.parallel import dist
 
