@@ -74,15 +74,24 @@ def _byte_planes(x):
     return planes.astype(jnp.bfloat16)
 
 
-def _reassemble(planes_f32):
-    """(N, 4) f32 byte planes -> (N,) int32."""
-    p = [planes_f32[:, i].astype(jnp.int32) for i in range(4)]
-    return (
-        p[0]
-        | jax.lax.shift_left(p[1], 8)
-        | jax.lax.shift_left(p[2], 16)
-        | jax.lax.shift_left(p[3], 24)
-    )
+def _reassemble_multi(out_f32, nvals):
+    """(N, 4*nvals) f32 byte planes -> nvals (N,) int32 vectors.
+
+    Uses per-lane shifts + masked lane-dim reduces only: single-column
+    extracts (``x[:, i]``) of a 2-D vector force sublane relayouts that
+    Mosaic miscompiles (device check showed scrambled high bytes), while
+    minor-dim reduces are the same pattern monotone_gather ships."""
+    n, c = out_f32.shape
+    assert c == 4 * nvals, (c, nvals)
+    pi = out_f32.astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    sh = jnp.bitwise_and(iota, 3) * 8
+    shifted = jax.lax.shift_left(pi, sh)
+    grp = jax.lax.shift_right_logical(iota, 2)
+    return [
+        jnp.sum(jnp.where(grp == v, shifted, 0), axis=1)
+        for v in range(nvals)
+    ]
 
 
 def _kernel(*refs, block, nvals):
@@ -101,15 +110,17 @@ def _kernel(*refs, block, nvals):
         keep = (keep_ref[sl] != 0)
         # Minor-dim insert on int32 (Mosaic rejects it on bf16), cast after.
         kb = keep.astype(jnp.int32)[:, None].astype(jnp.bfloat16)
-        pos = jax.lax.dot_general(
+        pos = jnp.sum(jax.lax.dot_general(
             tril, kb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )[:, 0].astype(jnp.int32)  # (CHUNK,) rank of each kept lane
+        ), axis=1).astype(jnp.int32)  # (CHUNK,) rank of each kept lane
         # One-hot compaction: onehot[i, j] = (pos[j] == i) & keep[j].
-        onehot = jnp.where(
-            (pos[None, :] == i0) & keep[None, :],
-            jnp.bfloat16(1), jnp.bfloat16(0),
-        )
+        # Folding keep into pos (dropped lanes rank -1, matching no row)
+        # keeps this a single int32 compare -> cast: the two-mask
+        # ``where(cmp & keep[None, :], ...)`` form makes Mosaic relayout
+        # a broadcast (1024, 1024) i1 vector, which it rejects.
+        posk = jnp.where(keep, pos, jnp.int32(-1))
+        onehot = (posk[None, :] == i0).astype(jnp.int32).astype(jnp.bfloat16)
         planes = jnp.concatenate(
             [_byte_planes(vr[sl]) for vr in val_refs], axis=1
         )  # (CHUNK, 4*nvals) bf16
@@ -117,8 +128,9 @@ def _kernel(*refs, block, nvals):
             onehot, planes, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (CHUNK, 4*nvals) f32; rows past the chunk's count are all-zero
+        words = _reassemble_multi(out, nvals)
         for v, out_ref in enumerate(out_refs):
-            out_ref[sl] = _reassemble(out[:, 4 * v:4 * v + 4])
+            out_ref[sl] = words[v]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))

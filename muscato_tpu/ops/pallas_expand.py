@@ -43,13 +43,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_compact import _byte_planes, _reassemble
+from .pallas_compact import _byte_planes, _reassemble_multi
 
 LANE = 128
 CHUNK = 1024
 CW_ROWS = 10           # per-chunk slot window: 1280 slots >= 1025 + align
-BLOCK = 8192
-BW_ROWS = 75           # per-block slot window rows: covers 8193 + align + CW
+BLOCK = 4096           # 8192 unrolls past the 16M Mosaic vmem stack limit
+BW_ROWS = 43           # per-block slot window rows: covers 4097 + align + CW
 
 
 def _dma(table_ref, starts_ref, win_ref, sem, step, rows):
@@ -88,41 +88,48 @@ def _kernel(starts_ref, cstarts_ref, oexcl_ref, lo_ref, qid_ref,
     w0 = starts_ref[b] & ~(LANE - 1)  # 128-aligned block window base
 
     cw = CW_ROWS * LANE
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, cw), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANE), 1)
     for k in range(BLOCK // CHUNK):
         # This chunk's slot window, as a 128-aligned slice of the block
         # window.  The dynamic start lives in the REF load (sublane-dim
         # pl.ds), which Mosaic lowers; lax.dynamic_slice on a loaded
         # value does not (KernelType.TC has no dynamic_slice rule).
+        # The window stays 2-D (CW_ROWS, 128) throughout — collapsing it
+        # to a (cw,) lane vector is a tpu.reshape Mosaic rejects — and
+        # the rank/pick steps below unroll over its CW_ROWS rows.
         c0 = cstarts_ref[b * (BLOCK // CHUNK) + k] & ~(LANE - 1)
         rel = (c0 - w0) // LANE
-        oc = ow_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(cw)
-        lc = lw_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(cw)
-        qc = qw_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(cw)
+        oc = ow_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(CW_ROWS, LANE)
+        lc = lw_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(CW_ROWS, LANE)
+        qc = qw_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(CW_ROWS, LANE)
 
         pid = (
             b * BLOCK + k * CHUNK
             + jax.lax.broadcasted_iota(jnp.int32, (CHUNK,), 0)
         )
-        # rank = #window slots with oexcl <= pid (f32 accumulate of bf16
-        # ones — exact to 2**24 >> window size).
-        cmp = (oc[None, :] <= pid[:, None]).astype(jnp.bfloat16)
-        rank = jax.lax.dot_general(
-            cmp, jnp.ones((cw, 1), jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[:, 0].astype(jnp.int32)
+        # rank = #window slots with oexcl <= pid, summed row by row.
+        rank = jnp.zeros((CHUNK,), jnp.int32)
+        for r in range(CW_ROWS):
+            rank = rank + jnp.sum(
+                (oc[r][None, :] <= pid[:, None]).astype(jnp.int32), axis=1
+            )
         o = jnp.clip(rank - 1, 0, cw - 1)  # owner offset within the window
-        onehot = (iota_s == o[:, None]).astype(jnp.bfloat16)
-        planes = jnp.concatenate(
-            [_byte_planes(oc), _byte_planes(lc), _byte_planes(qc)], axis=1
-        )  # (cw, 12) bf16
-        picked = jax.lax.dot_general(
-            onehot, planes, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (CHUNK, 12) f32
-        oex = _reassemble(picked[:, 0:4])
-        lo = _reassemble(picked[:, 4:8])
-        qid = _reassemble(picked[:, 8:12])
+        # Owner pick: one (CHUNK, 128) one-hot matmul per window row
+        # against that row's byte planes; only the owner's row contributes
+        # to the f32 accumulator.
+        picked = jnp.zeros((CHUNK, 12), jnp.float32)
+        for r in range(CW_ROWS):
+            onehot_r = ((o - r * LANE)[:, None] == iota_l).astype(
+                jnp.int32).astype(jnp.bfloat16)
+            planes_r = jnp.concatenate(
+                [_byte_planes(oc[r]), _byte_planes(lc[r]),
+                 _byte_planes(qc[r])], axis=1
+            )  # (128, 12) bf16
+            picked = picked + jax.lax.dot_general(
+                onehot_r, planes_r, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        oex, lo, qid = _reassemble_multi(picked, 3)
         sl = pl.ds(k * CHUNK, CHUNK)
         qid_out[sl] = qid
         sidx_out[sl] = lo + (pid - oex)

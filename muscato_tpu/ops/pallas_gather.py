@@ -272,6 +272,12 @@ def monotone_gather_rows(
             jnp.zeros((m, ncols), table.dtype),
             jnp.int32(1 if m and not nrows else 0),
         )
+    cpad = -ncols % LANE
+    if cpad:
+        # Mosaic requires the window DMA's minor dim to be lane-aligned
+        # ("Slice shape along dimension 1 must be aligned to tiling (128)").
+        table = jnp.pad(table, ((0, 0), (0, cpad)))
+    ncols_p = ncols + cpad
     window_rows = min(window_rows, max(nrows, 1))
     mpad = -m % block
     if mpad:
@@ -291,20 +297,20 @@ def monotone_gather_rows(
             pl.BlockSpec((block,), lambda b, starts: (b,)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((block, ncols), lambda b, starts: (b, 0)),
+        out_specs=pl.BlockSpec((block, ncols_p), lambda b, starts: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, window_rows, ncols), table.dtype),
+            pltpu.VMEM((2, window_rows, ncols_p), table.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _rows_kernel, window_rows=window_rows, ncols=ncols
+            _rows_kernel, window_rows=window_rows, ncols=ncols_p
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((mp, ncols), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((mp, ncols_p), jnp.uint32),
         interpret=interpret,
     )(starts, ridx, table)
     off = ridx - jnp.repeat(starts, block)
     oflow = jnp.max(((off < 0) | (off >= window_rows)).astype(jnp.int32))
-    return out[:m].astype(table.dtype), oflow
+    return out[:m, :ncols].astype(table.dtype), oflow

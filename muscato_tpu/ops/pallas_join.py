@@ -81,16 +81,6 @@ def _kernel(starts_ref, q_ref, keys_ref, lo_ref, cnt_ref,
     nb = q.shape[0]
     _win_dma(keys_ref, starts_ref, win_ref, sem, b, window_rows).wait()
     win_u = win_ref[jax.lax.rem(b, 2)]  # (WR, 128) uint32 sorted keys
-    win = _flip(win_u)
-
-    rowmin = win[:, 0]  # (WR,)
-    # Rows whose first key is < q (resp. <= q): the boundary row indices.
-    r_lt = jnp.sum(
-        (rowmin[None, :] < q[:, None]).astype(jnp.int32), axis=1
-    )  # (B,)
-    r_le = jnp.sum(
-        (rowmin[None, :] <= q[:, None]).astype(jnp.int32), axis=1
-    )
 
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (nb, window_rows), 1)
     planes = [
@@ -100,6 +90,33 @@ def _kernel(starts_ref, q_ref, keys_ref, lo_ref, cnt_ref,
         for p in range(4)
     ]
     winb = jnp.concatenate(planes, axis=1)  # (WR, 512) bf16
+
+    # Row-min boundary keys as a LANE-dim vector.  A plain ``win[:, 0]``
+    # column extract forces a sublane->lane relayout that Mosaic lowers
+    # with ~0.5MB of stack per window row (vmem OOM at any useful WR);
+    # instead select column 0 of each byte plane with one (4, 512) one-hot
+    # against winb^T on the MXU and reassemble — everything stays lane-dim.
+    sel_i0 = jax.lax.broadcasted_iota(jnp.int32, (4, 512), 0)
+    sel_i1 = jax.lax.broadcasted_iota(jnp.int32, (4, 512), 1)
+    sel = (sel_i1 == sel_i0 * LANE).astype(jnp.bfloat16)
+    rmt = jax.lax.dot_general(
+        sel, winb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (4, WR) f32: byte plane p of each row's first key
+    rp = [rmt[p].astype(jnp.int32) for p in range(4)]
+    rowmin_u = (
+        rp[0] | jax.lax.shift_left(rp[1], 8)
+        | jax.lax.shift_left(rp[2], 16) | jax.lax.shift_left(rp[3], 24)
+    )  # (WR,) int32 bit pattern of the unflipped uint32 key
+    rowmin = _flip(jax.lax.bitcast_convert_type(rowmin_u, jnp.uint32))
+
+    # Rows whose first key is < q (resp. <= q): the boundary row indices.
+    r_lt = jnp.sum(
+        (rowmin[None, :] < q[:, None]).astype(jnp.int32), axis=1
+    )  # (B,)
+    r_le = jnp.sum(
+        (rowmin[None, :] <= q[:, None]).astype(jnp.int32), axis=1
+    )
 
     def fetch_row(r):
         onehot = (r[:, None] == rows_iota).astype(jnp.bfloat16)
