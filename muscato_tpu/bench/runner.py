@@ -217,8 +217,10 @@ def main(argv=None) -> int:
     import argparse
 
     from ..cli import _apply_platform_override
+    from ..io import native
 
     _apply_platform_override()
+    native.ensure_built()  # fast index sort; graceful fallback if no g++
 
     p = argparse.ArgumentParser()
     p.add_argument("--Workload", choices=("big", "small", "both"), default="both")

@@ -39,6 +39,20 @@ def _try_build() -> None:
         pass
 
 
+def ensure_built():
+    """Build the library if absent (graceful no-op on failure) and load it.
+
+    Callers that measure or ship performance (the bench runner) use this
+    so a fresh machine doesn't silently fall back to the ~30x slower
+    Python index sort; library users go through get_lib, which never
+    spawns a compiler unless MUSCATO_NATIVE_BUILD=1."""
+    global _TRIED
+    if not os.path.exists(_SO):
+        _try_build()
+        _TRIED = False
+    return get_lib()
+
+
 def get_lib():
     """The loaded library, or None if unavailable."""
     global _LIB, _TRIED
