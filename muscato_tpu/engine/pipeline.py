@@ -52,6 +52,37 @@ def _round_up(n: int, to: int) -> int:
     return max(to, -(-n // to) * to)
 
 
+def _maybe_disable_kernels(e: Exception) -> bool:
+    """Runtime safety net for the opt-in Pallas kernels.
+
+    The kernels are device-proven on TPU v5e (bench/pallas_device_check),
+    but a different TPU generation or toolchain can still reject a shape
+    at compile time (Mosaic layout/vmem-stack limits are per-target).
+    When that happens mid-run, disable every engine kernel and let the
+    caller re-dispatch the batch on the always-correct XLA paths instead
+    of crashing a long mapping job.  Returns True iff the exception looks
+    like a kernel-backend failure AND at least one kernel was on (all are
+    now off)."""
+    if not (fused.pjoin_enabled() or fused.mgather_enabled()
+            or fused.vtail_enabled() or fused.pexpand_enabled()):
+        return False
+    s = repr(e)
+    if not ("Mosaic" in s or "mosaic" in s or "tpu_custom_call" in s
+            or "vmem" in s.lower()):
+        return False
+    logger.error(
+        "Pallas engine kernel failed on this backend (%s: %.300s); "
+        "disabling MGATHER/PJOIN/VTAIL/PEXPAND and re-running on the "
+        "XLA paths", type(e).__name__, s,
+    )
+    fused.set_pjoin(False)
+    fused.set_mgather(False)
+    fused.set_mg_streams(False, False)
+    fused.set_vtail(False)
+    fused.set_pexpand(False)
+    return True
+
+
 # Process-wide survivor-capacity hint: overflow regrows persist across
 # batches and runs so right-sized executables are reused.
 _CAP_HINT = [1 << 16]
@@ -241,10 +272,18 @@ def run_matching_indexed(
         # Probe first; its exact pair total (one scalar fetch that
         # overlaps nothing the host needs sooner) sizes the dedup pair
         # buffer exactly — no overflow/regrow re-dispatches.
-        pr = fused.probe_windows(
-            rpacked, lengths, q1s, index.skeys,
-            width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
-        )
+        try:
+            pr = fused.probe_windows(
+                rpacked, lengths, q1s, index.skeys,
+                width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
+            )
+        except Exception as e:
+            if not _maybe_disable_kernels(e):
+                raise
+            pr = fused.probe_windows(
+                rpacked, lengths, q1s, index.skeys,
+                width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
+            )
         # Stage batch N+1's host matrix + upload NOW, while batch N's
         # probe executes (the int(total) sync below would otherwise
         # serialize host staging against device compute; device_put is
@@ -301,26 +340,31 @@ def run_matching_indexed(
             and total <= _MAX_PAIR_CAP
         )
         while True:
-            if use_dedup:
-                pair_cap = max(_PAIR_FLOOR, _bucket_ceil(total))
-                buf, nsurv_d, _t, _tf = fused.expand_verify_dedup(
-                    pr, q1s, rpacked, lengths, index.spos,
-                    index.tpacked, index.gene_start, budget,
-                    width=width, max_read_length=cfg.MaxReadLength,
-                    pair_cap=pair_cap, vchunk=min(vchunk, pair_cap),
-                    surv_cap=surv_cap, smax=index.num_bases,
-                    trows=trows, gblock=gblock, gsteps=gsteps,
-                )
-            else:
-                buf, nsurv_d, _t, _tf = fused.expand_verify_streamed(
-                    pr, q1s, rpacked, lengths, index.spos,
-                    index.tpacked, index.gene_start, budget,
-                    width=width, max_read_length=cfg.MaxReadLength,
-                    pair_chunk=pair_chunk, surv_cap=surv_cap,
-                    smax=index.num_bases,
-                    trows=trows, gblock=gblock, gsteps=gsteps,
-                )
-            nsurv = int(nsurv_d)
+            try:
+                if use_dedup:
+                    pair_cap = max(_PAIR_FLOOR, _bucket_ceil(total))
+                    buf, nsurv_d, _t, _tf = fused.expand_verify_dedup(
+                        pr, q1s, rpacked, lengths, index.spos,
+                        index.tpacked, index.gene_start, budget,
+                        width=width, max_read_length=cfg.MaxReadLength,
+                        pair_cap=pair_cap, vchunk=min(vchunk, pair_cap),
+                        surv_cap=surv_cap, smax=index.num_bases,
+                        trows=trows, gblock=gblock, gsteps=gsteps,
+                    )
+                else:
+                    buf, nsurv_d, _t, _tf = fused.expand_verify_streamed(
+                        pr, q1s, rpacked, lengths, index.spos,
+                        index.tpacked, index.gene_start, budget,
+                        width=width, max_read_length=cfg.MaxReadLength,
+                        pair_chunk=pair_chunk, surv_cap=surv_cap,
+                        smax=index.num_bases,
+                        trows=trows, gblock=gblock, gsteps=gsteps,
+                    )
+                nsurv = int(nsurv_d)
+            except Exception as e:
+                if not _maybe_disable_kernels(e):
+                    raise
+                continue
             of_spos = bool(nsurv & (1 << fused.MG_FLAG_BIT))
             of_rows = bool(nsurv & (1 << fused.MG_FLAG_BIT_ROWS))
             nsurv &= (1 << fused.MG_FLAG_BIT_ROWS) - 1
@@ -328,7 +372,11 @@ def run_matching_indexed(
                 # Monotone-gather window overflow (extreme postings-run
                 # or row spans): correctness requires the XLA gather path
                 # for the overflowing stream.  Loud, rare, never wrong.
-                if fused.mg_scale() < fused.MG_MAX_SCALE:
+                # Growth only helps the postings window: the rows window
+                # is clamped at its device-proven Mosaic cap, so a rows
+                # overflow at the cap disables that stream directly.
+                growable = of_spos or not fused.mg_rows_at_cap()
+                if fused.mg_scale() < fused.MG_MAX_SCALE and growable:
                     # Grow the gather windows 4x (fresh static shape)
                     # before abandoning the kernels — one recompile
                     # beats per-batch XLA gathers for the whole run.

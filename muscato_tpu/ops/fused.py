@@ -150,6 +150,15 @@ _MG_ROWS = [True]
 # before abandoning the kernels; each growth is a fresh static shape).
 _MG_SCALE = [1]
 MG_MAX_SCALE = 16
+# The rows kernel's per-block iota/one-hot intermediates scale linearly
+# with its window; 2048 rows is the largest device-proven size under
+# Mosaic's 16M vmem stack limit (pallas_device_check), so growth never
+# raises it — a rows overflow at the cap disables that stream instead.
+_MG_ROWS_WINDOW_CAP = 2048
+
+
+def mg_rows_at_cap() -> bool:
+    return _MG_ROWS_WINDOW * _MG_SCALE[0] >= _MG_ROWS_WINDOW_CAP
 
 
 def mgather_enabled() -> bool:
@@ -1493,7 +1502,8 @@ def expand_verify_dedup(
         nreads=nreads, width=width, max_read_length=max_read_length,
         vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
         mgather=mg, mg_rows=mg_rows,
-        mg_rows_window=_MG_ROWS_WINDOW * scale, interpret=interp,
+        mg_rows_window=min(_MG_ROWS_WINDOW * scale, _MG_ROWS_WINDOW_CAP),
+        interpret=interp,
         dorder=dorder, vtail=vtail,
     )
     if mg_spos:

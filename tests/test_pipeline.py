@@ -373,3 +373,58 @@ def test_pjoin_overflow_falls_back_identically():
     ):
         np.testing.assert_array_equal(a, b)
     assert len(mr_a.read_row) > 0
+
+
+def test_mosaic_failure_safety_net():
+    """A backend kernel failure disables every engine kernel once and
+    re-dispatches; unrelated errors pass through untouched."""
+    from muscato_tpu.engine.pipeline import _maybe_disable_kernels
+    from muscato_tpu.ops import fused
+
+    moserr = RuntimeError(
+        "INTERNAL: Mosaic failed to compile TPU kernel: vmem limit"
+    )
+    # No kernels on: not ours to handle.
+    for setter in (fused.set_pjoin, fused.set_mgather, fused.set_vtail,
+                   fused.set_pexpand):
+        setter(False)
+    assert not _maybe_disable_kernels(moserr)
+
+    fused.set_mgather(True)
+    fused.set_vtail(True)
+    try:
+        # Unrelated error: untouched, kernels stay on.
+        assert not _maybe_disable_kernels(ValueError("bad shape"))
+        assert fused.mgather_enabled() and fused.vtail_enabled()
+        # Kernel-backend error: everything off, one-shot.
+        assert _maybe_disable_kernels(moserr)
+        assert not fused.mgather_enabled()
+        assert not fused.vtail_enabled()
+        assert not fused.pjoin_enabled()
+        assert not fused.pexpand_enabled()
+        # Second occurrence (kernels already off) re-raises at the caller.
+        assert not _maybe_disable_kernels(moserr)
+    finally:
+        for setter in (fused.set_pjoin, fused.set_mgather, fused.set_vtail,
+                       fused.set_pexpand):
+            setter(False)
+        fused.set_mg_streams(False, False)
+
+
+def test_mg_rows_window_growth_is_capped():
+    """The verify rows window never grows past its device-proven Mosaic
+    cap: growth helps only the postings stream."""
+    from muscato_tpu.ops import fused
+    from muscato_tpu.ops.fused import (
+        _MG_ROWS_WINDOW, _MG_ROWS_WINDOW_CAP, mg_rows_at_cap,
+    )
+
+    assert _MG_ROWS_WINDOW <= _MG_ROWS_WINDOW_CAP
+    old = fused.mg_scale()
+    try:
+        fused.set_mg_scale(1)
+        assert mg_rows_at_cap() == (_MG_ROWS_WINDOW >= _MG_ROWS_WINDOW_CAP)
+        fused.set_mg_scale(fused.MG_MAX_SCALE)
+        assert mg_rows_at_cap()
+    finally:
+        fused.set_mg_scale(old)
