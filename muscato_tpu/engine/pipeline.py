@@ -68,7 +68,8 @@ def _maybe_disable_kernels(e: Exception) -> bool:
         return False
     s = repr(e)
     if not ("Mosaic" in s or "mosaic" in s or "tpu_custom_call" in s
-            or "vmem" in s.lower()):
+            or "vmem" in s.lower() or "kernel fault" in s
+            or "TPU worker process crashed" in s):
         return False
     logger.error(
         "Pallas engine kernel failed on this backend (%s: %.300s); "

@@ -384,6 +384,10 @@ def test_mosaic_failure_safety_net():
     moserr = RuntimeError(
         "INTERNAL: Mosaic failed to compile TPU kernel: vmem limit"
     )
+    crasherr = RuntimeError(
+        "UNAVAILABLE: TPU worker process crashed or restarted. This can "
+        "be caused by a kernel fault"
+    )
     # No kernels on: not ours to handle.
     for setter in (fused.set_pjoin, fused.set_mgather, fused.set_vtail,
                    fused.set_pexpand):
@@ -404,6 +408,10 @@ def test_mosaic_failure_safety_net():
         assert not fused.pexpand_enabled()
         # Second occurrence (kernels already off) re-raises at the caller.
         assert not _maybe_disable_kernels(moserr)
+        # A worker crash with kernels on is also treated as kernel-caused.
+        fused.set_pexpand(True)
+        assert _maybe_disable_kernels(crasherr)
+        assert not fused.pexpand_enabled()
     finally:
         for setter in (fused.set_pjoin, fused.set_mgather, fused.set_vtail,
                        fused.set_pexpand):
