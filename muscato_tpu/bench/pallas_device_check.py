@@ -156,6 +156,21 @@ def main() -> int:
         np.testing.assert_array_equal(np.asarray(q)[:total], eq[:total])
         np.testing.assert_array_equal(np.asarray(sx)[:total], es[:total])
 
+        # Engine-shaped dead tail: compacted slot arrays end in a long
+        # counts=0 run (oexcl == total) with pair_cap >> total.  Chunks
+        # past the total resolve their window start into that tail; the
+        # unclamped rel read faulted the TPU worker on v5e (round 3).
+        counts[m // 8:] = 0
+        oexcl = (np.cumsum(counts) - counts).astype(np.int32)
+        total = int(counts.sum())
+        q, sx = pe.expand_owners(
+            jnp.asarray(oexcl), jnp.asarray(lo), jnp.asarray(qid),
+            pair_cap=cap, interpret=interp,
+        )
+        eq, es = pe.expand_owners_np(oexcl, lo, qid, cap)
+        np.testing.assert_array_equal(np.asarray(q)[:total], eq[:total])
+        np.testing.assert_array_equal(np.asarray(sx)[:total], es[:total])
+
     check("monotone_gather", _monotone_gather)
     check("monotone_gather_rows", _monotone_gather_rows)
     check("sorted_join", _sorted_join)

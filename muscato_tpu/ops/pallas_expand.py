@@ -98,7 +98,17 @@ def _kernel(starts_ref, cstarts_ref, oexcl_ref, lo_ref, qid_ref,
         # to a (cw,) lane vector is a tpu.reshape Mosaic rejects — and
         # the rank/pick steps below unroll over its CW_ROWS rows.
         c0 = cstarts_ref[b * (BLOCK // CHUNK) + k] & ~(LANE - 1)
-        rel = (c0 - w0) // LANE
+        # Clamp into the block window.  Within the LIVE slot prefix the
+        # spread bound (<= BLOCK+1 owners per block + alignment) keeps
+        # rel <= BW_ROWS - CW_ROWS by construction; but compacted slot
+        # arrays carry a DEAD TAIL (counts 0, oexcl == total), and a
+        # chunk whose lanes lie past the pair total resolves its cstart
+        # into that tail — far beyond the block window.  Those chunks'
+        # lanes are all inactive (pid >= total, masked by the caller),
+        # so clamping keeps the VMEM read in bounds without changing any
+        # active lane.  Unclamped, the slice reads past the scratch
+        # window and faults the TPU worker (observed on v5e).
+        rel = jnp.clip((c0 - w0) // LANE, 0, BW_ROWS - CW_ROWS)
         oc = ow_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(CW_ROWS, LANE)
         lc = lw_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(CW_ROWS, LANE)
         qc = qw_ref[slot, pl.ds(rel, CW_ROWS), :].reshape(CW_ROWS, LANE)
