@@ -55,6 +55,12 @@ class Config:
     TargetChunk: int = 0
     MaxPairChunk: int = 0
     ReadBatch: int = 0
+    # Bounded-memory read prep: spill sorted unique runs of this many
+    # records to disk and stream-merge them (the analogue of the
+    # reference's prep_reads | sort -S 50% external sort,
+    # /root/reference/cmd/muscato/main.go:181-189).  0 = one in-memory
+    # pass (fastest; peak RSS grows with the read collection).
+    PrepChunk: int = 0
     # Resume the match stage from a previous run's TempDir (expects its
     # matches.npz artifact; pair with NoCleanTemp on the producing run).
     ResumeDir: str = ""
@@ -168,6 +174,7 @@ _FLAG_SPECS = [
     ("TargetChunk", int, "Engine target-chunk size override (0 = auto)"),
     ("MaxPairChunk", int, "Verification pair-chunk size override (0 = auto)"),
     ("ReadBatch", int, "Unique-read batch size streamed per device pass (0 = auto)"),
+    ("PrepChunk", int, "Reads per spilled prep run; bounds prep RSS (0 = in-memory)"),
     ("ResumeDir", str, "Resume matching from a previous run's TempDir (matches.npz)"),
     ("Mesh", str, "Device mesh: 'auto', 'off', or 'DPxMP' (e.g. '2x4')"),
     ("IndexFile", str, "Persist/reuse the sorted target index (npz path)"),

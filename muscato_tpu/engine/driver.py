@@ -202,6 +202,14 @@ def _run_stages(cfg: Config, logger: logging.Logger) -> None:
         rs = _dist.build_readset_multihost(
             cfg.ReadFileName, cfg.MinReadLength, cfg.MaxReadLength
         )
+    elif cfg.PrepChunk:
+        # Bounded-memory prep: sorted unique runs spill to disk and
+        # stream-merge into memmap-backed arrays (io.reads, the analogue
+        # of the reference's external `sort -S 50%`).
+        rs = reads_io.build_readset_chunked(
+            cfg.ReadFileName, cfg.MinReadLength, cfg.MaxReadLength,
+            chunk_reads=cfg.PrepChunk,
+        )
     else:
         rs = reads_io.build_readset(
             cfg.ReadFileName, cfg.MinReadLength, cfg.MaxReadLength
@@ -261,19 +269,21 @@ def _run_stages(cfg: Config, logger: logging.Logger) -> None:
             logger.info("profiler trace written to %s", os.path.join(cfg.LogDir, "trace"))
         else:
             mr = _match()
+    import jax as _jax
+
+    if _jax.process_count() > 1 and _jax.process_index() != 0:
+        # Multi-host: retained rows are gathered to the primary and ranked
+        # there (parallel/mesh.py); this process's MatchResult is empty by
+        # construction, so there is no matches.npz stage artifact or
+        # report output to write here (per-host temp/log dirs remain).
+        logger.info("non-primary process: rank/report ran on the primary")
+        return
+
     logger.info("retained %d matches", len(mr.read_row))
     np.savez(
         os.path.join(cfg.TempDir, "matches.npz"),
         read_row=mr.read_row, gene=mr.gene, start=mr.start, nmiss=mr.nmiss,
     )
-
-    import jax as _jax
-
-    if _jax.process_count() > 1 and _jax.process_index() != 0:
-        # Multi-host: every process computes identical results; only the
-        # primary writes the report files (per-host temp/log dirs remain).
-        logger.info("non-primary process: skipping report output")
-        return
 
     sys.stderr.write("Writing results...\n")
     rlog_t = time.time()

@@ -62,19 +62,32 @@ def _maybe_disable_kernels(e: Exception) -> bool:
     caller re-dispatch the batch on the always-correct XLA paths instead
     of crashing a long mapping job.  Returns True iff the exception looks
     like a kernel-backend failure AND at least one kernel was on (all are
-    now off)."""
+    now off).  MUSCATO_KERNEL_NET=0 disables the net entirely (faults
+    re-raise immediately — use when hardening kernels, so the true error
+    class is never masked)."""
+    import os as _os
+
+    if _os.environ.get("MUSCATO_KERNEL_NET", "1") == "0":
+        return False
     if not (fused.pjoin_enabled() or fused.mgather_enabled()
             or fused.vtail_enabled() or fused.pexpand_enabled()):
         return False
     s = repr(e)
-    if not ("Mosaic" in s or "mosaic" in s or "tpu_custom_call" in s
-            or "vmem" in s.lower() or "kernel fault" in s
+    # "vmem" alone is too loose (an unrelated error merely mentioning
+    # vmem would silently disable proven kernels): it only counts when
+    # Mosaic/custom-call context appears alongside.  The bare
+    # worker-crash string stays — on v5e a kernel OOB fault surfaces
+    # exactly that way with no Mosaic wording (commit 833c7d9).
+    mosaic_ctx = ("Mosaic" in s or "mosaic" in s or "tpu_custom_call" in s)
+    if not (mosaic_ctx or "kernel fault" in s
             or "TPU worker process crashed" in s):
         return False
+    _KERNEL_NET_TRIPS[0] += 1
     logger.error(
-        "Pallas engine kernel failed on this backend (%s: %.300s); "
-        "disabling MGATHER/PJOIN/VTAIL/PEXPAND and re-running on the "
-        "XLA paths", type(e).__name__, s,
+        "Pallas engine kernel failed on this backend (trip %d, %s: "
+        "%.300s); disabling MGATHER/PJOIN/VTAIL/PEXPAND and re-running "
+        "on the XLA paths", _KERNEL_NET_TRIPS[0], type(e).__name__, s,
+        exc_info=True,
     )
     fused.set_pjoin(False)
     fused.set_mgather(False)
@@ -83,6 +96,10 @@ def _maybe_disable_kernels(e: Exception) -> bool:
     fused.set_pexpand(False)
     return True
 
+
+# Times the kernel safety net tripped this process (logged per trip;
+# bench/autotune read it to flag runs whose numbers mixed code paths).
+_KERNEL_NET_TRIPS = [0]
 
 # Process-wide survivor-capacity hint: overflow regrows persist across
 # batches and runs so right-sized executables are reused.
@@ -293,7 +310,19 @@ def run_matching_indexed(
             next_dev = _device_read_batch(
                 rs, b0 + batch, b0 + 2 * batch, l_eff, cache_ok=False
             )
-        total = int(pr[5])
+        # Asynchronous runtime kernel faults (e.g. a worker crash from an
+        # OOB window read) surface at this blocking fetch, not at the
+        # dispatch above — the safety net must cover both (ADVICE r3).
+        try:
+            total = int(pr[5])
+        except Exception as e:
+            if not _maybe_disable_kernels(e):
+                raise
+            pr = fused.probe_windows(
+                rpacked, lengths, q1s, index.skeys,
+                width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
+            )
+            total = int(pr[5])
         while total < 0:
             # Sorted-join window overflow (a block's candidate span beat
             # the static window).  Grow the window once — past that the
@@ -320,7 +349,17 @@ def run_matching_indexed(
                     width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
                     allow_pjoin=False,
                 )
-            total = int(pr[5])
+            try:
+                total = int(pr[5])
+            except Exception as e:
+                if not _maybe_disable_kernels(e):
+                    raise
+                pr = fused.probe_windows(
+                    rpacked, lengths, q1s, index.skeys,
+                    width=width, min_dinuc=cfg.MinDinuc,
+                    index_aux=index_aux,
+                )
+                total = int(pr[5])
         if float(pr[6]) > float(2**30):
             # The expansion offsets are int32 cumsums; beyond ~2**30
             # candidate pairs per batch they would wrap.  This only
@@ -419,13 +458,27 @@ def run_matching_indexed(
             # Cap + dedup + best+MMTol run on device; the host fetches the
             # retained rows only (at realistic hit density the raw
             # survivor buffer is several times larger).
-            rows_dev, count_d = fused.rank_survivors(
-                buf, nsurv_d, cfg.MaxMatches, cfg.MMTol,
-                match_mode=cfg.MatchMode, surv_cap=surv_cap,
-                full_cols=(_defer_rank or nbatches > 1),
-                pack_bits=pack_bits,
-            )
-            count = int(count_d)
+            # Dispatch + blocking count fetch under the safety net: the
+            # vtail compaction kernel inside rank_survivors can fault
+            # asynchronously and surface only at int(count_d) (ADVICE r3).
+            try:
+                rows_dev, count_d = fused.rank_survivors(
+                    buf, nsurv_d, cfg.MaxMatches, cfg.MMTol,
+                    match_mode=cfg.MatchMode, surv_cap=surv_cap,
+                    full_cols=(_defer_rank or nbatches > 1),
+                    pack_bits=pack_bits,
+                )
+                count = int(count_d)
+            except Exception as e:
+                if not _maybe_disable_kernels(e):
+                    raise
+                rows_dev, count_d = fused.rank_survivors(
+                    buf, nsurv_d, cfg.MaxMatches, cfg.MMTol,
+                    match_mode=cfg.MatchMode, surv_cap=surv_cap,
+                    full_cols=(_defer_rank or nbatches > 1),
+                    pack_bits=pack_bits,
+                )
+                count = int(count_d)
             # Defer the row fetch: the device slice is queued now, the
             # host copy happens after the loop, overlapping later batches'
             # device compute (device->host latency is a per-batch cost).

@@ -50,6 +50,11 @@ def ensure_built():
     if not os.path.exists(_SO):
         _try_build()
         _TRIED = False
+    elif _LIB is None:
+        # An earlier get_lib() may have cached a failed load before the
+        # .so appeared (e.g. built by a concurrent process); retry the
+        # load so the bench never silently keeps the Python fallback.
+        _TRIED = False
     return get_lib()
 
 

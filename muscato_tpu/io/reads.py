@@ -476,6 +476,15 @@ def _line_ends_after(buf: np.ndarray, starts: np.ndarray, need_past: int):
     return all_s, all_e
 
 
+def _empty_local() -> LocalReads:
+    return LocalReads(
+        codes=np.zeros((0, 8), np.uint8), lengths=np.zeros(0, np.int32),
+        counts=np.zeros(0, np.int64), num_total=0,
+        mem_blob=np.zeros(0, np.uint8), mem_off=np.zeros(1, np.int64),
+        row_mem=np.zeros(1, np.int64),
+    )
+
+
 def build_readset_range(
     buf: np.ndarray,
     min_read_length: int,
@@ -493,12 +502,7 @@ def build_readset_range(
     rec_starts = starts[skip::4]
     nrec = len(rec_starts)
     if nrec == 0:
-        return LocalReads(
-            codes=np.zeros((0, 8), np.uint8), lengths=np.zeros(0, np.int32),
-            counts=np.zeros(0, np.int64), num_total=0,
-            mem_blob=np.zeros(0, np.uint8), mem_off=np.zeros(1, np.int64),
-            row_mem=np.zeros(1, np.int64),
-        )
+        return _empty_local()
     # The last record may spill up to 3 lines past the range end.
     all_s, all_e = _line_ends_after(buf, starts, 3)
     base = skip
@@ -509,17 +513,22 @@ def build_readset_range(
     nrec = min(len(name_s), len(seq_s))
     name_s, name_e = name_s[:nrec], name_e[:nrec]
     seq_s, seq_e = seq_s[:nrec], seq_e[:nrec]
+    return _local_from_records(
+        buf, name_s, name_e, seq_s, seq_e, min_read_length, max_read_length
+    )
 
+
+def _local_from_records(
+    buf, name_s, name_e, seq_s, seq_e, min_read_length, max_read_length
+) -> LocalReads:
+    """Locally-deduped LocalReads from explicit record line bounds — the
+    shared core of the multi-host range prep and the single-host chunked
+    (bounded-memory) prep."""
     core = _sorted_unique_records(
         buf, name_s, name_e, seq_s, seq_e, min_read_length, max_read_length
     )
     if core is None:
-        return LocalReads(
-            codes=np.zeros((0, 8), np.uint8), lengths=np.zeros(0, np.int32),
-            counts=np.zeros(0, np.int64), num_total=0,
-            mem_blob=np.zeros(0, np.uint8), mem_off=np.zeros(1, np.int64),
-            row_mem=np.zeros(1, np.int64),
-        )
+        return _empty_local()
     srt, order, starts_u, counts_u, group_of, lens, name_s, name_e, n = core
     ucodes = srt[starts_u]
     np.subtract(ucodes, 1, out=ucodes, where=ucodes > 0)
@@ -643,6 +652,303 @@ def merge_local_readsets(
         codes=ucodes, lengths=ulens.astype(np.int32), counts=counts_u,
         name_blob=name_blob, name_off=name_off, num_total=num_total,
     )
+
+
+# ---- Bounded-memory single-host prep -------------------------------------
+#
+# The reference never materializes the read collection: prep_reads streams
+# record-at-a-time and GNU `sort -S 50%` spills sorted runs to disk
+# (/root/reference/cmd/muscato_prep_reads/main.go:46-92,
+# cmd/muscato/main.go:181-189), so "hundreds of millions of reads" need
+# not fit in RAM.  The vectorized build_readset above is much faster but
+# holds the full unique matrix + name blob resident (27GB peak at 10M
+# reads, BENCHMARKS.md).  This is the same-spirit spill story: scan the
+# fastq sequentially in chunks of `chunk_reads` records, locally
+# sort/dedup each chunk with the SAME core as the multi-host range prep
+# (LocalReads runs spilled to disk as .npy), then stream a k-way merge of
+# the sorted unique runs into memmap-backed output files.  Peak RSS is
+# O(chunk + nruns * merge block); the resulting ReadSet is byte-identical
+# to build_readset (same fuzz harness as the range-sharded prep) with
+# codes/counts/names backed by disk memmaps the engine streams from.
+
+_MERGE_BLOCK = 1 << 18  # rows pulled per run per merge iteration
+
+
+def _scan_records(buf: np.ndarray, pos: int, nrec: int):
+    """Line bounds of the next `nrec` 4-line records starting at byte
+    `pos` (a line start).  Returns (name_s, name_e, seq_s, seq_e,
+    next_pos); scans newlines in bounded windows — never a whole-file
+    pass, so peak RSS tracks the chunk, not the file."""
+    need = 4 * nrec + 1  # one extra start = first line of the NEXT chunk
+    starts = [np.asarray([pos], np.int64)] if pos < len(buf) else []
+    got = 1 if pos < len(buf) else 0
+    p = pos
+    while got < need and p < len(buf):
+        win = buf[p : min(p + _SCAN_CHUNK, len(buf))]
+        nl = np.flatnonzero(win == 10).astype(np.int64) + p + 1
+        p += len(win)
+        nl = nl[nl < len(buf)]
+        starts.append(nl)
+        got += len(nl)
+    s = np.concatenate(starts) if starts else np.zeros(0, np.int64)
+    s = s[:need]
+    nlines = min(len(s), 4 * nrec)
+    nrec = nlines // 4
+    next_pos = int(s[4 * nrec]) if len(s) > 4 * nrec else len(buf)
+    # A trailing partial record (1-3 lines) belongs to no chunk — the
+    # 4-line parser in build_readset drops it too (nrec = lines // 4).
+    if next_pos == len(buf) and nlines % 4:
+        pass  # dropped, matching the full parser
+    ends = np.empty(nlines, np.int64)
+    if nlines:
+        if len(s) > nlines:
+            ends[:] = s[1 : nlines + 1] - 1
+        else:
+            ends[:-1] = s[1:nlines] - 1
+            e = _next_nl(buf, int(s[nlines - 1]))
+            ends[-1] = min(e, len(buf))
+    name_s, name_e = s[0 : 4 * nrec : 4], ends[0 : 4 * nrec : 4]
+    seq_s, seq_e = s[1 : 4 * nrec : 4], ends[1 : 4 * nrec : 4]
+    return name_s, name_e, seq_s, seq_e, next_pos
+
+
+class _RunWriter:
+    """Spill directory of sorted unique runs (one LocalReads per chunk)."""
+
+    def __init__(self, spill_dir: str):
+        self.dir = spill_dir
+        os.makedirs(spill_dir, exist_ok=True)
+        self.n = 0
+        self.num_total = 0
+        self.width = 8
+
+    def add(self, lr: LocalReads) -> None:
+        self.num_total += lr.num_total
+        if not lr.num_unique:
+            return
+        d = os.path.join(self.dir, f"run{self.n:05d}")
+        os.makedirs(d, exist_ok=True)
+        for name in ("codes", "lengths", "counts", "mem_blob", "mem_off",
+                     "row_mem"):
+            np.save(os.path.join(d, f"{name}.npy"), getattr(lr, name))
+        self.width = max(self.width, lr.codes.shape[1])
+        self.n += 1
+
+
+class _RunReader:
+    """Cursor over one spilled run; serves +1-coded rows padded to the
+    global width in bounded blocks (memmap-backed, nothing resident)."""
+
+    def __init__(self, d: str, width: int):
+        self.codes = np.load(os.path.join(d, "codes.npy"), mmap_mode="r")
+        self.lengths = np.load(os.path.join(d, "lengths.npy"), mmap_mode="r")
+        self.counts = np.load(os.path.join(d, "counts.npy"), mmap_mode="r")
+        self.mem_blob = np.load(os.path.join(d, "mem_blob.npy"), mmap_mode="r")
+        self.mem_off = np.load(os.path.join(d, "mem_off.npy"), mmap_mode="r")
+        self.row_mem = np.load(os.path.join(d, "row_mem.npy"), mmap_mode="r")
+        self.w = width
+        self.pos = 0
+        self.nrows = self.codes.shape[0]
+        self._blk = None  # (start, +1-coded rows)
+
+    def exhausted(self) -> bool:
+        return self.pos >= self.nrows
+
+    def block(self) -> np.ndarray:
+        """+1-coded rows [pos, pos+_MERGE_BLOCK) padded to global width."""
+        if self._blk is not None and self._blk[0] == self.pos:
+            return self._blk[1]
+        hi = min(self.pos + _MERGE_BLOCK, self.nrows)
+        c = np.asarray(self.codes[self.pos : hi])
+        ln = np.asarray(self.lengths[self.pos : hi])
+        m = np.zeros((hi - self.pos, self.w), np.uint8)
+        col = np.arange(c.shape[1], dtype=np.int32)
+        m[:, : c.shape[1]] = np.where(col[None, :] < ln[:, None], c + np.uint8(1), 0)
+        self._blk = (self.pos, m)
+        return m
+
+
+def build_readset_chunked(
+    read_file: str,
+    min_read_length: int,
+    max_read_length: int,
+    chunk_reads: int,
+    spill_dir: str | None = None,
+) -> ReadSet:
+    """Bounded-memory build_readset: byte-identical output, peak RSS
+    O(chunk_reads) + O(nruns * merge block) instead of O(total reads).
+    The returned ReadSet's codes/lengths/counts/name arrays are disk
+    memmaps (unlinked temp files unless spill_dir is given), so resident
+    memory stays bounded through matching too — the engine batches copy
+    row ranges out of the memmap."""
+    import tempfile
+
+    assert chunk_reads > 0
+    buf = _map_bytes(read_file)
+    if not len(buf):
+        return _empty_readset(max_read_length)
+    own_spill = spill_dir is None
+    spill_dir = spill_dir or tempfile.mkdtemp(
+        prefix="muscato_prep_", dir=os.environ.get("MUSCATO_SPILL_DIR") or None
+    )
+    runs = _RunWriter(spill_dir)
+    pos = 0
+    while pos < len(buf):
+        name_s, name_e, seq_s, seq_e, pos = _scan_records(buf, pos, chunk_reads)
+        if not len(name_s):
+            break
+        runs.add(_local_from_records(
+            buf, name_s, name_e, seq_s, seq_e,
+            min_read_length, max_read_length,
+        ))
+    try:
+        if runs.n == 0:
+            rs = _empty_readset(max_read_length)
+            rs.num_total = runs.num_total
+            return rs
+        return _merge_runs_streaming(runs, max_read_length)
+    finally:
+        if own_spill:
+            import shutil
+
+            shutil.rmtree(spill_dir, ignore_errors=True)
+
+
+def _merge_runs_streaming(runs: _RunWriter, max_read_length: int) -> ReadSet:
+    """K-way streaming merge of sorted unique runs into memmap-backed
+    output.  Per iteration every run contributes its rows <= the global
+    safe boundary (the smallest last-loaded row across live runs — the
+    run that defines it advances a full block, so progress is linear);
+    pulled rows are merged exactly like merge_local_readsets, then the
+    finished output block is appended to disk.  No row of a given
+    sequence can remain unpulled once any equal row is pulled (both are
+    <= the boundary), so groups never span output blocks."""
+    import tempfile
+
+    w = runs.width
+    readers = [
+        _RunReader(os.path.join(runs.dir, f"run{i:05d}"), w)
+        for i in range(runs.n)
+    ]
+    tdir = os.environ.get("MUSCATO_SPILL_DIR") or None
+    files = {
+        name: tempfile.TemporaryFile(dir=tdir)
+        for name in ("codes", "lengths", "counts", "name_blob", "name_off")
+    }
+    out_rows = 0
+    name_base = 0
+    files["name_off"].write(np.zeros(1, np.int64).tobytes())
+
+    live = [r for r in readers if not r.exhausted()]
+    while live:
+        # Safe boundary: the smallest per-run last-loaded row.
+        last = [r.block()[-1].tobytes() for r in live]
+        boundary = min(last)
+        pulled_rows, pulled_cnt, pulled_len = [], [], []
+        pulled_ms, pulled_me, pulled_mc, blobs = [], [], [], []
+        blob_base = 0
+        for r in live:
+            blk = r.block()
+            k = int(np.searchsorted(
+                np.ascontiguousarray(blk).view(f"V{w}").ravel(),
+                np.frombuffer(boundary, dtype=f"V{w}")[0], side="right",
+            ))
+            if k == 0:
+                continue
+            sl = slice(r.pos, r.pos + k)
+            pulled_rows.append(blk[:k])
+            pulled_cnt.append(np.asarray(r.counts[sl]))
+            pulled_len.append(np.asarray(r.lengths[sl]))
+            m0, m1 = int(r.row_mem[r.pos]), int(r.row_mem[r.pos + k])
+            pulled_mc.append(np.asarray(np.diff(r.row_mem[sl.start : sl.stop + 1])))
+            moff = np.asarray(r.mem_off[m0 : m1 + 1], np.int64)
+            b0 = int(moff[0])
+            blobs.append(np.asarray(r.mem_blob[b0 : int(moff[-1])]))
+            pulled_ms.append(moff[:-1] - b0 + blob_base)
+            pulled_me.append(moff[1:] - b0 + blob_base)
+            blob_base += int(moff[-1]) - b0
+            r.pos += k
+            r._blk = None
+        live = [r for r in live if not r.exhausted()]
+        if not pulled_rows:
+            continue
+        rows = np.concatenate(pulled_rows)
+        counts = np.concatenate(pulled_cnt)
+        lengths = np.concatenate(pulled_len)
+        mem_cnt = np.concatenate(pulled_mc)
+        blob_cat = np.concatenate(blobs) if blobs else np.zeros(0, np.uint8)
+        m_s = np.concatenate(pulled_ms)
+        m_e = np.concatenate(pulled_me)
+
+        n = rows.shape[0]
+        order = np.argsort(
+            np.ascontiguousarray(rows).view(f"V{w}").ravel(), kind="stable"
+        )
+        srt = rows[order]
+        boundary_b = np.empty(n, dtype=bool)
+        boundary_b[0] = True
+        np.any(srt[1:] != srt[:-1], axis=1, out=boundary_b[1:])
+        starts_u = np.flatnonzero(boundary_b)
+        group_of = np.cumsum(boundary_b) - 1
+        counts_u = np.zeros(len(starts_u), np.int64)
+        np.add.at(counts_u, group_of, counts[order])
+        ucodes = srt[starts_u].copy()
+        np.subtract(ucodes, 1, out=ucodes, where=ucodes > 0)
+        ulens = lengths[order[starts_u]]
+
+        # Member layout in merged order; cross-run groups re-sort their
+        # members by stored name bytes (work ∝ cross-run duplicates) —
+        # identical policy to merge_local_readsets.
+        row_moff = np.zeros(n + 1, np.int64)
+        row_moff[1:] = np.cumsum(mem_cnt)
+        mc = mem_cnt[order]
+        midx = gather_ranges(row_moff[:-1][order], mc)
+        gm_s, gm_e = m_s[midx], m_e[midx]
+        mrow = np.repeat(group_of, mc)
+        multi = np.flatnonzero(np.diff(np.append(starts_u, n)) > 1)
+        if len(multi):
+            grp_moff = np.zeros(len(starts_u) + 1, np.int64)
+            np.cumsum(np.bincount(mrow, minlength=len(starts_u)),
+                      out=grp_moff[1:])
+            for gi in multi:
+                a, b = grp_moff[gi], grp_moff[gi + 1]
+                keys = [
+                    blob_cat[gm_s[j] : gm_e[j]].tobytes()
+                    for j in range(a, b)
+                ]
+                sub = np.argsort(np.array(keys, dtype=object), kind="stable")
+                gm_s[a:b] = gm_s[a:b][sub]
+                gm_e[a:b] = gm_e[a:b][sub]
+        nb, noff = _join_group_names(blob_cat, gm_s, gm_e, mrow)
+
+        files["codes"].write(np.ascontiguousarray(ucodes).tobytes())
+        files["lengths"].write(ulens.astype(np.int32).tobytes())
+        files["counts"].write(counts_u.tobytes())
+        files["name_blob"].write(np.ascontiguousarray(nb).tobytes())
+        files["name_off"].write((noff[1:] + name_base).tobytes())
+        name_base += int(noff[-1])
+        out_rows += len(starts_u)
+
+    def _mm(f, dtype, shape):
+        f.flush()
+        size = int(np.prod(shape))
+        if size == 0:
+            return np.zeros(shape, dtype)
+        return np.memmap(f, dtype=dtype, mode="r", shape=shape)
+
+    rs = ReadSet(
+        codes=_mm(files["codes"], np.uint8, (out_rows, w)),
+        lengths=_mm(files["lengths"], np.int32, (out_rows,)),
+        counts=_mm(files["counts"], np.int64, (out_rows,)),
+        name_blob=_mm(
+            files["name_blob"], np.uint8,
+            (files["name_blob"].tell(),),
+        ),
+        name_off=_mm(files["name_off"], np.int64, (out_rows + 1,)),
+        num_total=runs.num_total,
+    )
+    rs._spill_files = files  # keep the unlinked temp files alive
+    return rs
 
 
 def write_reads_sorted(rs: ReadSet, path: str) -> None:

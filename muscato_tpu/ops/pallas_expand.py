@@ -154,8 +154,15 @@ def expand_owners(oexcl, lo, qid, *, pair_cap: int, interpret: bool = False):
     postings start and flat query id.  Returns (qid_lane, sidx), each
     (pair_cap,) int32; lanes past the true pair total carry the last
     slot's values — callers mask with ``pid < total`` exactly as they do
-    for the scatter path.  Exact for any slot layout (empty slots, empty
-    prefix, one slot owning everything)."""
+    for the scatter path.
+
+    Contract: slots must be stream-compacted — a live prefix of
+    count>0 slots followed by a dead (count==0) tail, which is exactly
+    what the engine's probe emits.  An *interior* run of empty slots
+    longer than the chunk's lookback window (BW_ROWS*LANE ranks) would
+    yield wrong owners for the lanes after it (the rel clamp that fixed
+    the dead-tail OOB fault bounds the window; it cannot see past it).
+    One slot owning everything and an entirely empty input are fine."""
     m = oexcl.shape[0]
     assert pair_cap % BLOCK == 0, pair_cap
     nblocks = pair_cap // BLOCK

@@ -371,6 +371,66 @@ def _global_minmax(arr) -> tuple[float, float]:
     return lo, hi
 
 
+# Sequence numbers for the gather-to-primary KV keys: every process
+# calls the merge in lockstep (it follows mesh collectives), so a plain
+# counter yields matching tags without any extra coordination.
+import itertools as _itertools  # noqa: E402
+
+_GATHER_SEQ = _itertools.count()
+_KV_CHUNK = 48 << 20  # bytes per KV value (stay well under gRPC limits)
+
+
+def _gather_rows_to_primary(local: "np.ndarray", ncol: int):
+    """Ship this process's retained rows to the primary over the
+    jax.distributed KV store; returns the concatenated global rows on the
+    primary and None elsewhere.
+
+    Replaces the symmetric process_allgather merge: only the primary
+    ranks and writes results (run_matching_sharded), so shipping every
+    retained row to every process was nproc x wasted DCN traffic and
+    per-host RAM in the tail (round-3 VERDICT next #7).  With this path
+    non-primary receive volume in the merge is zero."""
+    import os as _os
+
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if client is None or nproc == 1:
+        return local
+    timeout_ms = int(_os.environ.get("MUSCATO_MERGE_TIMEOUT_MS", "600000"))
+    tag = f"muscato/gather/{next(_GATHER_SEQ)}"
+    local = np.ascontiguousarray(local, dtype=np.int32)
+    if pid != 0:
+        data = local.tobytes()
+        nchunks = max(1, -(-len(data) // _KV_CHUNK))
+        client.key_value_set(f"{tag}/{pid}/n", f"{len(data)}:{nchunks}")
+        for i in range(nchunks):
+            client.key_value_set_bytes(
+                f"{tag}/{pid}/{i}", data[i * _KV_CHUNK : (i + 1) * _KV_CHUNK]
+            )
+        # The barrier keeps the KV keys alive until the primary has read
+        # them and keeps batch iterations in lockstep.
+        client.wait_at_barrier(f"{tag}/done", timeout_ms)
+        return None
+    parts = [local]
+    for p in range(1, nproc):
+        meta = client.blocking_key_value_get(f"{tag}/{p}/n", timeout_ms)
+        nbytes, nchunks = (int(x) for x in meta.split(":"))
+        buf = b"".join(
+            client.blocking_key_value_get_bytes(f"{tag}/{p}/{i}", timeout_ms)
+            for i in range(nchunks)
+        )
+        assert len(buf) == nbytes, (len(buf), nbytes)
+        parts.append(np.frombuffer(buf, np.int32).reshape(-1, ncol))
+        client.key_value_delete(f"{tag}/{p}/n")
+        for i in range(nchunks):
+            client.key_value_delete(f"{tag}/{p}/{i}")
+    client.wait_at_barrier(f"{tag}/done", timeout_ms)
+    return np.concatenate(parts)
+
+
 # Mirrors engine.pipeline's dedup-path sizing policy (same constants).
 from ..engine.pipeline import (  # noqa: E402
     _MAX_PAIR_CAP, _PAIR_FLOOR, _bucket_ceil,
@@ -597,11 +657,8 @@ def sharded_match_arrays(
     per = codes.shape[0] // dp
     if multi:
         # Multi-host merge: each process fetches its addressable dp blocks
-        # only, then the retained rows cross hosts once over the process
-        # collective (the DCN analogue of the reference's final file
-        # merge).
-        from jax.experimental import multihost_utils as mhu
-
+        # only, then the retained rows cross hosts ONCE, to the primary
+        # (the only process that ranks and writes; run_matching_sharded).
         counts_np = _addressable_by_dp(count_d, dp, dp)
         blocks = _addressable_by_dp(rows_d, dp, dp)
         out = []
@@ -617,20 +674,10 @@ def sharded_match_arrays(
             if out
             else np.zeros((0, fused.NCOL), dtype=np.int32)
         )
-        sizes = mhu.process_allgather(
-            np.asarray([local.shape[0]], np.int64)
-        ).ravel()
-        mx = int(sizes.max(initial=0))
-        padded = np.zeros((mx, fused.NCOL), np.int32)
-        padded[: local.shape[0]] = local
-        allr = mhu.process_allgather(padded)  # (nproc, mx, NCOL)
-        parts = [allr[p][: int(sizes[p])] for p in range(len(sizes))]
-        z = (
-            np.concatenate(parts)
-            if parts and mx
-            else np.zeros((0, fused.NCOL), dtype=np.int32)
-        )
-        z = z[(z[:, 0] >= 0) & (z[:, 0] < r_total)]
+        local = local[(local[:, 0] >= 0) & (local[:, 0] < r_total)]
+        z = _gather_rows_to_primary(local, fused.NCOL)
+        if z is None:  # non-primary: nothing to return, nothing received
+            z = np.zeros((0, fused.NCOL), dtype=np.int32)
         return tuple(z[:, i].astype(np.int32) for i in range(fused.NCOL)), surv_cap
 
     # Fetch only the retained-row prefixes (ranked on device): traffic
