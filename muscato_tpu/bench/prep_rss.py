@@ -39,19 +39,58 @@ def _digest(rs) -> str:
     return h.hexdigest()[:16]
 
 
+class _AnonSampler:
+    """Max anonymous RSS (RssAnon in /proc/self/status), sampled by a
+    thread.  ru_maxrss counts file-backed mmap pages too — on an idle box
+    they are never evicted, so it cannot distinguish bounded-anon designs
+    (spilled runs + memmap outputs) from fully resident ones.  Anonymous
+    pages are the unreclaimable kind that OOM a host; that is the number
+    the chunk parameter bounds."""
+
+    def __init__(self):
+        import threading
+
+        self.peak = 0.0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _sample(self):
+        try:
+            with open("/proc/self/status") as f:
+                for ln in f:
+                    if ln.startswith("RssAnon:"):
+                        self.peak = max(self.peak, int(ln.split()[1]) / 1024.0)
+        except OSError:
+            pass
+
+    def _run(self):
+        while not self._stop.wait(0.02):
+            self._sample()
+
+    def stop(self) -> float:
+        self._stop.set()
+        self._t.join()
+        self._sample()
+        return self.peak
+
+
 def _child(mode: str, path: str, max_rl: int, chunk: int) -> int:
     from ..io import reads as reads_io
 
+    sampler = _AnonSampler()
     t0 = time.time()
     if mode == "full":
         rs = reads_io.build_readset(path, 0, max_rl)
     else:
         rs = reads_io.build_readset_chunked(path, 0, max_rl, chunk)
     dt = time.time() - t0
+    anon_mb = sampler.stop()  # peak during the build, before the digest
     dg = _digest(rs)
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
     print(json.dumps({
         "mode": mode, "seconds": round(dt, 2),
+        "peak_anon_mb": round(anon_mb, 1),
         "peak_rss_mb": round(rss_mb, 1), "unique": rs.num_unique,
         "total": rs.num_total, "digest": dg,
     }), flush=True)
@@ -100,9 +139,9 @@ def main(argv=None) -> int:
     )
     print(json.dumps({
         "identical": same,
-        "rss_ratio": round(
-            results["full"].get("peak_rss_mb", 0)
-            / max(results["chunked"].get("peak_rss_mb", 1), 1), 2,
+        "anon_ratio": round(
+            results["full"].get("peak_anon_mb", 0)
+            / max(results["chunked"].get("peak_anon_mb", 1), 1), 2,
         ),
     }), flush=True)
     return 0 if same else 1

@@ -154,6 +154,31 @@ def main() -> int:
     ladder["pallas_compile_ok"] = pallas_ok
     ladder["pallas_bad_flags"] = sorted(bad_flags)
     save()
+
+    # 0b. Engine-shaped device validation (round-4 VERDICT item 5): the
+    #     full engine per flag vs the XLA path on a realistic workload —
+    #     every kernel sees exactly the probe/expand distributions (dead
+    #     tails, skewed runs) that synthetic checks miss.  A failing
+    #     flag's ladder steps are skipped like a Mosaic failure.
+    if not SKIP_PALLAS:
+        rc, log = run_step(
+            "engine_check", ["-m", "muscato_tpu.bench.engine_device_check"],
+            {}, outdir, timeout=3600,
+        )
+        eng = {}
+        try:
+            with open(log, errors="replace") as f:
+                for ln in f:
+                    if ln.startswith("ENGINE_RESULTS "):
+                        eng = json.loads(ln.split(" ", 1)[1])
+        except Exception:
+            pass
+        if rc != 0 and not eng:
+            eng = {k: False for k in FLAG_NAMES}
+        bad_flags |= {k for k, ok in eng.items() if not ok and k in FLAG_NAMES}
+        ladder["engine_check"] = eng
+        ladder["pallas_bad_flags"] = sorted(bad_flags)
+        save()
     steps = [
         s for s in LADDER
         if not any(s[1].get(f) == "1" for f in bad_flags)

@@ -44,3 +44,29 @@ def test_effective_flags_shape():
     assert set(f) == {"MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
                       "MUSCATO_VTAIL", "MUSCATO_PEXPAND"}
     assert all(v in (0, 1) for v in f.values())
+
+
+def test_bench_fallback_carries_tuned_provenance(monkeypatch, tmp_path):
+    """A relay-down fallback bench record must cite the last measured
+    chip number from TUNED.json (round-3 VERDICT next #2)."""
+    import json
+
+    from muscato_tpu.bench import runner
+
+    p = tmp_path / "TUNED.json"
+    p.write_text(json.dumps({
+        "flags": {"MUSCATO_VTAIL": 1},
+        "provenance": {
+            "winner": "vt", "reads_per_sec_chip": 1234567.0,
+            "device_kind": "TPU v5 lite", "date": "2026-08-19",
+        },
+    }))
+    monkeypatch.setenv("MUSCATO_TUNED", str(p))
+    prov = runner._tuned_provenance()
+    assert prov["reads_per_sec_chip"] == 1234567.0
+    assert prov["flags"] == {"MUSCATO_VTAIL": 1}
+    assert "not this run" in prov["source"]
+
+    # No measured number -> no provenance block (never fabricate).
+    p.write_text(json.dumps({"flags": {}, "provenance": {}}))
+    assert runner._tuned_provenance() is None
