@@ -671,7 +671,16 @@ def merge_local_readsets(
 # to build_readset (same fuzz harness as the range-sharded prep) with
 # codes/counts/names backed by disk memmaps the engine streams from.
 
-_MERGE_BLOCK = 1 << 18  # rows pulled per run per merge iteration
+# Per-iteration merge budget: the boundary pull takes up to one block
+# from EVERY run, so the per-run block must shrink as runs multiply or
+# the merge materializes nruns x block rows at once (measured: chunk=250k
+# over 10M reads pulled ~the whole input per iteration).  _MERGE_BLOCK
+# bounds the total pulled rows per iteration; _merge_block_rows splits it.
+_MERGE_BLOCK = 1 << 20
+
+
+def _merge_block_rows(nruns: int) -> int:
+    return max(1 << 12, _MERGE_BLOCK // max(nruns, 1))
 
 
 def _scan_records(buf: np.ndarray, pos: int, nrec: int):
@@ -739,7 +748,8 @@ class _RunReader:
     """Cursor over one spilled run; serves +1-coded rows padded to the
     global width in bounded blocks (memmap-backed, nothing resident)."""
 
-    def __init__(self, d: str, width: int):
+    def __init__(self, d: str, width: int, block_rows: int = _MERGE_BLOCK):
+        self.block_rows = block_rows
         self.codes = np.load(os.path.join(d, "codes.npy"), mmap_mode="r")
         self.lengths = np.load(os.path.join(d, "lengths.npy"), mmap_mode="r")
         self.counts = np.load(os.path.join(d, "counts.npy"), mmap_mode="r")
@@ -755,10 +765,10 @@ class _RunReader:
         return self.pos >= self.nrows
 
     def block(self) -> np.ndarray:
-        """+1-coded rows [pos, pos+_MERGE_BLOCK) padded to global width."""
+        """+1-coded rows [pos, pos+block_rows) padded to global width."""
         if self._blk is not None and self._blk[0] == self.pos:
             return self._blk[1]
-        hi = min(self.pos + _MERGE_BLOCK, self.nrows)
+        hi = min(self.pos + self.block_rows, self.nrows)
         c = np.asarray(self.codes[self.pos : hi])
         ln = np.asarray(self.lengths[self.pos : hi])
         m = np.zeros((hi - self.pos, self.w), np.uint8)
@@ -826,8 +836,9 @@ def _merge_runs_streaming(runs: _RunWriter, max_read_length: int) -> ReadSet:
     import tempfile
 
     w = runs.width
+    block_rows = _merge_block_rows(runs.n)
     readers = [
-        _RunReader(os.path.join(runs.dir, f"run{i:05d}"), w)
+        _RunReader(os.path.join(runs.dir, f"run{i:05d}"), w, block_rows)
         for i in range(runs.n)
     ]
     tdir = os.environ.get("MUSCATO_SPILL_DIR") or None

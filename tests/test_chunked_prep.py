@@ -34,7 +34,7 @@ def test_chunked_prep_equals_full(tmp_path, chunk):
 def test_chunked_prep_tiny_merge_block(tmp_path, monkeypatch):
     """Force many merge iterations: block smaller than the duplicate
     groups, so groups and runs interleave across pull boundaries."""
-    monkeypatch.setattr(reads_io, "_MERGE_BLOCK", 4)
+    monkeypatch.setattr(reads_io, "_merge_block_rows", lambda nruns: 4)
     rng = np.random.default_rng(3)
     seq_pool = [
         "".join("ACGT"[i] for i in rng.integers(0, 4, 12)) for _ in range(6)
