@@ -144,8 +144,13 @@ MG_FLAG_BIT_ROWS = 29  # rows-window overflow (verify read/target rows)
 # Per-stream enables under MUSCATO_MGATHER: a postings-span overflow
 # must not forfeit the rows windows (and vice versa) — the pipeline
 # disables only the stream whose window overflowed at max scale.
-_MG_SPOS = [True]
-_MG_ROWS = [True]
+# MUSCATO_MG_SPOS=0 / MUSCATO_MG_ROWS=0 start a stream off: on the
+# realistic 100M-base workload the postings runs exceed the largest
+# device-proven spos window, so the engine always converges to
+# rows-only after several regrow recompiles — the env knob skips the
+# regrow churn (measured: ~10+ min of relay compiles per process).
+_MG_SPOS = [_os_mod.environ.get("MUSCATO_MG_SPOS", "1") != "0"]
+_MG_ROWS = [_os_mod.environ.get("MUSCATO_MG_ROWS", "1") != "0"]
 # Window growth factor on overflow (pipeline quadruples it up to MG_MAX_SCALE
 # before abandoning the kernels; each growth is a fresh static shape).
 _MG_SCALE = [1]

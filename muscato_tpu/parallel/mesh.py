@@ -404,7 +404,7 @@ def _gather_rows_to_primary(local: "np.ndarray", ncol: int):
     local = np.ascontiguousarray(local, dtype=np.int32)
     if pid != 0:
         data = local.tobytes()
-        nchunks = max(1, -(-len(data) // _KV_CHUNK))
+        nchunks = -(-len(data) // _KV_CHUNK)  # 0 chunks for an empty set
         client.key_value_set(f"{tag}/{pid}/n", f"{len(data)}:{nchunks}")
         for i in range(nchunks):
             client.key_value_set_bytes(
