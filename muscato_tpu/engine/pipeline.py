@@ -140,6 +140,16 @@ def _window_has_reads(rs: ReadSet, q1: int, width: int, min_dinuc: int) -> bool:
     return bool(np.any(rs.lengths >= q1 + width))
 
 
+
+def _probe_totals(pr) -> tuple[int, float]:
+    """One blocking fetch for the probe's (total, totalf) scalars — two
+    separate int()/float() syncs cost two relay round trips."""
+    import jax
+
+    a, b = jax.device_get((pr[5], pr[6]))
+    return int(a), float(b)
+
+
 def run_matching(
     cfg: Config,
     rs: ReadSet,
@@ -314,7 +324,7 @@ def run_matching_indexed(
         # OOB window read) surface at this blocking fetch, not at the
         # dispatch above — the safety net must cover both (ADVICE r3).
         try:
-            total = int(pr[5])
+            total, totalf = _probe_totals(pr)
         except Exception as e:
             if not _maybe_disable_kernels(e):
                 raise
@@ -322,7 +332,7 @@ def run_matching_indexed(
                 rpacked, lengths, q1s, index.skeys,
                 width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
             )
-            total = int(pr[5])
+            total, totalf = _probe_totals(pr)
         while total < 0:
             # Sorted-join window overflow (a block's candidate span beat
             # the static window).  Grow the window once — past that the
@@ -350,7 +360,7 @@ def run_matching_indexed(
                     allow_pjoin=False,
                 )
             try:
-                total = int(pr[5])
+                total, totalf = _probe_totals(pr)
             except Exception as e:
                 if not _maybe_disable_kernels(e):
                     raise
@@ -359,15 +369,15 @@ def run_matching_indexed(
                     width=width, min_dinuc=cfg.MinDinuc,
                     index_aux=index_aux,
                 )
-                total = int(pr[5])
-        if float(pr[6]) > float(2**30):
+                total, totalf = _probe_totals(pr)
+        if totalf > float(2**30):
             # The expansion offsets are int32 cumsums; beyond ~2**30
             # candidate pairs per batch they would wrap.  This only
             # happens with extremely repetitive/low-entropy batches —
             # re-run with a smaller ReadBatch (the error is loud, never
             # a silent wrap).
             raise ValueError(
-                f"candidate pair count {float(pr[6]):.3g} in one read "
+                f"candidate pair count {totalf:.3g} in one read "
                 "batch exceeds the 2**30 expansion limit; re-run with a "
                 "smaller ReadBatch (or raise MinDinuc)"
             )
