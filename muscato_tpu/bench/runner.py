@@ -278,6 +278,17 @@ def main(argv=None) -> int:
     _apply_platform_override()
     native.ensure_built()  # fast index sort; graceful fallback if no g++
 
+    import logging
+    import os as _os
+
+    if _os.environ.get("MUSCATO_BENCH_LOG", "1") != "0":
+        # Per-batch heartbeats into the step log (stderr): long compiles
+        # and slow kernels are diagnosable from the autotune artifacts.
+        logging.basicConfig(
+            level=logging.INFO,
+            format="%(asctime)s %(name)s %(message)s",
+        )
+
     p = argparse.ArgumentParser()
     p.add_argument("--Workload", choices=("big", "small", "both"), default="both")
     p.add_argument("--NumRead", type=int, default=4_000_000)

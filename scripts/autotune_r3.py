@@ -65,6 +65,11 @@ LADDER = [
     ("do", _cfg(do=1)),
     ("vt_px", _cfg(vt=1, px=1)),
     ("mg_pj", _cfg(1, 1)),
+    # Round-4 combos around the first measured winner (px +15%):
+    ("px_do", _cfg(do=1, px=1)),
+    ("pj_px", _cfg(pj=1, px=1)),
+    ("pj_vt_px", _cfg(pj=1, vt=1, px=1)),
+    ("mg_px", _cfg(mg=1, px=1)),
 ]
 
 
