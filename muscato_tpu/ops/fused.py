@@ -122,13 +122,19 @@ def effective_flags() -> dict:
     """The engine-kernel flags actually in effect (env > TUNED.json >
     off) — recorded in bench provenance so every measurement is
     self-describing."""
-    return {
+    out = {
         "MUSCATO_MGATHER": int(_MGATHER[0]),
         "MUSCATO_PJOIN": int(_PJOIN[0]),
         "MUSCATO_DORDER": int(_DORDER[0]),
         "MUSCATO_VTAIL": int(_VTAIL[0]),
         "MUSCATO_PEXPAND": int(_PEXPAND[0]),
     }
+    if _MGATHER[0]:
+        # Per-stream sub-flags only matter (and are only recorded) when
+        # the gather kernel itself is on.
+        out["MUSCATO_MG_SPOS"] = int(_MG_SPOS[0])
+        out["MUSCATO_MG_ROWS"] = int(_MG_ROWS[0])
+    return out
 
 
 # Windowed monotone-gather kernel (ops/pallas_gather.py) for the pair
@@ -149,8 +155,8 @@ MG_FLAG_BIT_ROWS = 29  # rows-window overflow (verify read/target rows)
 # device-proven spos window, so the engine always converges to
 # rows-only after several regrow recompiles — the env knob skips the
 # regrow churn (measured: ~10+ min of relay compiles per process).
-_MG_SPOS = [_os_mod.environ.get("MUSCATO_MG_SPOS", "1") != "0"]
-_MG_ROWS = [_os_mod.environ.get("MUSCATO_MG_ROWS", "1") != "0"]
+_MG_SPOS = [_flag("MUSCATO_MG_SPOS", True)]
+_MG_ROWS = [_flag("MUSCATO_MG_ROWS", True)]
 # Window growth factor on overflow (pipeline quadruples it up to MG_MAX_SCALE
 # before abandoning the kernels; each growth is a fresh static shape).
 _MG_SCALE = [1]

@@ -70,6 +70,9 @@ LADDER = [
     ("pj_px", _cfg(pj=1, px=1)),
     ("pj_vt_px", _cfg(pj=1, vt=1, px=1)),
     ("mg_px", _cfg(mg=1, px=1)),
+    # dorder makes the verify's target stream monotone — the rows
+    # monotone-gather kernel is built for exactly that stream.
+    ("mg_px_do", _cfg(mg=1, do=1, px=1)),
 ]
 
 

@@ -41,8 +41,12 @@ def test_flag_precedence(monkeypatch):
 
 def test_effective_flags_shape():
     f = fused.effective_flags()
-    assert set(f) == {"MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
-                      "MUSCATO_VTAIL", "MUSCATO_PEXPAND"}
+    base = {"MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
+            "MUSCATO_VTAIL", "MUSCATO_PEXPAND"}
+    extra = {"MUSCATO_MG_SPOS", "MUSCATO_MG_ROWS"}
+    assert base <= set(f) <= base | extra
+    # Stream sub-flags appear exactly when the gather kernel is on.
+    assert ("MUSCATO_MG_SPOS" in f) == bool(f["MUSCATO_MGATHER"])
     assert all(v in (0, 1) for v in f.values())
 
 
