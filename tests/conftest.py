@@ -12,6 +12,14 @@ first backend initialization (it is read lazily).
 
 import os
 
+# Tests pin the engine-kernel defaults OFF (measured TPU defaults in
+# muscato_tpu/TUNED.json now enable Pallas kernels, which on the CPU
+# backend run in interpret mode — orders of magnitude slower, and the
+# golden suite would balloon).  Kernel coverage on CPU stays explicit:
+# test_pallas.py oracles, test_dist.py mesh-with-kernels equivalence,
+# test_tuned.py precedence; silicon coverage is bench/engine_device_check.
+os.environ.setdefault("MUSCATO_TUNED", "/nonexistent")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
