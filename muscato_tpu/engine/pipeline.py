@@ -268,12 +268,22 @@ def run_matching_indexed(
         use_search = probe == "search"
     index_aux = index.search_aux() if use_search else None
 
+    import os as _os
     import time as _time
 
     # Row-gather verify inputs: the overlapping target-row view and the
     # gene block table (built once per run; see ops.packed.build_trows).
     trows = index.trows(packed_ops.packed_width(l_eff))
     gblock, gsteps = index.gene_block()
+
+    # MUSCATO_STAGE_TIMES=1: per-batch stage breakdown riding the loop's
+    # existing scalar syncs (each stage's blocking count fetch is a true
+    # barrier for that stage's device work) — near-zero cost, and one
+    # relay-window run localizes the gap between measured batch time and
+    # the rate-model floor without needing a profiler trace.
+    stage_times = _os.environ.get("MUSCATO_STAGE_TIMES") == "1"
+    st_sums = {"host_stage": 0.0, "probe": 0.0, "expand_verify": 0.0,
+               "rank": 0.0}
 
     t_run0 = _time.perf_counter()
     surv_rows = []
@@ -316,10 +326,13 @@ def run_matching_indexed(
         # probe executes (the int(total) sync below would otherwise
         # serialize host staging against device compute; device_put is
         # async, so the copy rides alongside the probe).
+        st_host = 0.0
         if b0 + batch < nreads:
+            t_hs = _time.perf_counter()
             next_dev = _device_read_batch(
                 rs, b0 + batch, b0 + 2 * batch, l_eff, cache_ok=False
             )
+            st_host = _time.perf_counter() - t_hs
         # Asynchronous runtime kernel faults (e.g. a worker crash from an
         # OOB window read) surface at this blocking fetch, not at the
         # dispatch above — the safety net must cover both (ADVICE r3).
@@ -370,6 +383,7 @@ def run_matching_indexed(
                     index_aux=index_aux,
                 )
                 total, totalf = _probe_totals(pr)
+        t_probe_done = _time.perf_counter()
         if totalf > float(2**30):
             # The expansion offsets are int32 cumsums; beyond ~2**30
             # candidate pairs per batch they would wrap.  This only
@@ -463,6 +477,7 @@ def run_matching_indexed(
             # executable, which remote-compile backends make expensive).
             surv_cap = max(surv_cap * 2, _bucket_ceil(nsurv))
             _CAP_HINT[0] = surv_cap
+        t_ev_done = _time.perf_counter()
         total_pairs += total
         if nsurv:
             # Cap + dedup + best+MMTol run on device; the host fetches the
@@ -493,7 +508,23 @@ def run_matching_indexed(
             # host copy happens after the loop, overlapping later batches'
             # device compute (device->host latency is a per-batch cost).
             surv_rows.append((rows_dev[: _round_up(count, 1024)], count, b0))
-        dt = _time.perf_counter() - t_batch
+        t_rank_done = _time.perf_counter()
+        dt = t_rank_done - t_batch
+        if stage_times:
+            sb = {
+                "host_stage": st_host,
+                "probe": t_probe_done - t_batch - st_host,
+                "expand_verify": t_ev_done - t_probe_done,
+                "rank": t_rank_done - t_ev_done,
+            }
+            for k, v in sb.items():
+                st_sums[k] += v
+            logger.info(
+                "stage times [%d,%d): host_stage=%.3f probe=%.3f "
+                "expand_verify=%.3f rank=%.3f total=%.3f",
+                b0, b1, sb["host_stage"], sb["probe"],
+                sb["expand_verify"], sb["rank"], dt,
+            )
         # Heartbeat per batch (the reference logs every 1e5-1e6 records,
         # cmd/muscato_screen/main.go:167-169, 442-444; a batch is this
         # engine's unit of progress).
@@ -504,6 +535,15 @@ def run_matching_indexed(
             dt, (b1 - b0) / max(dt, 1e-9),
         )
 
+    if stage_times:
+        logger.info(
+            "stage sums over %d batches: host_stage=%.3f probe=%.3f "
+            "expand_verify=%.3f rank=%.3f",
+            nbatches, st_sums["host_stage"], st_sums["probe"],
+            st_sums["expand_verify"], st_sums["rank"],
+        )
+        if timings is not None:
+            timings["stages"] = {k: round(v, 4) for k, v in st_sums.items()}
     if timings is not None:
         # All device work is dispatched and (but for the final row slices)
         # synced by the per-batch scalar count fetches above.
