@@ -45,11 +45,13 @@ def main(argv=None) -> int:
     )
     for m in sizes:
         v = int(m * 1e6)
-        k1 = np.sort(rng.integers(0, 1 << 31, v, dtype=np.int64)).astype(
-            np.int32
+        # The engine's index keys are a 1-D sorted uint32 array
+        # (engine/index.py skeys) — the probe impl concatenates them
+        # with the flat query keys before the merge sort.
+        k1 = np.sort(
+            rng.integers(0, 1 << 32, v, dtype=np.uint64).astype(np.uint32)
         )
-        k2 = rng.integers(0, 1 << 31, v, dtype=np.int64).astype(np.int32)
-        skeys = jnp.stack([jnp.asarray(k1), jnp.asarray(k2)], axis=1)
+        skeys = jnp.asarray(k1)
         probe = fused._tpu_jit(
             fused._probe_windows_impl,
             ("width", "min_dinuc", "vtail", "interpret"),

@@ -980,15 +980,21 @@ def _verify_diagonals_impl(
     pad = jnp.zeros(vchunk, jnp.int32)
     ur_p = jnp.concatenate([ur, jnp.full(vchunk, -1, jnp.int32)])
     ud_p = jnp.concatenate([ud, pad])
-    nxb = jnp.zeros(cap + vchunk, jnp.int32)
-    gb = jnp.zeros(cap + vchunk, jnp.int32)
-    sb = jnp.zeros(cap + vchunk, jnp.int32)
+    # (g, nx) share one buffer word when the static widths fit (nx is a
+    # nibble-mismatch count <= rlen <= max_read_length; g < num_genes):
+    # one loop-carried buffer, one map-back gather stream, and one
+    # compaction sort operand fewer.
+    xbits = max(int(max_read_length).bit_length(), 1)
+    ngenes = int(gene_start.shape[0]) - 1
+    pack_gnx = ((ngenes << xbits) | ((1 << xbits) - 1)) < 0x7FFFFFFF
+    nval = 2 if pack_gnx else 3
+    vb = tuple(jnp.zeros(cap + vchunk, jnp.int32) for _ in range(nval))
     okb = jnp.zeros(cap + vchunk, jnp.int32)
 
     nchunks = lax.div(nuniq + (vchunk - 1), jnp.int32(vchunk))
 
     def body(st):
-        ci, nxb, gb, sb, okb, ofl = st
+        ci, vb, okb, ofl = st
         off = ci * vchunk
         rch = lax.dynamic_slice(ur_p, (off,), (vchunk,))
         dch = lax.dynamic_slice(ud_p, (off,), (vchunk,))
@@ -1000,66 +1006,102 @@ def _verify_diagonals_impl(
             mg_rows_window=mg_rows_window,
             interpret=interpret, dorder=dorder,
         )
-        nxb = lax.dynamic_update_slice(nxb, nx, (off,))
-        gb = lax.dynamic_update_slice(gb, g, (off,))
-        sb = lax.dynamic_update_slice(sb, s, (off,))
+        if pack_gnx:
+            vals = ((g << jnp.int32(xbits)) | nx, s)
+        else:
+            vals = (nx, g, s)
+        vb = tuple(
+            lax.dynamic_update_slice(b, v, (off,))
+            for b, v in zip(vb, vals)
+        )
         okb = lax.dynamic_update_slice(okb, ok, (off,))
-        return ci + 1, nxb, gb, sb, okb, jnp.maximum(ofl, of_c)
+        return ci + 1, vb, okb, jnp.maximum(ofl, of_c)
 
-    _, nxb, gb, sb, okb, oflow_v = lax.while_loop(
+    _, vb, okb, oflow_v = lax.while_loop(
         lambda st: st[0] < nchunks, body,
-        (jnp.int32(0), nxb, gb, sb, okb, jnp.int32(0)),
+        (jnp.int32(0), vb, okb, jnp.int32(0)),
     )
 
-    # Map verdict bits back to pair lanes (u_idx is nondecreasing — this
-    # gather rides sequential HBM lines).  Only the verdict is fetched
-    # per lane; nmiss/gene/start are fetched AFTER compaction for the
-    # retained prefix only (3 gathers x surv_cap instead of x pair_cap —
-    # the map-back was 4 full-pair-cap gathers and measured ~1.6s/batch).
+    # Map verdict bits AND values back to pair lanes BEFORE the
+    # compaction: u_idx is nondecreasing (increments <= 1 per lane), so
+    # every stream rides the structurally-overflow-free monotone window
+    # (a 2x-block window can never overflow) and the values then travel
+    # through the compaction as sort payloads.  The former layout fetched
+    # nmiss/gene/start AFTER compaction via the ut payload — 3 RANDOM
+    # take-lane gathers that the round-4 profile measured at ~1.0s per
+    # 8M-read batch, vs ~0.1s for these monotone streams.
     uix = jnp.clip(u_idx, 0, cap - 1)
     kc = jnp.clip(jnp.maximum(qid_s, 0) // nreads, 0, nwin - 1)
     if mgather:
-        # u_idx increments by at most 1 per lane, so a block's span is
-        # bounded by the block size: a window of 2x the block can never
-        # overflow (the flag is structurally zero and dropped).
         from . import pallas_gather as _pg
 
-        okw, _ = _pg.monotone_gather(
-            okb, uix, block=1024, window=2048, interpret=interpret
-        )
+        def _mono(tab):
+            w, _ = _pg.monotone_gather(
+                tab, uix, block=1024, window=2048, interpret=interpret
+            )
+            return w
     else:
-        okw = okb[uix]
+        def _mono(tab):
+            return tab[uix]
+    okw = _mono(okb)
     ok = (okw >> kc) & 1
     keep = (qid_s >= 0) & (ok == 1)
+    valw = tuple(_mono(b) for b in vb)
 
     # Compaction: survivors first.  With MUSCATO_VTAIL the sort-free
     # chunked one-hot MXU compaction (ops/pallas_compact.py) replaces the
     # 1-key sort over the full pair buffer; survivors then arrive in
     # stream order rather than qid order, which the rank stage's
     # canonical re-sort erases.  Otherwise dead lanes key to int32-max
-    # (no real qid reaches 2**31-1), so one word orders the sort; the
-    # unique-row id rides as the only payload.
+    # (no real qid reaches 2**31-1), so one word orders the sort and the
+    # pre-gathered values ride as payloads.
     take = min(surv_cap, cap)
     if vtail:
         from . import pallas_compact as _pc
 
-        (qdt, ut), _ = _pc.stream_compact(
-            (qid_s, uix), keep, take, interpret=interpret,
-            dead_vals=(0x7FFFFFFF, 0),
+        (qdt, *valt), _ = _pc.stream_compact(
+            (qid_s,) + valw, keep, take, interpret=interpret,
+            dead_vals=(0x7FFFFFFF,) + (0,) * nval,
         )
     else:
         qd = jnp.where(keep, qid_s, jnp.int32(0x7FFFFFFF))
-        qd, uix2 = lax.sort((qd, uix), num_keys=1)
-        qdt = qd[:take]
-        ut = uix2[:take]
-    nx2 = nxb[ut]
-    g2 = gb[ut]
-    s2 = sb[ut]
+        sorted_ops = lax.sort((qd,) + valw, num_keys=1)
+        qdt = sorted_ops[0][:take]
+        valt = [o[:take] for o in sorted_ops[1:]]
+    if pack_gnx:
+        gnx_t, s2 = valt
+        nx2 = gnx_t & jnp.int32((1 << xbits) - 1)
+        g2 = lax.shift_right_logical(gnx_t, jnp.int32(xbits))
+    else:
+        nx2, g2, s2 = valt
     kt = jnp.clip(jnp.maximum(qdt, 0) // nreads, 0, nwin - 1)
     rt = jnp.maximum(qdt, 0) - kt * nreads
     qc = jnp.clip(qdt, 0, nflat - 1)
-    gr1 = keyf[qc].astype(jnp.int32)
-    gr2 = key2f[qc].astype(jnp.int32)
+    # keyf/key2f: on the sort path qdt is ascending, so the cap-group
+    # key fetch is monotone too and rides the windowed kernel (profile
+    # r4: the two XLA gathers here were the single largest term in the
+    # verify tail, ~1.2s per 8M-read batch).  Unlike the uix streams the
+    # span is data-dependent (sparse survivors stretch it), so the
+    # overflow flag is threaded into oflow_v — the caller re-runs the
+    # batch with the rows stream off, falling back to the XLA gathers.
+    # The vtail compaction emits stream order, not qid order: keep XLA
+    # gathers there.
+    mg_keys = (mgather if mg_rows is None else mg_rows) and not vtail
+    if mg_keys:
+        from . import pallas_gather as _pg
+
+        keyf_i = lax.bitcast_convert_type(keyf, jnp.int32)
+        key2f_i = lax.bitcast_convert_type(key2f, jnp.int32)
+        gr1, of1 = _pg.monotone_gather(
+            keyf_i, qc, block=1024, window=8192, interpret=interpret
+        )
+        gr2, of2 = _pg.monotone_gather(
+            key2f_i, qc, block=1024, window=8192, interpret=interpret
+        )
+        oflow_v = jnp.maximum(oflow_v, jnp.maximum(of1, of2))
+    else:
+        gr1 = keyf[qc].astype(jnp.int32)
+        gr2 = key2f[qc].astype(jnp.int32)
     surv = jnp.zeros((surv_cap, NCOL), jnp.int32)
     rows = jnp.stack([rt, g2, s2, nx2, gr1, gr2, kt], axis=1)
     surv = lax.dynamic_update_slice(surv, rows, (0, 0))
