@@ -1174,7 +1174,7 @@ def _rank_survivors_live_impl(buf, live, mm, mmtol, *, match_mode, full_cols=Tru
 
 def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
                          full_cols=True, pack_bits=None, vtail=False,
-                         interpret=False):
+                         mgather=False, interpret=False):
     """Device-side cap + dedup + best+MMTol over one batch's survivors.
 
     Replicates engine.pipeline._apply_max_matches and _dedup_and_rank
@@ -1190,11 +1190,31 @@ def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
     live = jnp.arange(surv_cap, dtype=jnp.int32) < nsurv
     return _rank_core(buf, live, mm, mmtol, match_mode=match_mode,
                       full_cols=full_cols, pack_bits=pack_bits,
-                      vtail=vtail, interpret=interpret)
+                      vtail=vtail, mgather=mgather, interpret=interpret)
+
+
+def _seg_min_broadcast(nxm, seg_id, n, *, mgather, interpret):
+    """Per-segment min of nxm broadcast back to every lane.
+
+    seg_id is dense and nondecreasing (increments <= 1), so the
+    broadcast-back gather is structurally monotone — with mgather it
+    rides the windowed kernel (profile r4: the XLA lowering of this
+    gather plus the scatter was ~0.5s per 8M-read batch in the rank
+    stage; the scatter remains, the gather drops to DMA rate)."""
+    inf32 = jnp.int32(0x7FFFFFFF)
+    table = jnp.full(n, inf32).at[seg_id].min(nxm, mode="drop")
+    if mgather:
+        from . import pallas_gather as _pg
+
+        best, _ = _pg.monotone_gather(
+            table, seg_id, block=1024, window=2048, interpret=interpret
+        )
+        return best
+    return table[seg_id]
 
 
 def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits,
-                      vtail=False, interpret=False):
+                      vtail=False, mgather=False, interpret=False):
     """_rank_core with the (r, g, s, nx) columns packed into 64-bit
     lo/hi uint32 words through every sort: stage 1 runs on 5 operands
     instead of 8, stages 2 and 4 on 3 instead of 5 (XLA sort throughput
@@ -1265,7 +1285,8 @@ def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits,
          (r3[1:] != r3[:-1]) | (dead2[1:] != dead2[:-1])]
     )
     seg_id = jnp.cumsum(new_read.astype(jnp.int32)) - 1
-    best = jnp.full(n, inf32).at[seg_id].min(nxm, mode="drop")[seg_id]
+    best = _seg_min_broadcast(nxm, seg_id, n, mgather=mgather,
+                              interpret=interpret)
     keep = keep & (nxm <= best + mmtol)
 
     # 4. stable single-key compaction; the packed words ARE the return.
@@ -1291,11 +1312,11 @@ def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits,
 
 
 def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
-               pack_bits=None, vtail=False, interpret=False):
+               pack_bits=None, vtail=False, mgather=False, interpret=False):
     if pack_bits is not None and not full_cols:
         return _rank_core_packed(
             buf, live, mm, mmtol, match_mode=match_mode, pack_bits=pack_bits,
-            vtail=vtail, interpret=interpret,
+            vtail=vtail, mgather=mgather, interpret=interpret,
         )
     n = buf.shape[0]
     r, g, s, nx = buf[:, 0], buf[:, 1], buf[:, 2], buf[:, 3]
@@ -1359,7 +1380,8 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
         [jnp.ones(1, bool), (r[1:] != r[:-1]) | (dead2[1:] != dead2[:-1])]
     )
     seg_id = jnp.cumsum(new_read.astype(jnp.int32)) - 1
-    best = jnp.full(n, inf32).at[seg_id].min(nxm, mode="drop")[seg_id]
+    best = _seg_min_broadcast(nxm, seg_id, n, mgather=mgather,
+                              interpret=interpret)
     # best+mmtol may wrap for all-dead segments (best = int32-max); keep
     # is already false there.
     keep = keep & (nxm <= best + mmtol)
@@ -1387,16 +1409,17 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
 def rank_survivors(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
                    full_cols=True, pack_bits=None):
     vtail = _VTAIL[0]
-    interp = vtail and jax.default_backend() == "cpu"
+    mg = _MGATHER[0]
+    interp = (vtail or mg) and jax.default_backend() == "cpu"
     fn = _tpu_jit(
         _rank_survivors_impl,
         ("match_mode", "surv_cap", "full_cols", "pack_bits", "vtail",
-         "interpret"),
+         "mgather", "interpret"),
     )
     return fn(
         buf, nsurv, jnp.int32(mm), jnp.int32(mmtol),
         match_mode=match_mode, surv_cap=surv_cap, full_cols=full_cols,
-        pack_bits=pack_bits, vtail=vtail, interpret=interp,
+        pack_bits=pack_bits, vtail=vtail, mgather=mg, interpret=interp,
     )
 
 

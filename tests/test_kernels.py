@@ -771,6 +771,18 @@ def test_rank_core_packed_equals_unpacked(seed):
             )
             exp = np.asarray(exp_rows)[: int(exp_n)]
             assert np.array_equal(got, exp), (mode, mm, mmtol)
+            # Stage-3 segment-min broadcast on the monotone-gather
+            # kernel (interpret): bit-identical retained rows.
+            mg_rows, mg_n = fused._rank_core(
+                buf, live_j, jnp.int32(mm), jnp.int32(mmtol),
+                match_mode=mode, full_cols=False, pack_bits=bits,
+                vtail=bool(seed % 2), mgather=True, interpret=True,
+            )
+            assert int(mg_n) == int(exp_n)
+            mg = pipeline._unpack_rows64(
+                np.asarray(mg_rows)[: int(mg_n)], bits
+            )
+            assert np.array_equal(mg, exp), (mode, mm, mmtol, "mgather")
 
 
 @pytest.mark.parametrize("dorder", [False, True])
