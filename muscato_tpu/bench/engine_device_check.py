@@ -36,13 +36,12 @@ os.environ.setdefault("MUSCATO_TUNED", "/nonexistent")
 import numpy as np  # noqa: E402
 
 
-def _set_flags(mg=False, pj=False, do=False, vt=False, px=False) -> None:
+def _set_flags(mg=False, pj=False, do=False, px=False) -> None:
     from ..ops import fused
 
     fused.set_mgather(mg)
     fused.set_pjoin(pj)
     fused.set_dorder(do)
-    fused.set_vtail(vt)
     fused.set_pexpand(px)
     # Reset overflow-grown scales so every config compiles the same
     # static shapes it would see in a fresh process.
@@ -55,9 +54,8 @@ CONFIGS = [
     ("MUSCATO_MGATHER", dict(mg=True)),
     ("MUSCATO_PJOIN", dict(pj=True)),
     ("MUSCATO_DORDER", dict(do=True)),
-    ("MUSCATO_VTAIL", dict(vt=True)),
     ("MUSCATO_PEXPAND", dict(px=True)),
-    ("full", dict(mg=True, pj=True, do=True, vt=True, px=True)),
+    ("full", dict(mg=True, pj=True, do=True, px=True)),
 ]
 
 

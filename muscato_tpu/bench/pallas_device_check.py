@@ -116,27 +116,6 @@ def main() -> int:
             np.asarray(k1)[np.asarray(v)], np.asarray(ek1)[np.asarray(ev)]
         )
 
-    def _stream_compact():
-        rng = np.random.default_rng(5)
-        from ..ops import pallas_compact as pc
-
-        m, take = 1 << 18, 1 << 14
-        qid = rng.integers(-1, 1 << 24, m).astype(np.int32)
-        uix = np.sort(rng.integers(0, m, m)).astype(np.int32)
-        keep = (rng.random(m) < 0.05) & (qid >= 0)
-        (qd, ut, x3), ns = pc.stream_compact(
-            (jnp.asarray(qid), jnp.asarray(uix), jnp.asarray(uix + 7)),
-            jnp.asarray(keep.astype(np.int32)), take, interpret=interp,
-            dead_vals=(0x7FFFFFFF, 0, -1),
-        )
-        (eqd, eut, ex3), ens = pc.stream_compact_np(
-            (qid, uix, uix + 7), keep, take, dead_vals=(0x7FFFFFFF, 0, -1)
-        )
-        assert int(ns) == ens
-        np.testing.assert_array_equal(np.asarray(qd), eqd)
-        np.testing.assert_array_equal(np.asarray(ut), eut)
-        np.testing.assert_array_equal(np.asarray(x3), ex3)
-
     def _expand_owners():
         rng = np.random.default_rng(6)
         from ..ops import pallas_expand as pe
@@ -175,7 +154,6 @@ def main() -> int:
     check("monotone_gather_rows", _monotone_gather_rows)
     check("sorted_join", _sorted_join)
     check("window_queries_pallas", _window_queries)
-    check("stream_compact", _stream_compact)
     check("expand_owners", _expand_owners)
     import json
 

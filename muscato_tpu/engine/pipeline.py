@@ -21,6 +21,7 @@ SURVEY.md section 4 on the reference's nondeterminism there).
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass
 
 import jax
@@ -70,7 +71,7 @@ def _maybe_disable_kernels(e: Exception) -> bool:
     if _os.environ.get("MUSCATO_KERNEL_NET", "1") == "0":
         return False
     if not (fused.pjoin_enabled() or fused.mgather_enabled()
-            or fused.vtail_enabled() or fused.pexpand_enabled()):
+            or fused.pexpand_enabled()):
         return False
     s = repr(e)
     # "vmem" alone is too loose (an unrelated error merely mentioning
@@ -85,14 +86,13 @@ def _maybe_disable_kernels(e: Exception) -> bool:
     _KERNEL_NET_TRIPS[0] += 1
     logger.error(
         "Pallas engine kernel failed on this backend (trip %d, %s: "
-        "%.300s); disabling MGATHER/PJOIN/VTAIL/PEXPAND and re-running "
+        "%.300s); disabling MGATHER/PJOIN/PEXPAND and re-running "
         "on the XLA paths", _KERNEL_NET_TRIPS[0], type(e).__name__, s,
         exc_info=True,
     )
     fused.set_pjoin(False)
     fused.set_mgather(False)
     fused.set_mg_streams(False, False)
-    fused.set_vtail(False)
     fused.set_pexpand(False)
     return True
 
@@ -236,7 +236,12 @@ def run_matching_indexed(
     # + SWAR); at 1<<17 lanes/iteration the loop overhead dominated
     # (~28 iterations x ~50ms at 4M-read batches, profiled).  1<<20 lanes
     # keeps the transient SWAR buffers ~100-400MB and cuts iterations 8x.
-    vchunk = cfg.MaxPairChunk or (1 << 20)
+    # MUSCATO_VCHUNK overrides for A/B (the loop was 0.84s of the 8M
+    # batch in the round-4 profile; larger chunks trade VMEM/HBM
+    # transients for fewer iterations).
+    vchunk = cfg.MaxPairChunk or int(
+        os.environ.get("MUSCATO_VCHUNK", str(1 << 20))
+    )
     q1s = jnp.asarray(np.asarray(cfg.Windows, dtype=np.int32))
 
     # The reference aborts when a window seeds no reads
@@ -484,7 +489,7 @@ def run_matching_indexed(
             # retained rows only (at realistic hit density the raw
             # survivor buffer is several times larger).
             # Dispatch + blocking count fetch under the safety net: the
-            # vtail compaction kernel inside rank_survivors can fault
+            # monotone-gather kernel inside rank_survivors can fault
             # asynchronously and surface only at int(count_d) (ADVICE r3).
             try:
                 rows_dev, count_d = fused.rank_survivors(

@@ -126,7 +126,6 @@ def effective_flags() -> dict:
         "MUSCATO_MGATHER": int(_MGATHER[0]),
         "MUSCATO_PJOIN": int(_PJOIN[0]),
         "MUSCATO_DORDER": int(_DORDER[0]),
-        "MUSCATO_VTAIL": int(_VTAIL[0]),
         "MUSCATO_PEXPAND": int(_PEXPAND[0]),
     }
     if _MGATHER[0]:
@@ -255,21 +254,13 @@ def set_dorder(on: bool) -> None:
     _DORDER[0] = on
 
 
-# Sort-free verify-tail compaction (MUSCATO_VTAIL=1): replace the dedup
-# verify's survivor-compaction sort (1-key over the full pair buffer,
-# ~80ms at 24M lanes) with the chunked one-hot MXU compaction kernel
-# (ops/pallas_compact.py).  Exact and overflow-free; survivors arrive in
-# stream order instead of qid order, which the rank stage's canonical
-# re-sort erases.  Opt-in pending a measured TPU A/B.
-_VTAIL = [_flag("MUSCATO_VTAIL")]
-
-
-def vtail_enabled() -> bool:
-    return _VTAIL[0]
-
-
-def set_vtail(on: bool) -> None:
-    _VTAIL[0] = on
+# MUSCATO_VTAIL (sort-free chunked MXU stream compaction,
+# ops/pallas_compact.py) was DELETED after the round-4 device ladder: at
+# the big workload it lost every site it replaced — probe compaction
+# 5.5s vs 1.49s, expand+verify 5.34s vs 2.47s, rank 1.60s vs 0.81s
+# (643k vs 1,677k reads/s/chip overall) — the kernel's grid-step and
+# byte-plane-matmul cost is ~4x the XLA radix sorts at 33M-130M lanes
+# on v5e.  BENCHMARKS.md round-4 records the measurement.
 
 
 # Pair expansion by windowed rank (MUSCATO_PEXPAND=1): replace the
@@ -419,7 +410,7 @@ def _window_queries(rpacked, lengths, q1s, *, width, min_dinuc):
 
 def _probe_windows_pjoin_impl(
     rpacked, lengths, q1s, skeys, *, width, min_dinuc, window_rows=256,
-    interpret=False, vtail=False,
+    interpret=False,
 ):
     """Sorted-join probe: sort the queries only (Q rows), then resolve
     lo/count per query against the resident sorted index with the
@@ -448,32 +439,23 @@ def _probe_windows_pjoin_impl(
     totalf = jnp.sum(counts_m.astype(jnp.float32))
     total = jnp.where(oflow > 0, jnp.int32(-1), jnp.sum(counts_m))
     # Compact to the active (count > 0) slots — the same compaction as
-    # _probe_windows_impl (packed-key sort, or the sort-free chunked MXU
-    # compaction under MUSCATO_VTAIL), so downstream layout assumptions
-    # (chunk owner spans for the streamed path, bounded owner spans for
-    # the dedup scatter) hold on both probes and the pipeline never has
-    # to re-probe (round-2 VERDICT weak #6).
+    # _probe_windows_impl (packed-key sort), so downstream layout
+    # assumptions (chunk owner spans for the streamed path, bounded owner
+    # spans for the dedup scatter) hold on both probes and the pipeline
+    # never has to re-probe (round-2 VERDICT weak #6).
     assert nflat < (1 << 30) - 1, "query space exceeds the packed-key range"
-    if vtail:
-        from . import pallas_compact as _pc
-
-        (counts_c, lo_c, qid_c), _ = _pc.stream_compact(
-            (counts_m, lo_m, qid_m), counts_m > 0, nflat,
-            interpret=interpret, dead_vals=(0, 0, -1),
-        )
-    else:
-        inactive = (counts_m == 0).astype(jnp.int32)
-        packed_key = (inactive << 30) | (qid_m + 1)
-        packed_c, counts_c, lo_c = lax.sort(
-            (packed_key, counts_m, lo_m), num_keys=1
-        )
-        qid_c = (packed_c & ((1 << 30) - 1)) - 1
+    inactive = (counts_m == 0).astype(jnp.int32)
+    packed_key = (inactive << 30) | (qid_m + 1)
+    packed_c, counts_c, lo_c = lax.sort(
+        (packed_key, counts_m, lo_m), num_keys=1
+    )
+    qid_c = (packed_c & ((1 << 30) - 1)) - 1
     return counts_c, lo_c, qid_c, keyf, key2f, total, totalf
 
 
 def _probe_windows_impl(
     rpacked, lengths, q1s, skeys, pre_key=None, pre_key2=None,
-    pre_valid=None, *, width, min_dinuc, vtail=False, interpret=False,
+    pre_valid=None, *, width, min_dinuc, interpret=False,
 ):
     """Sort-merge probe over the flat (K*R,) query space.
 
@@ -544,27 +526,13 @@ def _probe_windows_impl(
     # stable variant at 100M+ rows.  Key ties exist only among index rows
     # (qid -1), whose order is irrelevant (count 0).
     assert nflat < (1 << 30) - 1, "query space exceeds the packed-key range"
-    if vtail:
-        # Sort-free: the chunked MXU compaction (ops/pallas_compact.py)
-        # keeps the slots in STREAM order — i.e. sorted-KEY order, which
-        # (unlike the packed-key sort's qid order) makes lo_c globally
-        # nondecreasing, so the expansion's postings fetch is truly
-        # monotone for the windowed-gather kernel.  This replaces the
-        # single largest sort in the engine (~(nidx + nflat) rows).
-        from . import pallas_compact as _pc
-
-        (counts_c, lo_c, qid_c), _ = _pc.stream_compact(
-            (counts_m, lo_m, qid_m), counts_m > 0, nflat,
-            interpret=interpret, dead_vals=(0, 0, -1),
-        )
-    else:
-        inactive = (counts_m == 0).astype(jnp.int32)
-        packed_key = (inactive << 30) | (qid_m + 1)
-        packed_c, counts_c, lo_c = lax.sort(
-            (packed_key, counts_m, lo_m), num_keys=1
-        )
-        counts_c, lo_c = counts_c[:nflat], lo_c[:nflat]
-        qid_c = (packed_c[:nflat] & ((1 << 30) - 1)) - 1
+    inactive = (counts_m == 0).astype(jnp.int32)
+    packed_key = (inactive << 30) | (qid_m + 1)
+    packed_c, counts_c, lo_c = lax.sort(
+        (packed_key, counts_m, lo_m), num_keys=1
+    )
+    counts_c, lo_c = counts_c[:nflat], lo_c[:nflat]
+    qid_c = (packed_c[:nflat] & ((1 << 30) - 1)) - 1
     total = jnp.sum(counts_c)
     totalf = jnp.sum(counts_c.astype(jnp.float32))
     return counts_c, lo_c, qid_c, keyf, key2f, total, totalf
@@ -788,7 +756,7 @@ def _expand_verify_impl(
 def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
                        mgather=False, mg_window=8192, interpret=False,
                        dorder=False, smax=None, max_read_length=0,
-                       vtail=False, pexpand=False):
+                       pexpand=False):
     """Vectorized pair expansion into a (pair_cap,) column buffer, sorted
     by (read, diagonal) with run-start bookkeeping for the diagonal-dedup
     verify.
@@ -934,25 +902,12 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
     # tail holds payloads of duplicate lanes in arbitrary order, so it is
     # masked inactive — the verify chunks over ceil(nuniq/vchunk) lanes
     # and the mgather target stream must stay monotone through the tail.
-    # Under MUSCATO_VTAIL the same sort-free chunked MXU compaction that
-    # replaces the verify-tail sort replaces this one: run starts are
-    # kept in stream order (= increasing u_idx — exactly the order the
-    # 1-key sort produces), so the output is bit-identical, at linear
-    # HBM cost instead of a 3-operand radix sort.
-    if vtail:
-        from . import pallas_compact as _pc
-
-        (ur, ud), _ = _pc.stream_compact(
-            (r_s, d_s), run_start, pair_cap, interpret=interpret,
-            dead_vals=(-1, 0),
-        )
-    else:
-        ukey = jnp.where(run_start, u_idx, inf)
-        _, ur, ud = lax.sort((ukey, r_s, d_s), num_keys=1)
-        lane = jnp.arange(pair_cap, dtype=jnp.int32)
-        live = lane < nuniq
-        ur = jnp.where(live, ur, -1)
-        ud = jnp.where(live, ud, 0)
+    ukey = jnp.where(run_start, u_idx, inf)
+    _, ur, ud = lax.sort((ukey, r_s, d_s), num_keys=1)
+    lane = jnp.arange(pair_cap, dtype=jnp.int32)
+    live = lane < nuniq
+    ur = jnp.where(live, ur, -1)
+    ud = jnp.where(live, ud, 0)
     return qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow
 
 
@@ -961,7 +916,7 @@ def _verify_diagonals_impl(
     rpacked, lengths, tpacked, gene_start, budget, trows=None, gblock=None,
     *, nreads, width, max_read_length, vchunk, surv_cap, smax, gsteps=0,
     mgather=False, mg_rows=None, mg_rows_window=2048, interpret=False,
-    dorder=False, vtail=False,
+    dorder=False,
 ):
     """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
     to the pair lanes, and survivor compaction.  Work in the gather-heavy
@@ -1048,26 +1003,14 @@ def _verify_diagonals_impl(
     keep = (qid_s >= 0) & (ok == 1)
     valw = tuple(_mono(b) for b in vb)
 
-    # Compaction: survivors first.  With MUSCATO_VTAIL the sort-free
-    # chunked one-hot MXU compaction (ops/pallas_compact.py) replaces the
-    # 1-key sort over the full pair buffer; survivors then arrive in
-    # stream order rather than qid order, which the rank stage's
-    # canonical re-sort erases.  Otherwise dead lanes key to int32-max
-    # (no real qid reaches 2**31-1), so one word orders the sort and the
+    # Compaction: survivors first.  Dead lanes key to int32-max (no real
+    # qid reaches 2**31-1), so one word orders the sort and the
     # pre-gathered values ride as payloads.
     take = min(surv_cap, cap)
-    if vtail:
-        from . import pallas_compact as _pc
-
-        (qdt, *valt), _ = _pc.stream_compact(
-            (qid_s,) + valw, keep, take, interpret=interpret,
-            dead_vals=(0x7FFFFFFF,) + (0,) * nval,
-        )
-    else:
-        qd = jnp.where(keep, qid_s, jnp.int32(0x7FFFFFFF))
-        sorted_ops = lax.sort((qd,) + valw, num_keys=1)
-        qdt = sorted_ops[0][:take]
-        valt = [o[:take] for o in sorted_ops[1:]]
+    qd = jnp.where(keep, qid_s, jnp.int32(0x7FFFFFFF))
+    sorted_ops = lax.sort((qd,) + valw, num_keys=1)
+    qdt = sorted_ops[0][:take]
+    valt = [o[:take] for o in sorted_ops[1:]]
     if pack_gnx:
         gnx_t, s2 = valt
         nx2 = gnx_t & jnp.int32((1 << xbits) - 1)
@@ -1084,9 +1027,7 @@ def _verify_diagonals_impl(
     # span is data-dependent (sparse survivors stretch it), so the
     # overflow flag is threaded into oflow_v — the caller re-runs the
     # batch with the rows stream off, falling back to the XLA gathers.
-    # The vtail compaction emits stream order, not qid order: keep XLA
-    # gathers there.
-    mg_keys = (mgather if mg_rows is None else mg_rows) and not vtail
+    mg_keys = mgather if mg_rows is None else mg_rows
     if mg_keys:
         from . import pallas_gather as _pg
 
@@ -1173,7 +1114,7 @@ def _rank_survivors_live_impl(buf, live, mm, mmtol, *, match_mode, full_cols=Tru
 
 
 def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
-                         full_cols=True, pack_bits=None, vtail=False,
+                         full_cols=True, pack_bits=None,
                          mgather=False, interpret=False):
     """Device-side cap + dedup + best+MMTol over one batch's survivors.
 
@@ -1190,7 +1131,7 @@ def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
     live = jnp.arange(surv_cap, dtype=jnp.int32) < nsurv
     return _rank_core(buf, live, mm, mmtol, match_mode=match_mode,
                       full_cols=full_cols, pack_bits=pack_bits,
-                      vtail=vtail, mgather=mgather, interpret=interpret)
+                      mgather=mgather, interpret=interpret)
 
 
 def _seg_min_broadcast(nxm, seg_id, n, *, mgather, interpret):
@@ -1214,7 +1155,7 @@ def _seg_min_broadcast(nxm, seg_id, n, *, mgather, interpret):
 
 
 def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits,
-                      vtail=False, mgather=False, interpret=False):
+                      mgather=False, interpret=False):
     """_rank_core with the (r, g, s, nx) columns packed into 64-bit
     lo/hi uint32 words through every sort: stage 1 runs on 5 operands
     instead of 8, stages 2 and 4 on 3 instead of 5 (XLA sort throughput
@@ -1290,33 +1231,23 @@ def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits,
     keep = keep & (nxm <= best + mmtol)
 
     # 4. stable single-key compaction; the packed words ARE the return.
-    #    Under MUSCATO_VTAIL the chunked MXU compaction replaces the
-    #    stable sort — both preserve the stage-2 canonical order, so the
-    #    retained prefix is bit-identical.
     loc_i = lax.bitcast_convert_type(loc, jnp.int32)
     hic_i = lax.bitcast_convert_type(hic, jnp.int32)
-    if vtail:
-        from . import pallas_compact as _pc
-
-        (loc_i, hic_i), _ = _pc.stream_compact(
-            (loc_i, hic_i), keep, n, interpret=interpret
-        )
-    else:
-        dead4 = (~keep).astype(jnp.uint32)
-        _, hic_i, loc_i = lax.sort(
-            (dead4, hic_i, loc_i), num_keys=1, is_stable=True
-        )
+    dead4 = (~keep).astype(jnp.uint32)
+    _, hic_i, loc_i = lax.sort(
+        (dead4, hic_i, loc_i), num_keys=1, is_stable=True
+    )
     rows = jnp.stack([loc_i, hic_i], axis=1)
     count = jnp.sum(keep.astype(jnp.int32))
     return rows, count
 
 
 def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
-               pack_bits=None, vtail=False, mgather=False, interpret=False):
+               pack_bits=None, mgather=False, interpret=False):
     if pack_bits is not None and not full_cols:
         return _rank_core_packed(
             buf, live, mm, mmtol, match_mode=match_mode, pack_bits=pack_bits,
-            vtail=vtail, mgather=mgather, interpret=interpret,
+            mgather=mgather, interpret=interpret,
         )
     n = buf.shape[0]
     r, g, s, nx = buf[:, 0], buf[:, 1], buf[:, 2], buf[:, 3]
@@ -1408,18 +1339,17 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
 
 def rank_survivors(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
                    full_cols=True, pack_bits=None):
-    vtail = _VTAIL[0]
     mg = _MGATHER[0]
-    interp = (vtail or mg) and jax.default_backend() == "cpu"
+    interp = mg and jax.default_backend() == "cpu"
     fn = _tpu_jit(
         _rank_survivors_impl,
-        ("match_mode", "surv_cap", "full_cols", "pack_bits", "vtail",
+        ("match_mode", "surv_cap", "full_cols", "pack_bits",
          "mgather", "interpret"),
     )
     return fn(
         buf, nsurv, jnp.int32(mm), jnp.int32(mmtol),
         match_mode=match_mode, surv_cap=surv_cap, full_cols=full_cols,
-        pack_bits=pack_bits, vtail=vtail, mgather=mg, interpret=interp,
+        pack_bits=pack_bits, mgather=mg, interpret=interp,
     )
 
 
@@ -1484,22 +1414,18 @@ def probe_windows(
     if _PJOIN[0] and pre == (None, None, None) and allow_pjoin:
         probe = _tpu_jit(
             _probe_windows_pjoin_impl,
-            ("width", "min_dinuc", "window_rows", "interpret", "vtail"),
+            ("width", "min_dinuc", "window_rows", "interpret"),
         )
         return probe(
             rpacked, lengths, q1s, skeys, width=width, min_dinuc=min_dinuc,
             window_rows=_PJOIN_ROWS * _PJOIN_SCALE[0],
             interpret=jax.default_backend() == "cpu",
-            vtail=_VTAIL[0],
         )
-    vtail = _VTAIL[0]
     probe = _tpu_jit(
-        _probe_windows_impl, ("width", "min_dinuc", "vtail", "interpret")
+        _probe_windows_impl, ("width", "min_dinuc", "interpret")
     )
     return probe(
         rpacked, lengths, q1s, skeys, *pre, width=width, min_dinuc=min_dinuc,
-        vtail=vtail,
-        interpret=vtail and jax.default_backend() == "cpu",
     )
 
 
@@ -1552,25 +1478,24 @@ def expand_verify_dedup(
     mg_rows = mg and _MG_ROWS[0]
     scale = _MG_SCALE[0]
     dorder = _DORDER[0]
-    vtail = _VTAIL[0]
     pexpand = pexpand_gate(pair_cap)
-    interp = (mg or vtail or pexpand) and jax.default_backend() == "cpu"
+    interp = (mg or pexpand) and jax.default_backend() == "cpu"
     expand = _tpu_jit(
         _expand_pairs_impl,
         ("nreads", "pair_cap", "mgather", "mg_window", "interpret",
-         "dorder", "smax", "max_read_length", "vtail", "pexpand"),
+         "dorder", "smax", "max_read_length", "pexpand"),
     )
     qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow = expand(
         counts_m, lo_m, qid_m, q1s, spos, nreads=nreads, pair_cap=pair_cap,
         mgather=mg_spos, mg_window=_MG_WINDOW * scale, interpret=interp,
         dorder=dorder, smax=smax, max_read_length=max_read_length,
-        vtail=vtail, pexpand=pexpand,
+        pexpand=pexpand,
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,
         ("nreads", "width", "max_read_length", "vchunk", "surv_cap",
          "smax", "gsteps", "mgather", "mg_rows", "mg_rows_window",
-         "interpret", "dorder", "vtail"),
+         "interpret", "dorder"),
     )
     surv, nsurv, oflow_v = verify(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
@@ -1580,7 +1505,7 @@ def expand_verify_dedup(
         mgather=mg, mg_rows=mg_rows,
         mg_rows_window=min(_MG_ROWS_WINDOW * scale, _MG_ROWS_WINDOW_CAP),
         interpret=interp,
-        dorder=dorder, vtail=vtail,
+        dorder=dorder,
     )
     if mg_spos:
         nsurv = nsurv + oflow * jnp.int32(1 << MG_FLAG_BIT)

@@ -43,13 +43,53 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_compact import _byte_planes, _reassemble_multi
-
 LANE = 128
 CHUNK = 1024
 CW_ROWS = 10           # per-chunk slot window: 1280 slots >= 1025 + align
 BLOCK = 4096           # 8192 unrolls past the 16M Mosaic vmem stack limit
 BW_ROWS = 43           # per-block slot window rows: covers 4097 + align + CW
+
+
+def _byte_planes(x):
+    """(N,) int32 -> (N, 4) bf16 byte planes (each exact in bf16).
+
+    Stays 32-bit through the stack and casts LAST: Mosaic rejects both
+    unsigned->float casts and minor-dim insertion on sub-32-bit types
+    ("Insertion of minor dim that is not a no-op only supported for
+    32-bit types"), so the (N,)->(N,1) expands inside the stack must
+    happen on int32 lanes."""
+    xu = x.astype(jnp.uint32)
+    planes = jnp.stack(
+        [
+            jnp.bitwise_and(
+                jax.lax.shift_right_logical(xu, jnp.uint32(8 * p)),
+                jnp.uint32(255),
+            ).astype(jnp.int32)
+            for p in range(4)
+        ],
+        axis=1,
+    )  # (N, 4) int32
+    return planes.astype(jnp.bfloat16)
+
+
+def _reassemble_multi(out_f32, nvals):
+    """(N, 4*nvals) f32 byte planes -> nvals (N,) int32 vectors.
+
+    Uses per-lane shifts + masked lane-dim reduces only: single-column
+    extracts (``x[:, i]``) of a 2-D vector force sublane relayouts that
+    Mosaic miscompiles (device check showed scrambled high bytes), while
+    minor-dim reduces are the same pattern monotone_gather ships."""
+    n, c = out_f32.shape
+    assert c == 4 * nvals, (c, nvals)
+    pi = out_f32.astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    sh = jnp.bitwise_and(iota, 3) * 8
+    shifted = jax.lax.shift_left(pi, sh)
+    grp = jax.lax.shift_right_logical(iota, 2)
+    return [
+        jnp.sum(jnp.where(grp == v, shifted, 0), axis=1)
+        for v in range(nvals)
+    ]
 
 
 def _dma(table_ref, starts_ref, win_ref, sem, step, rows):

@@ -202,7 +202,7 @@ def _addressable_by_dp(arr, dp: int, axis0_size: int):
 
 def _probe_step(
     rpacked, lengths, skeys, q1s, *, width, min_dinuc, pjoin, pjoin_rows,
-    interpret, vtail=False,
+    interpret,
 ):
     """Stage 1 per-device body: probe the local read block against the
     local index shard (sort-merge join, or the Pallas sorted-join when
@@ -216,13 +216,12 @@ def _probe_step(
             fused._probe_windows_pjoin_impl(
                 rpacked, lengths, q1s, skeys,
                 width=width, min_dinuc=min_dinuc,
-                window_rows=pjoin_rows, interpret=interpret, vtail=vtail,
+                window_rows=pjoin_rows, interpret=interpret,
             )
         )
     else:
         counts, lo, qid, _kf, _k2, total, totalf = fused._probe_windows_impl(
             rpacked, lengths, q1s, skeys, width=width, min_dinuc=min_dinuc,
-            vtail=vtail, interpret=interpret and vtail,
         )
     # keyf/key2f are read-only functions of the dp block; stage 2
     # recomputes them (one packed extraction) instead of carrying two
@@ -263,7 +262,7 @@ def _verify_step_dedup(
     gblock, gene_base, budget, q1s, *, width, min_dinuc, max_read_length,
     pair_cap, vchunk, surv_cap, smax, gsteps, mm, mmtol, match_mode,
     mgather, mg_spos, mg_rows, mg_window, mg_rows_window, interpret,
-    dorder, vtail, pexpand,
+    dorder, pexpand,
 ):
     """Stage 2 per-device body (diagonal-dedup engine): the SAME expand +
     verify the single-chip path runs (fused._expand_pairs_impl /
@@ -283,7 +282,7 @@ def _verify_step_dedup(
             counts, lo, qid, q1s, spos, nreads=nreads, pair_cap=pair_cap,
             mgather=mg_spos, mg_window=mg_window, interpret=interpret,
             dorder=dorder, smax=smax, max_read_length=max_read_length,
-            vtail=vtail, pexpand=pexpand,
+            pexpand=pexpand,
         )
     )
     surv, nsurv, oflow_v = fused._verify_diagonals_impl(
@@ -293,7 +292,7 @@ def _verify_step_dedup(
         vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
         mgather=mgather, mg_rows=mg_rows,
         mg_rows_window=mg_rows_window, interpret=interpret,
-        dorder=dorder, vtail=vtail,
+        dorder=dorder,
     )
     # Bit 0: postings-window overflow, bit 1: rows-window overflow —
     # per-stream so the host disables only the overflowing stream.
@@ -526,14 +525,12 @@ def sharded_match_arrays(
     while True:
         pjoin = fused.pjoin_enabled()
         pjoin_rows = fused._PJOIN_ROWS * fused.pjoin_scale()
-        vtail = fused.vtail_enabled()
         pkey = ("probe", _mesh_key(mesh), cfg.WindowWidth, cfg.MinDinuc, pjoin,
-                pjoin_rows, interpret, vtail)
+                pjoin_rows, interpret)
         mapped_probe = _cached_mapped(pkey, lambda: jax.shard_map(
             partial(_probe_step, width=cfg.WindowWidth,
                     min_dinuc=cfg.MinDinuc, pjoin=pjoin,
-                    pjoin_rows=pjoin_rows, interpret=interpret,
-                    vtail=vtail),
+                    pjoin_rows=pjoin_rows, interpret=interpret),
             mesh=mesh, in_specs=probe_in, out_specs=probe_out,
             check_vma=False,
         ))
@@ -593,11 +590,9 @@ def sharded_match_arrays(
                 mg_window=fused._MG_WINDOW * scale,
                 mg_rows_window=fused._MG_ROWS_WINDOW * scale,
                 interpret=interpret and (
-                    mgather or fused.vtail_enabled()
-                    or fused.pexpand_enabled()
+                    mgather or fused.pexpand_enabled()
                 ),
                 dorder=fused.dorder_enabled(),
-                vtail=fused.vtail_enabled(),
                 pexpand=fused.pexpand_gate(pair_cap),
             )
             vkey = ("vdedup", _mesh_key(mesh)) + tuple(sorted(statics.items()))

@@ -32,7 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STEP_TIMEOUT = int(os.environ.get("AUTOTUNE_STEP_TIMEOUT", "5400"))
 FLAG_NAMES = ("MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
-              "MUSCATO_VTAIL", "MUSCATO_PEXPAND")
+              "MUSCATO_PEXPAND")
 # Dry-run knobs (tests/test_autotune.py drives the whole script on CPU):
 BENCH_ARGS = os.environ.get(
     "AUTOTUNE_BENCH_ARGS", "--Workload big --Repeats 2 --NoProbe"
@@ -45,30 +45,29 @@ SKIP_PALLAS = os.environ.get("AUTOTUNE_SKIP_PALLAS") == "1"
 
 # Priority order: projected winner first, then the baseline it must beat,
 # then single-flag attributions, then the remaining pair.
-def _cfg(mg=0, pj=0, do=0, vt=0, px=0):
+def _cfg(mg=0, pj=0, do=0, px=0):
     return dict(
         MUSCATO_MGATHER=str(mg), MUSCATO_PJOIN=str(pj),
-        MUSCATO_DORDER=str(do), MUSCATO_VTAIL=str(vt),
+        MUSCATO_DORDER=str(do),
         MUSCATO_PEXPAND=str(px),
     )
 
 
 LADDER = [
-    ("full", _cfg(1, 1, 1, 1, 1)),
+    # MUSCATO_VTAIL steps were removed with the kernel (round-4 device
+    # ladder: the compaction kernel lost every site, 643k vs 1,677k
+    # reads/s — see BENCHMARKS.md).
+    ("full", _cfg(1, 1, 1, 1)),
     ("xla", _cfg()),
-    ("all_vt", _cfg(1, 1, 1, 1)),
-    ("vt", _cfg(vt=1)),
     ("px", _cfg(px=1)),
     ("mg_do", _cfg(1, 0, 1)),
     ("mg", _cfg(mg=1)),
     ("pj", _cfg(pj=1)),
     ("do", _cfg(do=1)),
-    ("vt_px", _cfg(vt=1, px=1)),
     ("mg_pj", _cfg(1, 1)),
     # Round-4 combos around the first measured winner (px +15%):
     ("px_do", _cfg(do=1, px=1)),
     ("pj_px", _cfg(pj=1, px=1)),
-    ("pj_vt_px", _cfg(pj=1, vt=1, px=1)),
     ("mg_px", _cfg(mg=1, px=1)),
     # dorder makes the verify's target stream monotone — the rows
     # monotone-gather kernel is built for exactly that stream.
@@ -133,7 +132,6 @@ def main() -> int:
         "monotone_gather": "MUSCATO_MGATHER",
         "monotone_gather_rows": "MUSCATO_MGATHER",
         "sorted_join": "MUSCATO_PJOIN",
-        "stream_compact": "MUSCATO_VTAIL",
         "expand_owners": "MUSCATO_PEXPAND",
     }
     if SKIP_PALLAS:

@@ -50,7 +50,7 @@ def test_autotune_dry_run(tmp_path):
     t = json.loads(tuned.read_text())
     assert set(t["flags"]) == {
         "MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
-        "MUSCATO_VTAIL", "MUSCATO_PEXPAND",
+        "MUSCATO_PEXPAND",
     }
     assert t["provenance"]["winner"] in ("do", "xla")
     assert (outdir / "ladder.md").exists()

@@ -89,7 +89,7 @@ def test_sharded_equals_single(dp, mp, n_reads):
 
 
 def test_sharded_with_kernels_equals_single():
-    """ALL five engine kernels/flags inside shard_map (interpret mode on
+    """ALL engine kernels/flags inside shard_map (interpret mode on
     CPU) must produce the identical sharded result — the mesh path runs
     the same kernel-flagged engine as the single-chip loop."""
     from muscato_tpu.ops import fused
@@ -111,7 +111,6 @@ def test_sharded_with_kernels_equals_single():
     fused.set_mgather(True)
     fused.set_pjoin(True)
     fused.set_dorder(True)
-    fused.set_vtail(True)
     fused.set_pexpand(True)
     try:
         mr = pmesh.run_matching_sharded(cfg, rs, sidx, mesh)
@@ -119,7 +118,6 @@ def test_sharded_with_kernels_equals_single():
         fused.set_mgather(False)
         fused.set_pjoin(False)
         fused.set_dorder(False)
-        fused.set_vtail(False)
         fused.set_pexpand(False)
         fused.set_mg_scale(1)
         fused.set_pjoin_scale(1)

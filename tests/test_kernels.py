@@ -763,7 +763,7 @@ def test_rank_core_packed_equals_unpacked(seed):
             got_rows, got_n = fused._rank_core(
                 buf, live_j, jnp.int32(mm), jnp.int32(mmtol),
                 match_mode=mode, full_cols=False, pack_bits=bits,
-                vtail=bool(seed % 2), interpret=True,
+                interpret=True,
             )
             assert int(got_n) == int(exp_n) > 0
             got = pipeline._unpack_rows64(
@@ -776,7 +776,7 @@ def test_rank_core_packed_equals_unpacked(seed):
             mg_rows, mg_n = fused._rank_core(
                 buf, live_j, jnp.int32(mm), jnp.int32(mmtol),
                 match_mode=mode, full_cols=False, pack_bits=bits,
-                vtail=bool(seed % 2), mgather=True, interpret=True,
+                mgather=True, interpret=True,
             )
             assert int(mg_n) == int(exp_n)
             mg = pipeline._unpack_rows64(

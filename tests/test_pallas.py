@@ -418,76 +418,6 @@ def test_kernels_combined_random_workload(seed):
     assert len(mr_a.read_row) > 1000
 
 
-def test_stream_compact_matches_oracle():
-    """Sort-free survivor compaction (ops/pallas_compact.py): chunked
-    one-hot MXU compaction + scatter/cummax run merge must equal the
-    numpy oracle across densities, sizes, and take < / > nsurv."""
-    from muscato_tpu.ops import pallas_compact as pc
-
-    rng = np.random.default_rng(0)
-    cases = [
-        (20000, 0.3, 4096, 2), (8192, 1.0, 8192, 2), (8192, 0.0, 128, 2),
-        (100000, 0.01, 2048, 3), (3000, 0.5, 512, 3), (8192, 0.9, 100, 2),
-        (1, 1.0, 64, 1),
-    ]
-    for m, density, take, nvals in cases:
-        vals = [rng.integers(-1, 1 << 24, m).astype(np.int32)
-                for _ in range(nvals)]
-        keep = (rng.random(m) < density) & (vals[0] >= 0)
-        dead = tuple(rng.integers(-1, 2, nvals).tolist())
-        got, ns = pc.stream_compact(
-            tuple(jnp.asarray(v) for v in vals),
-            jnp.asarray(keep.astype(np.int32)), take, interpret=True,
-            dead_vals=dead,
-        )
-        exp, ens = pc.stream_compact_np(vals, keep, take, dead_vals=dead)
-        assert int(ns) == ens, (m, density, take)
-        for g, e in zip(got, exp):
-            np.testing.assert_array_equal(np.asarray(g), e)
-
-
-@pytest.mark.parametrize(
-    "combo", ["plain", "mgather", "pjoin", "pexpand", "pexpand_only", "full"]
-)
-def test_vtail_equals_sort_compaction(combo):
-    """MUSCATO_VTAIL (sort-free compaction through probe, expand, verify
-    tail, and rank) must produce the exact sort-path MatchResult — the
-    rank stage erases the stream-vs-qid survivor order difference —
-    alone and combined with the monotone-gather / sorted-join kernels."""
-    from muscato_tpu import config as config_mod
-    from muscato_tpu.bench import gendat
-    from muscato_tpu.engine import pipeline
-
-    rs, ts = gendat.generate_arrays_realistic(18_000, 60, 250, 400, 5)
-    cfg = config_mod.Config(
-        Windows=[0, 10, 25], WindowWidth=10, PMatch=0.9, MinDinuc=2,
-        MaxReadLength=120, MMTol=1, MaxMatches=10**6, MatchMode="best",
-    )
-    mr_a = pipeline.run_matching(cfg, rs, ts)
-    full = combo == "full"
-    fused.set_vtail(combo != "pexpand_only")
-    fused.set_mgather(full or combo == "mgather")
-    fused.set_pjoin(full or combo == "pjoin")
-    fused.set_pexpand(full or combo in ("pexpand", "pexpand_only"))
-    fused.set_dorder(full)
-    try:
-        mr_b = pipeline.run_matching(cfg, rs, ts)
-    finally:
-        fused.set_vtail(False)
-        fused.set_mgather(False)
-        fused.set_pjoin(False)
-        fused.set_pexpand(False)
-        fused.set_dorder(False)
-        fused.set_mg_scale(1)
-        fused.set_pjoin_scale(1)
-    for a, b in zip(
-        (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
-        (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
-    ):
-        np.testing.assert_array_equal(a, b)
-    assert len(mr_a.read_row) > 1000
-
-
 def test_expand_owners_matches_oracle():
     """Windowed-rank pair expansion (ops/pallas_expand.py): per-lane
     (qid, postings index) must equal the searchsorted oracle on every

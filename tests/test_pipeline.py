@@ -389,21 +389,19 @@ def test_mosaic_failure_safety_net():
         "be caused by a kernel fault"
     )
     # No kernels on: not ours to handle.
-    for setter in (fused.set_pjoin, fused.set_mgather, fused.set_vtail,
+    for setter in (fused.set_pjoin, fused.set_mgather,
                    fused.set_pexpand):
         setter(False)
     assert not _maybe_disable_kernels(moserr)
 
     fused.set_mgather(True)
-    fused.set_vtail(True)
     try:
         # Unrelated error: untouched, kernels stay on.
         assert not _maybe_disable_kernels(ValueError("bad shape"))
-        assert fused.mgather_enabled() and fused.vtail_enabled()
+        assert fused.mgather_enabled()
         # Kernel-backend error: everything off, one-shot.
         assert _maybe_disable_kernels(moserr)
         assert not fused.mgather_enabled()
-        assert not fused.vtail_enabled()
         assert not fused.pjoin_enabled()
         assert not fused.pexpand_enabled()
         # Second occurrence (kernels already off) re-raises at the caller.
@@ -413,7 +411,7 @@ def test_mosaic_failure_safety_net():
         assert _maybe_disable_kernels(crasherr)
         assert not fused.pexpand_enabled()
     finally:
-        for setter in (fused.set_pjoin, fused.set_mgather, fused.set_vtail,
+        for setter in (fused.set_pjoin, fused.set_mgather,
                        fused.set_pexpand):
             setter(False)
         fused.set_mg_streams(False, False)

@@ -42,7 +42,7 @@ def test_flag_precedence(monkeypatch):
 def test_effective_flags_shape():
     f = fused.effective_flags()
     base = {"MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
-            "MUSCATO_VTAIL", "MUSCATO_PEXPAND"}
+            "MUSCATO_PEXPAND"}
     extra = {"MUSCATO_MG_SPOS", "MUSCATO_MG_ROWS"}
     assert base <= set(f) <= base | extra
     # Stream sub-flags appear exactly when the gather kernel is on.
@@ -59,16 +59,16 @@ def test_bench_fallback_carries_tuned_provenance(monkeypatch, tmp_path):
 
     p = tmp_path / "TUNED.json"
     p.write_text(json.dumps({
-        "flags": {"MUSCATO_VTAIL": 1},
+        "flags": {"MUSCATO_DORDER": 1},
         "provenance": {
-            "winner": "vt", "reads_per_sec_chip": 1234567.0,
+            "winner": "do", "reads_per_sec_chip": 1234567.0,
             "device_kind": "TPU v5 lite", "date": "2026-08-19",
         },
     }))
     monkeypatch.setenv("MUSCATO_TUNED", str(p))
     prov = runner._tuned_provenance()
     assert prov["reads_per_sec_chip"] == 1234567.0
-    assert prov["flags"] == {"MUSCATO_VTAIL": 1}
+    assert prov["flags"] == {"MUSCATO_DORDER": 1}
     assert "not this run" in prov["source"]
 
     # No measured number -> no provenance block (never fabricate).
