@@ -438,18 +438,26 @@ def _probe_windows_pjoin_impl(
     counts_m = jnp.where(qid_m >= 0, counts_m, 0)
     totalf = jnp.sum(counts_m.astype(jnp.float32))
     total = jnp.where(oflow > 0, jnp.int32(-1), jnp.sum(counts_m))
-    # Compact to the active (count > 0) slots — the same compaction as
-    # _probe_windows_impl (packed-key sort), so downstream layout
-    # assumptions (chunk owner spans for the streamed path, bounded owner
-    # spans for the dedup scatter) hold on both probes and the pipeline
-    # never has to re-probe (round-2 VERDICT weak #6).
+    # Compact to the active (count > 0) slots, ordered by LO (the slot's
+    # postings-run start) rather than by qid: any compacted order keeps
+    # the downstream layout assumptions (chunk owner spans for the
+    # streamed path, bounded owner spans for the dedup scatter; oexcl is
+    # a cumsum over whatever slot order the probe emits), and lo order
+    # makes the expansion's postings index stream GLOBALLY piecewise
+    # monotone — same-key slots re-expand one run (bounded lookback the
+    # per-block min window start covers), so the spos fetch can ride the
+    # windowed monotone-gather kernel instead of a 33M-lane random XLA
+    # gather (~0.37s/8M batch, round-4 profile).  The sort stays 3-op:
+    # lo lives in the key word (nidx < 2**30 asserted), qid rides as
+    # payload.
     assert nflat < (1 << 30) - 1, "query space exceeds the packed-key range"
+    assert skeys.shape[0] < (1 << 30), "index exceeds the packed-lo range"
     inactive = (counts_m == 0).astype(jnp.int32)
-    packed_key = (inactive << 30) | (qid_m + 1)
-    packed_c, counts_c, lo_c = lax.sort(
-        (packed_key, counts_m, lo_m), num_keys=1
+    packed_key = (inactive << 30) | jnp.clip(lo_m, 0, (1 << 30) - 1)
+    packed_c, counts_c, qid_c = lax.sort(
+        (packed_key, counts_m, qid_m), num_keys=1
     )
-    qid_c = (packed_c & ((1 << 30) - 1)) - 1
+    lo_c = packed_c & ((1 << 30) - 1)
     return counts_c, lo_c, qid_c, keyf, key2f, total, totalf
 
 
@@ -525,14 +533,17 @@ def _probe_windows_impl(
     # runs 3-operand single-key unstable — measured ~2x the 4-operand
     # stable variant at 100M+ rows.  Key ties exist only among index rows
     # (qid -1), whose order is irrelevant (count 0).
+    # Same lo-ordered compaction as the pjoin probe (see the comment
+    # there): postings-monotone slot order at the same 3-operand cost.
     assert nflat < (1 << 30) - 1, "query space exceeds the packed-key range"
+    assert skeys.shape[0] < (1 << 30), "index exceeds the packed-lo range"
     inactive = (counts_m == 0).astype(jnp.int32)
-    packed_key = (inactive << 30) | (qid_m + 1)
-    packed_c, counts_c, lo_c = lax.sort(
-        (packed_key, counts_m, lo_m), num_keys=1
+    packed_key = (inactive << 30) | jnp.clip(lo_m, 0, (1 << 30) - 1)
+    packed_c, counts_c, qid_c = lax.sort(
+        (packed_key, counts_m, qid_m), num_keys=1
     )
-    counts_c, lo_c = counts_c[:nflat], lo_c[:nflat]
-    qid_c = (packed_c[:nflat] & ((1 << 30) - 1)) - 1
+    counts_c, qid_c = counts_c[:nflat], qid_c[:nflat]
+    lo_c = packed_c[:nflat] & ((1 << 30) - 1)
     total = jnp.sum(counts_c)
     totalf = jnp.sum(counts_c.astype(jnp.float32))
     return counts_c, lo_c, qid_c, keyf, key2f, total, totalf
@@ -607,8 +618,10 @@ def _probe_windows_direct_impl(
     loc = loc.reshape(-1)[:nflat]
 
     inactive = (counts == 0).astype(jnp.int32)
-    _, counts_c, lo_c, qid_c = lax.sort(
-        (inactive, counts, loc, qid), num_keys=1, is_stable=True
+    # lo-ordered active slots, like the merge/pjoin probes: the
+    # expansion's postings stream stays monotone on every probe type.
+    _, lo_c, counts_c, qid_c = lax.sort(
+        (inactive, loc, counts, qid), num_keys=2, is_stable=True
     )
     total = jnp.sum(counts_c)
     totalf = jnp.sum(counts_c.astype(jnp.float32))
@@ -658,8 +671,10 @@ def _probe_windows_search_impl(
 
     # Compact actives first (stable) — K*R-sized sort, index untouched.
     inactive = (counts == 0).astype(jnp.int32)
-    _, counts_c, lo_c, qid_c = lax.sort(
-        (inactive, counts, loc, qid), num_keys=1, is_stable=True
+    # lo-ordered active slots, like the merge/pjoin probes: the
+    # expansion's postings stream stays monotone on every probe type.
+    _, lo_c, counts_c, qid_c = lax.sort(
+        (inactive, loc, counts, qid), num_keys=2, is_stable=True
     )
     total = jnp.sum(counts_c)
     totalf = jnp.sum(counts_c.astype(jnp.float32))
