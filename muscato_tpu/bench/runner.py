@@ -48,6 +48,8 @@ class BenchResult:
     result_fetch_s: float = 0.0
     result_fetch_bytes: int = 0
     end_to_end_s: float = 0.0
+    index_build_detail: dict | None = None
+    stage_times: dict | None = None
 
 
 def _subset(rs, shift: int, n: int):
@@ -71,6 +73,7 @@ def _bench_one(cfg: Config, rs, ts, num_read: int, repeats: int) -> BenchResult:
     index = build_target_index(ts, cfg.WindowWidth)
     index.skeys.block_until_ready()
     index_build_s = time.perf_counter() - t0
+    index_build_detail = index.build_timings
 
     n = rs.num_unique
     # Warmup (compile all shapes) on a subset none of the reps reuse.
@@ -88,6 +91,7 @@ def _bench_one(cfg: Config, rs, ts, num_read: int, repeats: int) -> BenchResult:
     fetch_s = 0.0
     fetch_bytes = 0
     matches = 0
+    stage_times = None
     for sub in subs:
         tm: dict = {}
         t0 = time.perf_counter()
@@ -101,6 +105,7 @@ def _bench_one(cfg: Config, rs, ts, num_read: int, repeats: int) -> BenchResult:
             best = tm.get("device_s", dt)
             fetch_s = tm.get("fetch_s", 0.0)
             fetch_bytes = tm.get("fetch_bytes", 0)
+            stage_times = tm.get("stages")
         best_e2e = min(best_e2e, dt)
         matches = len(mr.read_row)
 
@@ -123,6 +128,8 @@ def _bench_one(cfg: Config, rs, ts, num_read: int, repeats: int) -> BenchResult:
         result_fetch_s=fetch_s,
         result_fetch_bytes=fetch_bytes,
         end_to_end_s=best_e2e,
+        index_build_detail=index_build_detail,
+        stage_times=stage_times,
     )
 
 
@@ -171,7 +178,7 @@ def run_bench(
 
 
 def _detail(r: BenchResult) -> dict:
-    return {
+    d = {
         "match_device_s": round(r.match_s, 4),
         "result_fetch_s": round(r.result_fetch_s, 4),
         "result_fetch_bytes": r.result_fetch_bytes,
@@ -183,6 +190,11 @@ def _detail(r: BenchResult) -> dict:
         "matches": r.matches,
         "reads_per_sec": round(r.reads_per_sec, 1),
     }
+    if r.index_build_detail:
+        d["index_build_detail"] = r.index_build_detail
+    if r.stage_times:
+        d["stage_times"] = r.stage_times
+    return d
 
 
 def _device_reachable(timeout_s: float | None = None) -> bool:
@@ -281,6 +293,11 @@ def main(argv=None) -> int:
     import logging
     import os as _os
 
+    # Per-batch stage breakdown rides the loop's existing scalar syncs
+    # (near-zero cost) and lands in the bench detail — every round
+    # artifact localizes its own hot stage without a profiler trace.
+    _os.environ.setdefault("MUSCATO_STAGE_TIMES", "1")
+
     if _os.environ.get("MUSCATO_BENCH_LOG", "1") != "0":
         # Per-batch heartbeats into the step log (stderr): long compiles
         # and slow kernels are diagnosable from the autotune artifacts.
@@ -322,6 +339,8 @@ def main(argv=None) -> int:
         ns.NumGene = ns.NumGene or 2_000
         ns.Repeats = min(ns.Repeats, 2)
 
+    from ..ops import fused as _fused
+
     detail = {}
     headline = None
     if ns.Workload in ("big", "both"):
@@ -333,6 +352,12 @@ def main(argv=None) -> int:
         )
         headline = r
         detail["big"] = _detail(r)
+        # Snapshot the flags the HEADLINE workload actually ran under:
+        # a later workload can legitimately self-disable a stream (the
+        # small workload's sparse survivors overflow any cap-key window)
+        # and must not pollute the headline's provenance — exactly what
+        # made BENCH_r04's end-state flags contradict TUNED.json.
+        detail["big"]["flags"] = dict(_fused.effective_flags())
     if ns.Workload in ("small", "both"):
         r = run_bench(
             # The small workload is a sanity point, not the headline;
@@ -344,6 +369,7 @@ def main(argv=None) -> int:
         if headline is None:
             headline = r
         detail["small"] = _detail(r)
+        detail["small"]["flags"] = dict(_fused.effective_flags())
 
     # One JSON line, as the driver contract requires.  The headline is the
     # 100M-base realistic workload — the number the north star is defined
@@ -357,6 +383,10 @@ def main(argv=None) -> int:
         if os.environ.get(k):
             flags[k] = os.environ[k]
     detail["flags"] = flags
+    # Window-overflow events seen during the run: a nonzero count here
+    # explains any difference between these effective flags and the
+    # TUNED.json starting flags (a stream self-disabled mid-run).
+    detail["mg_overflow_events"] = dict(_fused.MG_OFLOW_EVENTS)
     # Self-describing provenance: record what actually ran the timed region
     # so a CPU fallback can never masquerade as a chip number.
     import jax

@@ -110,6 +110,12 @@ class TargetIndex:
     # and by load(); save() and search_aux() read these instead of pulling
     # 12 bytes/window back across the device link.
     host_arrays: tuple | None = field(default=None, repr=False)
+    # Build-phase wall-time split (host keys+radix sort / nibble pack /
+    # device upload), recorded by build_target_index so a slow build is
+    # attributable from bench provenance alone: the upload term rides a
+    # relay on this dev host and can swing 20-160s for the ~800MB of
+    # (skeys, spos) at 98M windows while the host terms stay ~constant.
+    build_timings: dict | None = field(default=None, repr=False)
     _aux: SearchAux | None = field(default=None, repr=False)
     _trows: tuple | None = field(default=None, repr=False)
     _gblock: tuple | None = field(default=None, repr=False)
@@ -364,6 +370,8 @@ def build_target_index(
     — and uploads the sorted arrays once.  device_build=True computes and
     sorts on the accelerator instead (no index upload; worth it when host
     cores are scarce and the one-time compile is amortized)."""
+    import time as _time
+
     s = int(ts.gene_start[-1])
     gene_start64 = np.asarray(ts.gene_start, dtype=np.int64)
     if s > np.iinfo(np.int32).max:
@@ -373,6 +381,7 @@ def build_target_index(
         )
     gene_start_np = gene_start64.astype(np.int32)
     gene_start = jnp.asarray(gene_start_np)
+    t0 = _time.perf_counter()
     if device_build:
         tcat = jnp.asarray(np.asarray(ts.tcat, dtype=np.uint8))
         skeys, skeys2, spos, nvalid = _index_arrays(
@@ -392,6 +401,7 @@ def build_target_index(
             k1 = np.array([INVALID_KEY], np.uint32)
             k2 = np.array([INVALID_KEY], np.uint32)
             sp = np.array([-1], np.int32)
+        t_host = _time.perf_counter()
         skeys = jnp.asarray(k1)
         # The sort-merge probe joins on key1 alone (ops/fused.py — key2
         # collisions are resolved by the byte-true verify), so the second
@@ -402,8 +412,28 @@ def build_target_index(
         spos = jnp.asarray(sp)
         host_arrays = (k1, k2, sp)
 
+    t_pack0 = _time.perf_counter()
+    tpacked = pops.pack_stream(np.asarray(ts.tcat))
+    t_pack = _time.perf_counter()
+    timings = None
+    if not device_build:
+        # Force the uploads to completion so the split is honest (the
+        # asarray dispatches above are async); callers that would have
+        # paid this at first use pay it here instead.
+        skeys.block_until_ready()
+        spos.block_until_ready()
+        tpacked.block_until_ready()
+        timings = {
+            "host_keys_sort_s": round(t_host - t0, 3),
+            "pack_s": round(t_pack - t_pack0, 3),
+            # asarray dispatch before the pack + the blocking wait after.
+            "upload_s": round(
+                (t_pack0 - t_host) + (_time.perf_counter() - t_pack), 3
+            ),
+        }
+
     return TargetIndex(
-        tpacked=pops.pack_stream(np.asarray(ts.tcat)),
+        tpacked=tpacked,
         gene_start=gene_start,
         skeys=skeys,
         skeys2=skeys2,
@@ -412,4 +442,5 @@ def build_target_index(
         num_valid=nvalid,
         num_bases=s,
         host_arrays=None if device_build else host_arrays,
+        build_timings=timings,
     )

@@ -92,7 +92,7 @@ def _maybe_disable_kernels(e: Exception) -> bool:
     )
     fused.set_pjoin(False)
     fused.set_mgather(False)
-    fused.set_mg_streams(False, False)
+    fused.set_mg_streams(False, False, False)
     fused.set_pexpand(False)
     return True
 
@@ -356,6 +356,7 @@ def run_matching_indexed(
             # the static window).  Grow the window once — past that the
             # per-query matmul cost overtakes the sort-merge probe, so
             # switch the process over.
+            fused.MG_OFLOW_EVENTS["pjoin"] += 1
             if fused.pjoin_scale() < fused.PJOIN_MAX_SCALE:
                 fused.set_pjoin_scale(fused.pjoin_scale() * 4)
                 logger.warning(
@@ -436,38 +437,65 @@ def run_matching_indexed(
                 continue
             of_spos = bool(nsurv & (1 << fused.MG_FLAG_BIT))
             of_rows = bool(nsurv & (1 << fused.MG_FLAG_BIT_ROWS))
-            nsurv &= (1 << fused.MG_FLAG_BIT_ROWS) - 1
-            if (of_spos or of_rows) and fused.mgather_enabled():
-                # Monotone-gather window overflow (extreme postings-run
-                # or row spans): correctness requires the XLA gather path
-                # for the overflowing stream.  Loud, rare, never wrong.
-                # Growth only helps the postings window: the rows window
-                # is clamped at its device-proven Mosaic cap, so a rows
-                # overflow at the cap disables that stream directly.
-                growable = of_spos or not fused.mg_rows_at_cap()
+            of_keys = bool(nsurv & (1 << fused.MG_FLAG_BIT_KEYS))
+            nsurv &= (1 << fused.MG_FLAG_BIT_KEYS) - 1
+            if (of_spos or of_rows or of_keys) and fused.mgather_enabled():
+                # Monotone-gather window overflow (extreme postings-run,
+                # row, or survivor-key spans): correctness requires the
+                # XLA gather path for the overflowing stream.  Loud,
+                # rare, never wrong.  Per stream: growth helps the
+                # postings and cap-key windows; the rows window is
+                # clamped at its device-proven Mosaic cap, so a rows
+                # overflow at the cap disables that stream directly —
+                # and ONLY that stream (bench provenance records every
+                # event, so a self-disable is visible in the artifact).
+                for nm, of in (("spos", of_spos), ("rows", of_rows),
+                               ("keys", of_keys)):
+                    if of:
+                        fused.MG_OFLOW_EVENTS[nm] += 1
+                spos_on, rows_on, keys_on = fused.mg_streams()
+                growable = (
+                    of_spos
+                    or (of_keys and not fused.mg_keys_at_cap())
+                    or (of_rows and not fused.mg_rows_at_cap())
+                )
                 if fused.mg_scale() < fused.MG_MAX_SCALE and growable:
                     # Grow the gather windows 4x (fresh static shape)
                     # before abandoning the kernels — one recompile
                     # beats per-batch XLA gathers for the whole run.
+                    # Streams already pinned at their cap that ALSO
+                    # overflowed are disabled now: growth cannot widen
+                    # them, and keeping them on guarantees another
+                    # overflow round trip after the recompile.
                     fused.set_mg_scale(fused.mg_scale() * 4)
+                    fused.MG_OFLOW_EVENTS["grow"] += 1
+                    if of_rows and fused.mg_rows_at_cap():
+                        rows_on = False
+                    if of_keys and fused.mg_keys_at_cap():
+                        keys_on = False
+                    fused.set_mg_streams(spos_on, rows_on, keys_on)
                     logger.warning(
-                        "monotone-gather window overflow; growing "
-                        "windows to x%d and re-running the batch",
-                        fused.mg_scale(),
+                        "monotone-gather window overflow (postings=%s "
+                        "rows=%s keys=%s); growing windows to x%d "
+                        "(streams spos=%s rows=%s keys=%s) and "
+                        "re-running the batch",
+                        of_spos, of_rows, of_keys, fused.mg_scale(),
+                        *fused.mg_streams(),
                     )
                 else:
                     # Disable ONLY the overflowing stream(s): a postings
                     # span overflow must not forfeit the windowed rows
                     # fetch (usually the bigger win), and vice versa.
-                    spos_on, rows_on = fused.mg_streams()
                     fused.set_mg_streams(
-                        spos_on and not of_spos, rows_on and not of_rows
+                        spos_on and not of_spos,
+                        rows_on and not of_rows,
+                        keys_on and not of_keys,
                     )
                     logger.warning(
                         "monotone-gather window overflow at max scale "
-                        "(postings=%s rows=%s); re-running batch with "
-                        "streams spos=%s rows=%s",
-                        of_spos, of_rows, *fused.mg_streams(),
+                        "(postings=%s rows=%s keys=%s); re-running batch "
+                        "with streams spos=%s rows=%s keys=%s",
+                        of_spos, of_rows, of_keys, *fused.mg_streams(),
                     )
                 continue
             if nsurv <= surv_cap:

@@ -133,6 +133,7 @@ def effective_flags() -> dict:
         # the gather kernel itself is on.
         out["MUSCATO_MG_SPOS"] = int(_MG_SPOS[0])
         out["MUSCATO_MG_ROWS"] = int(_MG_ROWS[0])
+        out["MUSCATO_MG_KEYS"] = int(_MG_KEYS[0])
     return out
 
 
@@ -146,6 +147,7 @@ _MG_WINDOW = int(_os_mod.environ.get("MUSCATO_MGATHER_WINDOW", "8192"))
 _MG_ROWS_WINDOW = 2048
 MG_FLAG_BIT = 30  # postings-window overflow, ORed into bit 30 of nsurv
 MG_FLAG_BIT_ROWS = 29  # rows-window overflow (verify read/target rows)
+MG_FLAG_BIT_KEYS = 28  # survivor cap-key fetch overflow (verify tail)
 # Per-stream enables under MUSCATO_MGATHER: a postings-span overflow
 # must not forfeit the rows windows (and vice versa) — the pipeline
 # disables only the stream whose window overflowed at max scale.
@@ -154,8 +156,30 @@ MG_FLAG_BIT_ROWS = 29  # rows-window overflow (verify read/target rows)
 # device-proven spos window, so the engine always converges to
 # rows-only after several regrow recompiles — the env knob skips the
 # regrow churn (measured: ~10+ min of relay compiles per process).
+#
+# MUSCATO_MG_KEYS governs the verify tail's survivor cap-key fetch
+# (keyf/key2f over the ascending retained qids).  Its span is
+# data-dependent — sparse-survivor regions stretch it — so it gets its
+# OWN overflow bit and enable: in round 4 this fetch's overflow was
+# threaded into the rows flag, and one sparse block on the flagship
+# workload disabled the whole rows stream (and with spos already off,
+# mgather entirely) mid-bench — the BENCH_r04 self-disable.
 _MG_SPOS = [_flag("MUSCATO_MG_SPOS", True)]
 _MG_ROWS = [_flag("MUSCATO_MG_ROWS", True)]
+_MG_KEYS = [_flag("MUSCATO_MG_KEYS", True)]
+# Survivor cap-key fetch window: spans are ~(qid space / survivors) per
+# 1024-lane block (~5k typical on the flagship workload); 32768 rides
+# out skew at negligible DMA cost (128KB/block ~ 0.16us at HBM rate).
+# Never grown (cap == window): a keys overflow means survivors are
+# >30x sparser than the flagship density, where the XLA fallback gather
+# is proportionally cheap — growth would buy recompiles, not speed.
+_MG_KEYS_WINDOW = 32768
+_MG_KEYS_WINDOW_CAP = 32768
+
+# Window-overflow events observed by the host ladder this process, per
+# stream — bench provenance records them so a self-disable during an
+# official run is visible in the artifact, not only in the run log.
+MG_OFLOW_EVENTS = {"spos": 0, "rows": 0, "keys": 0, "pjoin": 0, "grow": 0}
 # Window growth factor on overflow (pipeline quadruples it up to MG_MAX_SCALE
 # before abandoning the kernels; each growth is a fresh static shape).
 _MG_SCALE = [1]
@@ -171,6 +195,10 @@ def mg_rows_at_cap() -> bool:
     return _MG_ROWS_WINDOW * _MG_SCALE[0] >= _MG_ROWS_WINDOW_CAP
 
 
+def mg_keys_at_cap() -> bool:
+    return _MG_KEYS_WINDOW * _MG_SCALE[0] >= _MG_KEYS_WINDOW_CAP
+
+
 def mgather_enabled() -> bool:
     return _MGATHER[0]
 
@@ -180,16 +208,18 @@ def set_mgather(on: bool) -> None:
     if on:
         _MG_SPOS[0] = True
         _MG_ROWS[0] = True
+        _MG_KEYS[0] = True
 
 
 def mg_streams() -> tuple:
-    return (_MG_SPOS[0], _MG_ROWS[0])
+    return (_MG_SPOS[0], _MG_ROWS[0], _MG_KEYS[0])
 
 
-def set_mg_streams(spos: bool, rows: bool) -> None:
+def set_mg_streams(spos: bool, rows: bool, keys: bool) -> None:
     _MG_SPOS[0] = spos
     _MG_ROWS[0] = rows
-    if not (spos or rows):
+    _MG_KEYS[0] = keys
+    if not (spos or rows or keys):
         _MGATHER[0] = False
 
 
@@ -931,7 +961,7 @@ def _verify_diagonals_impl(
     rpacked, lengths, tpacked, gene_start, budget, trows=None, gblock=None,
     *, nreads, width, max_read_length, vchunk, surv_cap, smax, gsteps=0,
     mgather=False, mg_rows=None, mg_rows_window=2048, interpret=False,
-    dorder=False,
+    dorder=False, mg_keys=None, mg_keys_window=32768,
 ):
     """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
     to the pair lanes, and survivor compaction.  Work in the gather-heavy
@@ -943,7 +973,11 @@ def _verify_diagonals_impl(
     — instead of the round-2a 8, and the cap-group key words are gathered
     from the qid-indexed keyf/key2f for the retained prefix only.
 
-    Returns (surv (surv_cap, NCOL) int32, nsurv)."""
+    Returns (surv (surv_cap, NCOL) int32, nsurv, oflow_rows, oflow_keys):
+    the two overflow flags are per-STREAM — the verify row windows vs the
+    survivor cap-key fetch windows — so the caller can disable exactly
+    the stream whose window overflowed (mg_keys=None follows mg_rows,
+    the pre-round-5 coupling, for compatibility)."""
     cap = ur.shape[0]
     nwin = q1s.shape[0]
     nflat = keyf.shape[0]
@@ -1034,27 +1068,37 @@ def _verify_diagonals_impl(
         nx2, g2, s2 = valt
     kt = jnp.clip(jnp.maximum(qdt, 0) // nreads, 0, nwin - 1)
     rt = jnp.maximum(qdt, 0) - kt * nreads
-    qc = jnp.clip(qdt, 0, nflat - 1)
+    # Dead tail lanes of the take-prefix hold int32-max: clamp them to
+    # the LAST live qid so the gather stream below never jumps from the
+    # final survivor to nflat-1 in one block (that transition span alone
+    # could overflow any window; with the clamp the tail's span is 0).
+    last_live = jnp.max(jnp.where(keep, qid_s, jnp.int32(0)))
+    qc = jnp.clip(jnp.minimum(qdt, last_live), 0, nflat - 1)
     # keyf/key2f: on the sort path qdt is ascending, so the cap-group
     # key fetch is monotone too and rides the windowed kernel (profile
     # r4: the two XLA gathers here were the single largest term in the
     # verify tail, ~1.2s per 8M-read batch).  Unlike the uix streams the
-    # span is data-dependent (sparse survivors stretch it), so the
-    # overflow flag is threaded into oflow_v — the caller re-runs the
-    # batch with the rows stream off, falling back to the XLA gathers.
-    mg_keys = mgather if mg_rows is None else mg_rows
+    # span is data-dependent (sparse survivors stretch it), so it gets
+    # its OWN overflow flag — the caller disables only this fetch and
+    # keeps the verify row windows on (round-4's coupling of the two
+    # disabled the whole rows stream mid-bench).
+    if mg_keys is None:
+        mg_keys = mgather if mg_rows is None else mg_rows
+    oflow_k = jnp.int32(0)
     if mg_keys:
         from . import pallas_gather as _pg
 
         keyf_i = lax.bitcast_convert_type(keyf, jnp.int32)
         key2f_i = lax.bitcast_convert_type(key2f, jnp.int32)
         gr1, of1 = _pg.monotone_gather(
-            keyf_i, qc, block=1024, window=8192, interpret=interpret
+            keyf_i, qc, block=1024, window=mg_keys_window,
+            interpret=interpret,
         )
         gr2, of2 = _pg.monotone_gather(
-            key2f_i, qc, block=1024, window=8192, interpret=interpret
+            key2f_i, qc, block=1024, window=mg_keys_window,
+            interpret=interpret,
         )
-        oflow_v = jnp.maximum(oflow_v, jnp.maximum(of1, of2))
+        oflow_k = jnp.maximum(of1, of2)
     else:
         gr1 = keyf[qc].astype(jnp.int32)
         gr2 = key2f[qc].astype(jnp.int32)
@@ -1062,7 +1106,7 @@ def _verify_diagonals_impl(
     rows = jnp.stack([rt, g2, s2, nx2, gr1, gr2, kt], axis=1)
     surv = lax.dynamic_update_slice(surv, rows, (0, 0))
     nsurv = jnp.sum(keep.astype(jnp.int32))
-    return surv, nsurv, oflow_v
+    return surv, nsurv, oflow_v, oflow_k
 
 
 def _pack64_fields(fields, bits):
@@ -1491,6 +1535,7 @@ def expand_verify_dedup(
     mg = _MGATHER[0]
     mg_spos = mg and _MG_SPOS[0]
     mg_rows = mg and _MG_ROWS[0]
+    mg_keys = mg and _MG_KEYS[0]
     scale = _MG_SCALE[0]
     dorder = _DORDER[0]
     pexpand = pexpand_gate(pair_cap)
@@ -1510,9 +1555,9 @@ def expand_verify_dedup(
         _verify_diagonals_impl,
         ("nreads", "width", "max_read_length", "vchunk", "surv_cap",
          "smax", "gsteps", "mgather", "mg_rows", "mg_rows_window",
-         "interpret", "dorder"),
+         "interpret", "dorder", "mg_keys", "mg_keys_window"),
     )
-    surv, nsurv, oflow_v = verify(
+    surv, nsurv, oflow_v, oflow_k = verify(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
         rpacked, lengths, tpacked, gene_start, budget, trows, gblock,
         nreads=nreads, width=width, max_read_length=max_read_length,
@@ -1520,12 +1565,15 @@ def expand_verify_dedup(
         mgather=mg, mg_rows=mg_rows,
         mg_rows_window=min(_MG_ROWS_WINDOW * scale, _MG_ROWS_WINDOW_CAP),
         interpret=interp,
-        dorder=dorder,
+        dorder=dorder, mg_keys=mg_keys,
+        mg_keys_window=min(_MG_KEYS_WINDOW * scale, _MG_KEYS_WINDOW_CAP),
     )
     if mg_spos:
         nsurv = nsurv + oflow * jnp.int32(1 << MG_FLAG_BIT)
     if mg_rows:
         nsurv = nsurv + oflow_v * jnp.int32(1 << MG_FLAG_BIT_ROWS)
+    if mg_keys:
+        nsurv = nsurv + oflow_k * jnp.int32(1 << MG_FLAG_BIT_KEYS)
     return surv, nsurv, total, totalf
 
 

@@ -262,7 +262,7 @@ def _verify_step_dedup(
     gblock, gene_base, budget, q1s, *, width, min_dinuc, max_read_length,
     pair_cap, vchunk, surv_cap, smax, gsteps, mm, mmtol, match_mode,
     mgather, mg_spos, mg_rows, mg_window, mg_rows_window, interpret,
-    dorder, pexpand,
+    dorder, pexpand, mg_keys, mg_keys_window,
 ):
     """Stage 2 per-device body (diagonal-dedup engine): the SAME expand +
     verify the single-chip path runs (fused._expand_pairs_impl /
@@ -285,22 +285,25 @@ def _verify_step_dedup(
             pexpand=pexpand,
         )
     )
-    surv, nsurv, oflow_v = fused._verify_diagonals_impl(
+    surv, nsurv, oflow_v, oflow_k = fused._verify_diagonals_impl(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s, rpacked, lengths,
         tpacked, gene_start, budget, trows, gblock,
         nreads=nreads, width=width, max_read_length=max_read_length,
         vchunk=vchunk, surv_cap=surv_cap, smax=smax, gsteps=gsteps,
         mgather=mgather, mg_rows=mg_rows,
         mg_rows_window=mg_rows_window, interpret=interpret,
-        dorder=dorder,
+        dorder=dorder, mg_keys=mg_keys, mg_keys_window=mg_keys_window,
     )
-    # Bit 0: postings-window overflow, bit 1: rows-window overflow —
-    # per-stream so the host disables only the overflowing stream.
+    # Bit 0: postings-window overflow, bit 1: rows-window overflow,
+    # bit 2: survivor cap-key fetch overflow — per-stream so the host
+    # disables only the overflowing stream.
     flag = jnp.int32(0)
     if mg_spos:
         flag = flag | oflow
     if mg_rows:
         flag = flag | (oflow_v << 1)
+    if mg_keys:
+        flag = flag | (oflow_k << 2)
     out = _rank_gathered(surv, nsurv, totalf, gene_base, mm, mmtol,
                          surv_cap=surv_cap, match_mode=match_mode)
     return out + (jnp.reshape(flag, (1, 1)),)
@@ -573,7 +576,7 @@ def sharded_match_arrays(
     # ---- Stage 2: expand + verify + mp-merge + on-device rank ----
     while True:
         mgather = fused.mgather_enabled() and use_dedup
-        mg_spos, mg_rows = (
+        mg_spos, mg_rows, mg_keys = (
             (x and mgather) for x in fused.mg_streams()
         )
         scale = fused.mg_scale()
@@ -586,9 +589,16 @@ def sharded_match_arrays(
                 surv_cap=surv_cap, smax=sidx.smax, gsteps=gsteps,
                 mm=cfg.MaxMatches, mmtol=cfg.MMTol,
                 match_mode=cfg.MatchMode, mgather=mgather,
-                mg_spos=mg_spos, mg_rows=mg_rows,
+                mg_spos=mg_spos, mg_rows=mg_rows, mg_keys=mg_keys,
                 mg_window=fused._MG_WINDOW * scale,
-                mg_rows_window=fused._MG_ROWS_WINDOW * scale,
+                mg_rows_window=min(
+                    fused._MG_ROWS_WINDOW * scale,
+                    fused._MG_ROWS_WINDOW_CAP,
+                ),
+                mg_keys_window=min(
+                    fused._MG_KEYS_WINDOW * scale,
+                    fused._MG_KEYS_WINDOW_CAP,
+                ),
                 interpret=interpret and (
                     mgather or fused.pexpand_enabled()
                 ),
@@ -616,27 +626,39 @@ def sharded_match_arrays(
             counts, lo, qid, rp_g, len_g, *fixed
         )
         if mgather:
-            # Two bits per device (postings / rows): sum-reduce each bit
-            # via minmax on the masked values so a device overflowing one
+            # One bit per stream per device (postings / rows / keys):
+            # max-reduce each bit separately so a device overflowing one
             # stream cannot hide another device's other-stream overflow.
             _, f_spos = _global_minmax(flag_d & 1)
-            _, f_rows = _global_minmax(flag_d >> 1)
-            if f_spos > 0 or f_rows > 0:
-                if fused.mg_scale() < fused.MG_MAX_SCALE:
+            _, f_rows = _global_minmax((flag_d >> 1) & 1)
+            _, f_keys = _global_minmax(flag_d >> 2)
+            if f_spos > 0 or f_rows > 0 or f_keys > 0:
+                spos_on, rows_on, keys_on = fused.mg_streams()
+                growable = (
+                    f_spos > 0
+                    or (f_keys > 0 and not fused.mg_keys_at_cap())
+                    or (f_rows > 0 and not fused.mg_rows_at_cap())
+                )
+                if fused.mg_scale() < fused.MG_MAX_SCALE and growable:
                     fused.set_mg_scale(fused.mg_scale() * 4)
+                    if f_rows > 0 and fused.mg_rows_at_cap():
+                        rows_on = False
+                    if f_keys > 0 and fused.mg_keys_at_cap():
+                        keys_on = False
+                    fused.set_mg_streams(spos_on, rows_on, keys_on)
                     logger.warning(
                         "mesh: monotone-gather window overflow; growing "
                         "windows to x%d and re-running", fused.mg_scale(),
                     )
                 else:
-                    spos_on, rows_on = fused.mg_streams()
                     fused.set_mg_streams(
                         spos_on and not f_spos > 0,
                         rows_on and not f_rows > 0,
+                        keys_on and not f_keys > 0,
                     )
                     logger.warning(
                         "mesh: monotone-gather window overflow at max "
-                        "scale; streams now spos=%s rows=%s",
+                        "scale; streams now spos=%s rows=%s keys=%s",
                         *fused.mg_streams(),
                     )
                 continue

@@ -305,7 +305,7 @@ def test_mgather_per_stream_fallback(monkeypatch):
     try:
         mr_b = pipeline.run_matching(cfg, rs, ts)
         assert fused.mgather_enabled(), "rows stream must survive"
-        assert fused.mg_streams() == (False, True)
+        assert fused.mg_streams() == (False, True, True)
     finally:
         fused.set_mgather(False)
         fused.set_mg_scale(1)
@@ -414,7 +414,7 @@ def test_mosaic_failure_safety_net():
         for setter in (fused.set_pjoin, fused.set_mgather,
                        fused.set_pexpand):
             setter(False)
-        fused.set_mg_streams(False, False)
+        fused.set_mg_streams(False, False, False)
 
 
 def test_mg_rows_window_growth_is_capped():

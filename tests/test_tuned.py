@@ -43,7 +43,7 @@ def test_effective_flags_shape():
     f = fused.effective_flags()
     base = {"MUSCATO_MGATHER", "MUSCATO_PJOIN", "MUSCATO_DORDER",
             "MUSCATO_PEXPAND"}
-    extra = {"MUSCATO_MG_SPOS", "MUSCATO_MG_ROWS"}
+    extra = {"MUSCATO_MG_SPOS", "MUSCATO_MG_ROWS", "MUSCATO_MG_KEYS"}
     assert base <= set(f) <= base | extra
     # Stream sub-flags appear exactly when the gather kernel is on.
     assert ("MUSCATO_MG_SPOS" in f) == bool(f["MUSCATO_MGATHER"])
