@@ -22,11 +22,12 @@ from ..io import sz
 _BASES = np.frombuffer(b"ATGC", dtype=np.uint8)
 
 
-def _name_blob(prefix: bytes, n: int):
-    """(blob, starts, lens) for prefix+decimal names 0..n-1 (vectorized)."""
+def _name_blob(prefix: bytes, n: int, start: int = 0):
+    """(blob, starts, lens) for prefix+decimal names start..start+n-1
+    (vectorized)."""
     from ..io.blob import ranged_copy
 
-    digits = np.arange(n).astype("S20")
+    digits = np.arange(start, start + n).astype("S20")
     dl = np.char.str_len(digits).astype(np.int64)
     lens = dl + len(prefix)
     ends = np.cumsum(lens)
@@ -41,24 +42,13 @@ def _name_blob(prefix: bytes, n: int):
     return blob, starts, lens
 
 
-def generate(
-    num_read: int,
-    read_len: int,
-    num_gene: int,
-    gene_len: int,
-    out_dir: str = ".",
-    seed: int = 0,
-) -> tuple[str, str]:
+def _fastq_blob(read_mat: np.ndarray, name_start: int) -> np.ndarray:
+    """FASTQ records for read_mat rows, names read_<name_start+i>, as one
+    byte blob (record = name \\n seq \\n + \\n qual \\n)."""
     from ..io.blob import ranged_copy
 
-    if num_read < 10:
-        raise ValueError("num_read must be at least 10")
-    rng = np.random.default_rng(seed)
-
-    read_mat = _BASES[rng.integers(0, 4, size=(num_read, read_len))]
-    reads_path = os.path.join(out_dir, "reads.fastq")
-    # record = name \n seq \n + \n qual \n  — assembled as one blob
-    nblob, nstarts, nlens = _name_blob(b"read_", num_read)
+    num_read, read_len = read_mat.shape
+    nblob, nstarts, nlens = _name_blob(b"read_", num_read, name_start)
     rec_len = nlens + 1 + read_len + 3 + read_len + 1
     rec_end = np.cumsum(rec_len)
     rec_start = rec_end - rec_len
@@ -78,10 +68,26 @@ def generate(
     qual = np.full(read_len, ord("!"), np.uint8)
     ranged_copy(blob, at + 3, qual, np.zeros(num_read, np.int64), seq_lens)
     blob[at + 3 + read_len] = ord("\n")
-    with open(reads_path, "wb") as f:
-        f.write(blob.tobytes())
+    return blob
 
-    genes_path = os.path.join(out_dir, "genes.txt.sz")
+
+def generate(
+    num_read: int,
+    read_len: int,
+    num_gene: int,
+    gene_len: int,
+    out_dir: str = ".",
+    seed: int = 0,
+) -> tuple[str, str]:
+    if num_read < 10:
+        raise ValueError("num_read must be at least 10")
+    rng = np.random.default_rng(seed)
+
+    read_mat = _BASES[rng.integers(0, 4, size=(num_read, read_len))]
+    reads_path = os.path.join(out_dir, "reads.fastq")
+    with open(reads_path, "wb") as f:
+        f.write(_fastq_blob(read_mat, 0).tobytes())
+
     genes = _BASES[rng.integers(0, 4, size=(num_gene, gene_len))]
     half = num_gene // 2
     planted = read_mat[:10]
@@ -89,6 +95,16 @@ def generate(
         j = i % 10
         end = min(gene_len, j + read_len)
         genes[i, j:end] = planted[j][: end - j]
+    genes_path = _genes_file(genes, out_dir)
+    return reads_path, genes_path
+
+
+def _genes_file(genes: np.ndarray, out_dir: str) -> str:
+    """Write a (G, L) gene code matrix as gene_<i>\\tseq framed-snappy."""
+    from ..io.blob import ranged_copy
+
+    num_gene, gene_len = genes.shape
+    genes_path = os.path.join(out_dir, "genes.txt.sz")
     gblob, gstarts, glens = _name_blob(b"gene_", num_gene)
     row_len = glens + 1 + gene_len + 1
     row_end = np.cumsum(row_len)
@@ -101,6 +117,52 @@ def generate(
                 np.full(num_gene, gene_len, np.int64))
     out[row_end - 1] = ord("\n")
     sz.write_bytes(genes_path, out.tobytes())
+    return genes_path
+
+
+def generate_big(
+    num_read: int,
+    read_len: int,
+    num_gene: int,
+    gene_len: int,
+    out_dir: str = ".",
+    seed: int = 0,
+    chunk: int = 10_000_000,
+    hit_frac: float = 0.5,
+    sub_rate: float = 0.02,
+) -> tuple[str, str]:
+    """Disk-streamed gendat for reference-scale runs (100M+ reads).
+
+    The fastq is written in `chunk`-read slices (unique names across the
+    whole file), so peak host memory is O(chunk) instead of O(num_read) —
+    a 100M-read fastq is ~22GB, which generate() would otherwise hold in
+    RAM twice.  `hit_frac` of the reads are sampled from the genes with
+    `sub_rate` substitutions (the realistic-density convention of
+    generate_arrays_realistic); plain gendat reads are random and nearly
+    all miss, which understates the verify stage at scale.  Gene file
+    semantics match generate() minus the 10 planted prefix reads (the
+    sampled reads provide hits)."""
+    rng = np.random.default_rng(seed)
+    genes = _BASES[rng.integers(0, 4, size=(num_gene, gene_len))]
+    genes_path = _genes_file(genes, out_dir)
+
+    reads_path = os.path.join(out_dir, "reads.fastq")
+    max_off = max(gene_len - read_len, 1)
+    with open(reads_path, "wb") as f:
+        for c0 in range(0, num_read, chunk):
+            n = min(chunk, num_read - c0)
+            nhit = int(n * hit_frac)
+            g = rng.integers(0, num_gene, nhit).astype(np.int32)
+            o = rng.integers(0, max_off, nhit).astype(np.int32)
+            cols = o[:, None] + np.arange(read_len, dtype=np.int32)[None, :]
+            mat = np.empty((n, read_len), np.uint8)
+            mat[:nhit] = genes[g[:, None], np.minimum(cols, gene_len - 1)]
+            sub = rng.random((nhit, read_len)) < sub_rate
+            mat[:nhit][sub] = _BASES[
+                rng.integers(0, 4, int(sub.sum()))
+            ]
+            mat[nhit:] = _BASES[rng.integers(0, 4, (n - nhit, read_len))]
+            f.write(_fastq_blob(mat, c0).tobytes())
     return reads_path, genes_path
 
 

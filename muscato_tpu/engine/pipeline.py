@@ -305,9 +305,33 @@ def run_matching_indexed(
         pack_bits = _fetch_pack_bits(index, batch, cfg)
         if pack_bits is not None and sum(pack_bits) > 64:
             pack_bits = None
+    def _dispatch_probe(rpacked, lengths):
+        try:
+            return fused.probe_windows(
+                rpacked, lengths, q1s, index.skeys,
+                width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
+            )
+        except Exception as e:
+            if not _maybe_disable_kernels(e):
+                raise
+            return fused.probe_windows(
+                rpacked, lengths, q1s, index.skeys,
+                width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
+            )
+
+    # Cross-batch pipelining: batch N+1's probe is DISPATCHED before any
+    # of batch N's blocking fetches, so the device runs probe(N+1) while
+    # the host sits in batch N's scalar round trips (~25ms each on the
+    # relay) and its expand/rank dispatch gaps.  The probe result
+    # contract is flag-independent, so a mid-ladder flag change for
+    # batch N never invalidates the prefetched probe.  Costs one extra
+    # batch of probe buffers in HBM; MUSCATO_PREFETCH_PROBE=0 disables
+    # for A/B.
+    prefetch_probe = _os.environ.get("MUSCATO_PREFETCH_PROBE", "1") == "1"
     next_dev = _device_read_batch(
         rs, 0, batch, l_eff, cache_ok=(nreads <= batch)
     )
+    pr_next = None
     for b0 in range(0, nreads, batch):
         t_batch = _time.perf_counter()
         b1 = min(b0 + batch, nreads)
@@ -315,28 +339,23 @@ def run_matching_indexed(
         # Probe first; its exact pair total (one scalar fetch that
         # overlaps nothing the host needs sooner) sizes the dedup pair
         # buffer exactly — no overflow/regrow re-dispatches.
-        try:
-            pr = fused.probe_windows(
-                rpacked, lengths, q1s, index.skeys,
-                width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
-            )
-        except Exception as e:
-            if not _maybe_disable_kernels(e):
-                raise
-            pr = fused.probe_windows(
-                rpacked, lengths, q1s, index.skeys,
-                width=width, min_dinuc=cfg.MinDinuc, index_aux=index_aux,
-            )
+        pr = pr_next if pr_next is not None else _dispatch_probe(
+            rpacked, lengths
+        )
+        pr_next = None
         # Stage batch N+1's host matrix + upload NOW, while batch N's
         # probe executes (the int(total) sync below would otherwise
         # serialize host staging against device compute; device_put is
-        # async, so the copy rides alongside the probe).
+        # async, so the copy rides alongside the probe), then queue its
+        # probe behind batch N's.
         st_host = 0.0
         if b0 + batch < nreads:
             t_hs = _time.perf_counter()
             next_dev = _device_read_batch(
                 rs, b0 + batch, b0 + 2 * batch, l_eff, cache_ok=False
             )
+            if prefetch_probe:
+                pr_next = _dispatch_probe(*next_dev)
             st_host = _time.perf_counter() - t_hs
         # Asynchronous runtime kernel faults (e.g. a worker crash from an
         # OOB window read) surface at this blocking fetch, not at the
@@ -409,6 +428,8 @@ def run_matching_indexed(
             len(cfg.Windows) <= 31 and not cfg.NoDedup
             and total <= _MAX_PAIR_CAP
         )
+        keys_at_entry = fused.mg_streams()[2]
+        saw_partial_keys_oflow = False
         while True:
             try:
                 if use_dedup:
@@ -453,6 +474,16 @@ def run_matching_indexed(
                                ("keys", of_keys)):
                     if of:
                         fused.MG_OFLOW_EVENTS[nm] += 1
+                if of_keys and (b1 - b0) < batch:
+                    # A PARTIAL batch pads its read rows to the full
+                    # batch shape, leaving a (batch - real)-query gap
+                    # between window segments of the survivor qid
+                    # stream — an interior jump no window covers.  The
+                    # overflow is a property of this batch's padding,
+                    # not of the workload: restore the keys stream
+                    # after the batch instead of losing it for the
+                    # rest of the process.
+                    saw_partial_keys_oflow = True
                 spos_on, rows_on, keys_on = fused.mg_streams()
                 growable = (
                     of_spos
@@ -510,6 +541,14 @@ def run_matching_indexed(
             # executable, which remote-compile backends make expensive).
             surv_cap = max(surv_cap * 2, _bucket_ceil(nsurv))
             _CAP_HINT[0] = surv_cap
+        if saw_partial_keys_oflow and keys_at_entry:
+            spos_on, rows_on, _keys_on = fused.mg_streams()
+            if fused.mgather_enabled():
+                fused.set_mg_streams(spos_on, rows_on, True)
+                logger.info(
+                    "restoring mg keys stream after the partial-batch "
+                    "overflow (batch [%d,%d) of %d)", b0, b1, batch,
+                )
         t_ev_done = _time.perf_counter()
         total_pairs += total
         if nsurv:
@@ -695,12 +734,35 @@ def _device_read_batch(rs: ReadSet, b0: int, b1: int, l_eff: int, cache_ok: bool
     if cache is not None and key in cache:
         return cache[key]
     n = b1 - b0
-    codes_np = np.zeros((n, l_eff), dtype=np.uint8)
-    real = rs.codes[b0:b1, :l_eff]
-    codes_np[: real.shape[0]] = real
+    nreads = rs.codes.shape[0]
+    nw = packed_ops.packed_width(l_eff)
+    # Multi-batch streaming: pack the WHOLE collection once (host cache)
+    # and slice per batch.  The per-batch numpy pack was 5-10s of
+    # synchronous host time INSIDE the loop (round-5 stage times:
+    # host_stage 9.7s at 2x4M batches vs ~3s of device work); the
+    # one-time pass costs the same total but amortizes across batches
+    # and reps.  Gated by host-memory budget (4 bytes x nw per read).
+    pall = getattr(rs, "_packed_all", None)
+    if pall is not None and pall[0] != l_eff:
+        pall = None
+    if pall is None and nreads > n:
+        budget = float(_os_env_gb("MUSCATO_PACK_ALL_GB", 8.0)) * (1 << 30)
+        if nreads * nw * 4 <= budget:
+            pall = (l_eff, packed_ops.pack_rows_all_np(rs.codes, l_eff))
+            rs._packed_all = pall
+    if pall is not None:
+        packed_np = np.zeros((n, nw), dtype=np.uint32)
+        real_n = min(b1, nreads) - b0
+        packed_np[:real_n] = pall[1][b0 : b0 + real_n]
+    else:
+        codes_np = np.zeros((n, l_eff), dtype=np.uint8)
+        real = rs.codes[b0:b1, :l_eff]
+        real_n = real.shape[0]
+        codes_np[:real_n] = real
+        packed_np = packed_ops.pack_rows_np(codes_np)
     lengths_np = np.zeros(n, dtype=np.int32)
-    lengths_np[: real.shape[0]] = rs.lengths[b0:b1]
-    rpacked = jnp.asarray(packed_ops.pack_rows_np(codes_np))
+    lengths_np[:real_n] = rs.lengths[b0 : b0 + real_n]
+    rpacked = jnp.asarray(packed_np)
     lengths = jnp.asarray(lengths_np)
     if cache_ok:
         if cache is None:
@@ -708,6 +770,13 @@ def _device_read_batch(rs: ReadSet, b0: int, b1: int, l_eff: int, cache_ok: bool
             rs._dev_cache = cache
         cache[key] = (rpacked, lengths)
     return rpacked, lengths
+
+
+def _os_env_gb(name: str, default: float) -> float:
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        return default
 
 
 def _apply_max_matches(cfg, r, g, s, nx, grp, grp2, win):

@@ -54,6 +54,22 @@ def pack_rows(codes: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(w << shifts[None, None, :], axis=2, dtype=jnp.uint32)
 
 
+def pack_rows_all_np(codes, l_eff: int, chunk: int = 1 << 22) -> np.ndarray:
+    """Pack an entire (N, L) read collection to (N, ceil(l_eff/8)) uint32
+    in row slices: pack_rows_np materializes an (n, nw, 8) uint32 temp
+    (4x the codes' bytes), so packing 100M rows at once would need ~40GB
+    — sliced, the temp peaks at ~chunk * l_eff * 4 bytes while the
+    output is written in place.  codes may be a memmap (chunked prep);
+    the pass reads it sequentially once."""
+    n = codes.shape[0]
+    nw = packed_width(l_eff)
+    out = np.empty((n, nw), np.uint32)
+    for b0 in range(0, n, chunk):
+        b1 = min(b0 + chunk, n)
+        out[b0:b1] = pack_rows_np(np.ascontiguousarray(codes[b0:b1, :l_eff]))
+    return out
+
+
 def pack_rows_np(codes: np.ndarray) -> np.ndarray:
     """NumPy twin of pack_rows — lets the host ship 4-bit nibbles to the
     device (8x less transfer than the byte codes; the device unpacks)."""

@@ -36,12 +36,28 @@ def main() -> int:
     winner = max(ok, key=lambda n: ok[n])
     env_over = dict(LADDER)[winner]
     rec = ladder[winner]
+    flags = {k: int(env_over.get(k, "0")) for k in FLAG_NAMES}
+    # HARD GATE (round-4 VERDICT weak #6): a flag may only default ON if
+    # the engine-shaped device check passed for it in this sweep.  A
+    # ladder banked without an engine_check record (or with a flag the
+    # check never reached) writes that flag OFF — an A/B win on one
+    # workload shape is not proof the kernel is correct on engine-shaped
+    # inputs (dead tails, skewed runs).
+    eng = ladder.get("engine_check") or {}
+    dropped = [k for k, v in flags.items() if v and not eng.get(k)]
+    for k in dropped:
+        flags[k] = 0
+    if dropped:
+        print(f"engine-check gate: dropped {dropped} (not proven "
+              f"engine-shaped on device this sweep)")
     tuned = {
-        "flags": {k: int(env_over.get(k, "0")) for k in FLAG_NAMES},
+        "flags": flags,
         "provenance": {
             "winner": winner,
             "reads_per_sec_chip": ok[winner],
             "ladder": scored,
+            "engine_check": eng,
+            "engine_check_dropped": dropped,
             "device_kind": rec.get("device_kind")
             or (rec.get("detail") or {}).get("device_kind"),
             "pallas_compile_ok": ladder.get("pallas_compile_ok"),

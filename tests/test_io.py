@@ -255,3 +255,38 @@ def test_readset_build_numpy_fallback(monkeypatch, tmp_path):
     assert rs1.seqs == [b"ACGTACGT", b"ACGTXX"]
     assert rs1.names == [b"@d", b"@a;@b"]
     assert rs1.counts.tolist() == [1, 2]
+
+
+def test_generate_big_matches_generate_layout(tmp_path):
+    """generate_big streams the fastq in chunks: names must stay unique
+    and sequential across chunk boundaries and every record well-formed;
+    the gene file must parse like generate()'s."""
+    from muscato_tpu.bench import gendat
+    from muscato_tpu.io import sz
+
+    d = tmp_path / "big"
+    d.mkdir()
+    reads_path, genes_path = gendat.generate_big(
+        100, 20, 30, 120, out_dir=str(d), seed=5, chunk=32, hit_frac=0.5,
+        sub_rate=0.05,
+    )
+    lines = open(reads_path, "rb").read().split(b"\n")
+    assert lines[-1] == b""
+    recs = [lines[i : i + 4] for i in range(0, len(lines) - 1, 4)]
+    assert len(recs) == 100
+    for i, (nm, seq, plus, qual) in enumerate(recs):
+        assert nm == b"read_%d" % i  # unique, sequential across chunks
+        assert len(seq) == 20 and plus == b"+" and qual == b"!" * 20
+        assert set(seq) <= set(b"ATGC")
+    gtxt = sz.read_bytes(genes_path).split(b"\n")
+    assert len(gtxt) == 31 and gtxt[-1] == b""
+    for j, row in enumerate(gtxt[:-1]):
+        nm, seq = row.split(b"\t")
+        assert nm == b"gene_%d" % j and len(seq) == 120
+
+    # hit_frac reads must verify against the genes (sampled, low sub rate):
+    # at least one read of each chunk's hit prefix appears near-verbatim.
+    genes = [r.split(b"\t")[1] for r in gtxt[:-1]]
+    cat = b"".join(genes)
+    hits = sum(1 for _nm, seq, _p, _q in recs if seq in cat)
+    assert hits > 10  # 50% sampled at 5% sub rate -> plenty of exact hits
