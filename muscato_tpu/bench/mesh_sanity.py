@@ -47,41 +47,67 @@ def main(argv=None) -> int:
         ns.NumRead, ns.ReadLen, ns.NumGene, ns.GeneLen, 0
     )
 
-    # Plain single-chip engine.
+    # Plain single-chip engine.  Compare DEVICE phases: both paths also
+    # pay host pack + relay upload + retained-row fetch, which on this
+    # dev host are relay-throttled and swamp the shard_map question the
+    # sanity check exists to answer (round-5: 68s mesh wall vs 5.2s
+    # plain was ~all transfers).
     index = build_target_index(ts, cfg.WindowWidth)
     index.skeys.block_until_ready()
     pipeline.run_matching_indexed(cfg, rs, index)  # compile
-    t_plain = min(
-        _timed(lambda: pipeline.run_matching_indexed(cfg, rs, index))
-        for _ in range(ns.Repeats)
+    pipeline.preload_device_batch(cfg, rs)
+
+    def plain():
+        tm: dict = {}
+        pipeline.run_matching_indexed(cfg, rs, index, timings=tm)
+        return tm
+
+    t_plain, plain_dev = min(
+        (_timed(plain) for _ in range(ns.Repeats)),
+        key=lambda x: x[1].get("device_s", x[0]),
     )
 
     # Same engine under a 1x1 shard_map mesh.
     mesh = pmesh.make_mesh(1, 1)
     sidx = pmesh.shard_targets(ts, cfg.WindowWidth, 1)
     codes, lengths = np.asarray(rs.codes), np.asarray(rs.lengths)
-    run = lambda: pmesh.sharded_match_arrays(
-        cfg, codes, lengths, sidx, mesh, surv_cap=1 << 20
-    )
+
+    def run():
+        tm: dict = {}
+        pmesh.sharded_match_arrays(
+            cfg, codes, lengths, sidx, mesh, surv_cap=1 << 20, timings=tm
+        )
+        return tm
+
     run()  # compile
-    t_mesh = min(_timed(run) for _ in range(ns.Repeats))
+    t_mesh, mesh_tm = min(
+        (_timed(run) for _ in range(ns.Repeats)),
+        key=lambda x: x[1].get("device_s", x[0]),
+    )
 
     out = {
         "device_kind": dev.device_kind,
         "num_read": ns.NumRead,
         "plain_s": round(t_plain, 3),
+        "plain_device_s": round(plain_dev.get("device_s", t_plain), 3),
         "mesh_1x1_s": round(t_mesh, 3),
+        "mesh_timings": mesh_tm,
         "mesh_over_plain": round(t_mesh / t_plain, 3),
+        "mesh_over_plain_device": round(
+            mesh_tm.get("device_s", t_mesh)
+            / max(plain_dev.get("device_s", t_plain), 1e-9), 3,
+        ),
         "flags": _flags(),
     }
     print("MESH_SANITY " + json.dumps(out), flush=True)
     return 0
 
 
-def _timed(fn) -> float:
+def _timed(fn):
+    """(wall_s, fn_result); min() keys on wall via the tuple order."""
     t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
+    out = fn()
+    return time.perf_counter() - t0, out
 
 
 def _flags() -> dict:

@@ -167,6 +167,10 @@ MG_FLAG_BIT_KEYS = 28  # survivor cap-key fetch overflow (verify tail)
 _MG_SPOS = [_flag("MUSCATO_MG_SPOS", True)]
 _MG_ROWS = [_flag("MUSCATO_MG_ROWS", True)]
 _MG_KEYS = [_flag("MUSCATO_MG_KEYS", True)]
+# MUSCATO_MG_GENE: the verify's gene lookup (gblock bounds + refines +
+# gene start/end) rides the windowed kernel when the (d, r) stream is
+# monotone (dorder + rows stream on).  Kill switch for device A/B.
+_MG_GENE = [_flag("MUSCATO_MG_GENE", True)]
 # Survivor cap-key fetch window: spans are ~(qid space / survivors) per
 # 1024-lane block (~5k typical on the flagship workload); 32768 rides
 # out skew at negligible DMA cost (128KB/block ~ 0.16us at HBM rate).
@@ -961,7 +965,7 @@ def _verify_diagonals_impl(
     rpacked, lengths, tpacked, gene_start, budget, trows=None, gblock=None,
     *, nreads, width, max_read_length, vchunk, surv_cap, smax, gsteps=0,
     mgather=False, mg_rows=None, mg_rows_window=2048, interpret=False,
-    dorder=False, mg_keys=None, mg_keys_window=32768,
+    dorder=False, mg_keys=None, mg_keys_window=32768, mg_gene=True,
 ):
     """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
     to the pair lanes, and survivor compaction.  Work in the gather-heavy
@@ -1008,7 +1012,7 @@ def _verify_diagonals_impl(
             trows=trows, gblock=gblock, gsteps=gsteps,
             mgather=mgather if mg_rows is None else mg_rows,
             mg_rows_window=mg_rows_window,
-            interpret=interpret, dorder=dorder,
+            interpret=interpret, dorder=dorder, mg_gene=mg_gene,
         )
         if pack_gnx:
             vals = ((g << jnp.int32(xbits)) | nx, s)
@@ -1601,7 +1605,7 @@ def expand_verify_dedup(
         _verify_diagonals_impl,
         ("nreads", "width", "max_read_length", "vchunk", "surv_cap",
          "smax", "gsteps", "mgather", "mg_rows", "mg_rows_window",
-         "interpret", "dorder", "mg_keys", "mg_keys_window"),
+         "interpret", "dorder", "mg_keys", "mg_keys_window", "mg_gene"),
     )
     surv, nsurv, oflow_v, oflow_k = verify(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
@@ -1613,6 +1617,7 @@ def expand_verify_dedup(
         interpret=interp,
         dorder=dorder, mg_keys=mg_keys,
         mg_keys_window=min(_MG_KEYS_WINDOW * scale, _MG_KEYS_WINDOW_CAP),
+        mg_gene=_MG_GENE[0],
     )
     if mg_spos:
         nsurv = nsurv + oflow * jnp.int32(1 << MG_FLAG_BIT)

@@ -197,6 +197,48 @@ def gene_of_pos_block(
     return lo
 
 
+def gene_of_pos_block_mono(
+    gene_start: jnp.ndarray, gblock: jnp.ndarray, p: jnp.ndarray,
+    steps: int, *, interpret: bool = False,
+):
+    """gene_of_pos_block for a NONDECREASING position stream p: every
+    fetch (the two gblock bounds, each refine's gene_start probe, and
+    the final gene's start/end) is itself monotone — lo/hi start from
+    monotone gblock streams and midpoints of monotone sequences stay
+    monotone — so all ~(4 + steps) per-lane HBM latencies ride the
+    windowed monotone-gather kernel instead (profile r5: the gene
+    lookup's element gathers were the unexplained bulk of the 1.5s
+    verify chunk loop at the 8M batch).
+
+    Returns (g, gstart, gend, oflow).  Spans per 1024-lane block are
+    ~(genes crossed by the block's position range); a sparse block
+    crossing more than the window overflows -> caller falls back."""
+    from . import pallas_gather as _pg
+
+    def mono(tab, idx):
+        return _pg.monotone_gather(
+            tab, idx, block=2048, window=8192, interpret=interpret
+        )
+
+    g = gene_start.shape[0] - 1
+    b = (p >> GENE_BLOCK_BITS).astype(jnp.int32)
+    bc = jnp.clip(b, 0, gblock.shape[0] - 2)
+    lo, of0 = mono(gblock, bc)
+    hi, of1 = mono(gblock, bc + 1)
+    oflow = jnp.maximum(of0, of1)
+    for _ in range(steps):
+        mid = (lo + hi + 1) >> 1
+        gs_mid, of_m = mono(gene_start, jnp.clip(mid, 0, g))
+        oflow = jnp.maximum(oflow, of_m)
+        up = gs_mid <= p
+        lo = jnp.where(up, mid, lo)
+        hi = jnp.where(up, hi, mid - 1)
+    gstart, of2 = mono(gene_start, jnp.clip(lo, 0, g))
+    gend, of3 = mono(gene_start, jnp.clip(lo + 1, 0, g))
+    oflow = jnp.maximum(oflow, jnp.maximum(of2, of3))
+    return lo, gstart, gend, oflow
+
+
 def gene_of_pos(gene_start: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Owning gene of each stream position: the largest g with
     gene_start[g] <= p, as an unrolled branchless binary search over the
@@ -243,6 +285,7 @@ def verify_diagonals_packed(
     mg_rows_window: int = 2048,
     interpret: bool = False,
     dorder: bool = False,
+    mg_gene: bool = True,
 ):
     """Verify one (read, diagonal) once for ALL windows at once.
 
@@ -280,12 +323,25 @@ def verify_diagonals_packed(
     dc = jnp.clip(d, 0, smax - 1)
     oflow = jnp.int32(0)
 
-    if gblock is not None:
-        g = gene_of_pos_block(gene_start, gblock, dc, gsteps)
+    if gblock is not None and mgather and dorder and mg_gene:
+        # (d, r) order: dc is nondecreasing over the live prefix, so the
+        # whole gene lookup rides the windowed kernel.  Dead tail lanes
+        # (r < 0, sorted last) clamp to the LAST live position so the
+        # stream stays monotone through the tail (the 0-padding of ud
+        # would otherwise jump the stream back to position 0).
+        last_live = jnp.max(jnp.where(active, dc, 0))
+        dcm = jnp.where(r >= 0, dc, last_live)
+        g, gstart, gend, of_g = gene_of_pos_block_mono(
+            gene_start, gblock, dcm, gsteps, interpret=interpret
+        )
+        oflow = jnp.maximum(oflow, of_g)
     else:
-        g = gene_of_pos(gene_start, dc)
-    gstart = gene_start[g]
-    gend = gene_start[g + 1]
+        if gblock is not None:
+            g = gene_of_pos_block(gene_start, gblock, dc, gsteps)
+        else:
+            g = gene_of_pos(gene_start, dc)
+        gstart = gene_start[g]
+        gend = gene_start[g + 1]
     glen = gend - gstart
     s_local = dc - gstart
     if mgather and not dorder:

@@ -450,6 +450,7 @@ def sharded_match_arrays(
     sidx: ShardedIndex,
     mesh: Mesh,
     surv_cap: int = 1 << 14,
+    timings: dict | None = None,
 ):
     """Run the probe+verify stage over the mesh — the same two-phase flow
     as the single-chip engine (probe first; its pair totals size the
@@ -469,9 +470,14 @@ def sharded_match_arrays(
         codes = np.concatenate([codes, np.zeros((pad, codes.shape[1]), codes.dtype)])
         lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
 
+    import time as _time
+
+    t0 = _time.perf_counter()
     budget = jnp.asarray(vops.mismatch_budget_table(cfg.PMatch, cfg.MaxReadLength))
     q1s = jnp.asarray(np.asarray(cfg.Windows, dtype=np.int32))
     rpacked = pops.pack_rows_np(codes)
+    if timings is not None:
+        timings["pack_s"] = round(_time.perf_counter() - t0, 4)
     nwords = rpacked.shape[1]
     trows, gblock, gsteps = sidx.verify_aux(nwords)
     interpret = jax.default_backend() == "cpu"
@@ -522,9 +528,27 @@ def sharded_match_arrays(
     else:
         fixed = (sidx.gene_start, sidx.spos, sidx.tpacked, trows, gblock,
                  sidx.gene_base, budget, q1s)
-        skeys_g, rp_g, len_g, q1s_g = sidx.skeys, rpacked, lengths, q1s
+        skeys_g, q1s_g = sidx.skeys, q1s
+        # Explicit dp-sharded placement for the read arrays: without it
+        # each shard_map call (and every ladder retry) re-uploads the
+        # host matrix — on a relay-backed host that upload dominated the
+        # round-5 mesh 1x1 sanity timing (68s vs 5.2s plain).
+        sh = jax.sharding.NamedSharding(mesh, P("dp", None))
+        rp_g = jax.device_put(rpacked, sh)
+        len_g = jax.device_put(
+            lengths, jax.sharding.NamedSharding(mesh, P("dp"))
+        )
 
     # ---- Stage 1: probe (with the single-chip pjoin fallback ladder) ----
+    if timings is not None:
+        # Single-process mode passes host arrays straight into shard_map
+        # (upload then happens inside the first mapped call and lands in
+        # device_s); multi-host globalizes first and is split here.
+        for a in (rp_g, len_g):
+            if hasattr(a, "block_until_ready"):
+                a.block_until_ready()
+        timings["upload_s"] = round(_time.perf_counter() - t0, 4)
+        t0 = _time.perf_counter()
     while True:
         pjoin = fused.pjoin_enabled()
         pjoin_rows = fused._PJOIN_ROWS * fused.pjoin_scale()
@@ -671,6 +695,10 @@ def sharded_match_arrays(
             continue
         break
 
+    if timings is not None:
+        count_d.block_until_ready()
+        timings["device_s"] = round(_time.perf_counter() - t0, 4)
+        t0 = _time.perf_counter()
     per = codes.shape[0] // dp
     if multi:
         # Multi-host merge: each process fetches its addressable dp blocks
@@ -713,6 +741,8 @@ def sharded_match_arrays(
     else:
         z = np.concatenate(out)
     z = z[(z[:, 0] >= 0) & (z[:, 0] < r_total)]
+    if timings is not None:
+        timings["fetch_s"] = round(_time.perf_counter() - t0, 4)
     return tuple(z[:, i].astype(np.int32) for i in range(fused.NCOL)), surv_cap
 
 

@@ -88,10 +88,21 @@ def test_sharded_equals_single(dp, mp, n_reads):
     assert got == expected
 
 
-def test_sharded_with_kernels_equals_single():
+@pytest.mark.parametrize(
+    "streams",
+    [
+        (True, True, True),    # every monotone-gather stream on
+        (False, True, True),   # the TUNED.json production combination
+        (True, False, False),  # postings-only (MG_SPOS riding lo-order
+                               # slots; rows/keys off)
+    ],
+)
+def test_sharded_with_kernels_equals_single(streams):
     """ALL engine kernels/flags inside shard_map (interpret mode on
     CPU) must produce the identical sharded result — the mesh path runs
-    the same kernel-flagged engine as the single-chip loop."""
+    the same kernel-flagged engine as the single-chip loop.  The stream
+    matrix covers MG_SPOS on the lo-ordered slot compaction and the
+    exact TUNED flag set (round-4 VERDICT next #8)."""
     from muscato_tpu.ops import fused
 
     rng = np.random.default_rng(29)
@@ -109,6 +120,7 @@ def test_sharded_with_kernels_equals_single():
     mesh = pmesh.make_mesh(2, 2)
     sidx = pmesh.shard_targets(ts, width, 2)
     fused.set_mgather(True)
+    fused.set_mg_streams(*streams)
     fused.set_pjoin(True)
     fused.set_dorder(True)
     fused.set_pexpand(True)
@@ -116,6 +128,7 @@ def test_sharded_with_kernels_equals_single():
         mr = pmesh.run_matching_sharded(cfg, rs, sidx, mesh)
     finally:
         fused.set_mgather(False)
+        fused.set_mg_streams(False, False, False)
         fused.set_pjoin(False)
         fused.set_dorder(False)
         fused.set_pexpand(False)

@@ -886,3 +886,33 @@ def test_rank_survivors_segscan_bitequal():
         np.testing.assert_array_equal(
             np.asarray(a_rows)[: int(a_n)], np.asarray(b_rows)[: int(b_n)]
         )
+
+
+def test_gene_of_pos_block_mono_equiv():
+    """The monotone-stream gene lookup (windowed kernel, dorder verify)
+    must equal gene_of_pos_block on sorted position streams, including
+    the (g, gstart, gend) triple and a zero overflow flag at realistic
+    density."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from muscato_tpu.ops import packed as pops
+
+    rng = np.random.default_rng(3)
+    gene_start = np.cumsum(
+        np.concatenate([[0], rng.integers(50, 400, 64)])
+    ).astype(np.int32)
+    smax = int(gene_start[-1])
+    gb, steps = pops.build_gene_block(gene_start, smax)
+    gs, gbj = jnp.asarray(gene_start), jnp.asarray(gb)
+    for n in (7, 1024, 5000):
+        p = np.sort(rng.integers(0, smax, n)).astype(np.int32)
+        pj = jnp.asarray(p)
+        g0 = np.asarray(pops.gene_of_pos_block(gs, gbj, pj, steps))
+        g1, s1, e1, of = pops.gene_of_pos_block_mono(
+            gs, gbj, pj, steps, interpret=True
+        )
+        np.testing.assert_array_equal(g0, np.asarray(g1))
+        np.testing.assert_array_equal(gene_start[g0], np.asarray(s1))
+        np.testing.assert_array_equal(gene_start[g0 + 1], np.asarray(e1))
+        assert int(of) == 0
