@@ -180,7 +180,7 @@ def write_results(path: str, mr: MatchResult, rs: ReadSet, ts: TargetSet) -> Res
     t = build_results(mr, rs, ts)
     blob, _, _ = _assemble(t.cols(), ord("\t"), ord("\n"))
     with open(path, "wb") as f:
-        f.write(blob.tobytes())
+        blob.tofile(f)  # tobytes() would double peak RAM at 100M reads
     return t
 
 
@@ -235,7 +235,7 @@ def write_nonmatch(results_path: str, mr: MatchResult, rs: ReadSet) -> str:
     ranged_copy(blob, at + 3, qual, np.zeros(n, np.int64), rl)
     blob[at + 3 + rl] = ord("\n")
     with open(out, "wb") as f:
-        f.write(blob.tobytes())
+        blob.tofile(f)
     return out
 
 
@@ -304,7 +304,7 @@ def write_readstats(results_path: str, t: ResultsTable) -> str:
     blob[gdst + glen_u] = ord(";")
     blob[row_end - 1] = ord("\n")
     with open(out, "wb") as f:
-        f.write(blob.tobytes())
+        blob.tofile(f)
     return out
 
 
@@ -345,5 +345,5 @@ def write_genestats(results_path: str, t: ResultsTable) -> str:
     blob[row_start + glen + 1 + clen] = ord("\t")
     blob[row_end - 1] = ord("\n")
     with open(out, "wb") as f:
-        f.write(blob.tobytes())
+        blob.tofile(f)
     return out

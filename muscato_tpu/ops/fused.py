@@ -304,6 +304,9 @@ def set_dorder(on: bool) -> None:
 # each, several hundred ms at realistic slot/pair counts.  Exact and
 # overflow-free by construction.  Opt-in pending a measured TPU A/B.
 _PEXPAND = [_flag("MUSCATO_PEXPAND")]
+# Sub-chunked rank variant of the expansion kernel (128-lane rank
+# windows; ~5x less VPU compare work).  Device A/B pending.
+_PEXPAND_SUB = [_flag("MUSCATO_PEXPAND_SUB")]
 
 
 def pexpand_enabled() -> bool:
@@ -805,7 +808,7 @@ def _expand_verify_impl(
 def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
                        mgather=False, mg_window=8192, interpret=False,
                        dorder=False, smax=None, max_read_length=0,
-                       pexpand=False):
+                       pexpand=False, pexpand_sub=False):
     """Vectorized pair expansion into a (pair_cap,) column buffer, sorted
     by (read, diagonal) with run-start bookkeeping for the diagonal-dedup
     verify.
@@ -844,7 +847,8 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
         from . import pallas_expand as _pe
 
         qid, sidx0 = _pe.expand_owners(
-            oexcl, lo_m, qid_m, pair_cap=pair_cap, interpret=interpret
+            oexcl, lo_m, qid_m, pair_cap=pair_cap, interpret=interpret,
+            subchunk=pexpand_sub,
         )
         sidx = jnp.clip(sidx0, 0, spos.shape[0] - 1)
     else:
@@ -1593,13 +1597,13 @@ def expand_verify_dedup(
     expand = _tpu_jit(
         _expand_pairs_impl,
         ("nreads", "pair_cap", "mgather", "mg_window", "interpret",
-         "dorder", "smax", "max_read_length", "pexpand"),
+         "dorder", "smax", "max_read_length", "pexpand", "pexpand_sub"),
     )
     qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow = expand(
         counts_m, lo_m, qid_m, q1s, spos, nreads=nreads, pair_cap=pair_cap,
         mgather=mg_spos, mg_window=_MG_WINDOW * scale, interpret=interp,
         dorder=dorder, smax=smax, max_read_length=max_read_length,
-        pexpand=pexpand,
+        pexpand=pexpand, pexpand_sub=_PEXPAND_SUB[0],
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,

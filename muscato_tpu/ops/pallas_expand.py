@@ -49,6 +49,14 @@ CW_ROWS = 10           # per-chunk slot window: 1280 slots >= 1025 + align
 BLOCK = 4096           # 8192 unrolls past the 16M Mosaic vmem stack limit
 BW_ROWS = 43           # per-block slot window rows: covers 4097 + align + CW
 
+# Sub-chunked rank variant (MUSCATO_PEXPAND_SUB=1, device A/B round 5):
+# ranking at 128-lane granularity bounds each sub-chunk's owner span by
+# 129 slots, so the rank compare drops from (1024 x 1280) to
+# (128 x 256) per equivalent lanes — ~5x less VPU compare work, which
+# the round-5 profile showed dominates the kernel (0.53s/8M batch).
+SUB_CHUNK = 128
+SUB_CW_ROWS = 2        # 256 slots >= 129 + alignment
+
 
 def _byte_planes(x):
     """(N,) int32 -> (N, 4) bf16 byte planes (each exact in bf16).
@@ -185,8 +193,79 @@ def _kernel(starts_ref, cstarts_ref, oexcl_ref, lo_ref, qid_ref,
         sidx_out[sl] = lo + (pid - oex)
 
 
-@functools.partial(jax.jit, static_argnames=("pair_cap", "interpret"))
-def expand_owners(oexcl, lo, qid, *, pair_cap: int, interpret: bool = False):
+def _kernel_sub(starts_ref, cstarts_ref, oexcl_ref, lo_ref, qid_ref,
+                qid_out, sidx_out, ow_ref, lw_ref, qw_ref, sem):
+    """_kernel at SUB_CHUNK granularity: same DMA/window structure, the
+    rank/pick unroll runs 128 lanes x 256 window slots per step."""
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    def dma(step):
+        return [
+            _dma(oexcl_ref, starts_ref, ow_ref, sem.at[0], step, BW_ROWS),
+            _dma(lo_ref, starts_ref, lw_ref, sem.at[1], step, BW_ROWS),
+            _dma(qid_ref, starts_ref, qw_ref, sem.at[2], step, BW_ROWS),
+        ]
+
+    @pl.when(b == 0)
+    def _():
+        for c in dma(0):
+            c.start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        for c in dma(b + 1):
+            c.start()
+
+    for c in dma(b):
+        c.wait()
+    slot = jax.lax.rem(b, 2)
+    w0 = starts_ref[b] & ~(LANE - 1)
+
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUB_CHUNK, LANE), 1)
+    for k in range(BLOCK // SUB_CHUNK):
+        c0 = cstarts_ref[b * (BLOCK // SUB_CHUNK) + k] & ~(LANE - 1)
+        rel = jnp.clip((c0 - w0) // LANE, 0, BW_ROWS - SUB_CW_ROWS)
+        oc = ow_ref[slot, pl.ds(rel, SUB_CW_ROWS), :].reshape(
+            SUB_CW_ROWS, LANE)
+        lc = lw_ref[slot, pl.ds(rel, SUB_CW_ROWS), :].reshape(
+            SUB_CW_ROWS, LANE)
+        qc = qw_ref[slot, pl.ds(rel, SUB_CW_ROWS), :].reshape(
+            SUB_CW_ROWS, LANE)
+
+        pid = (
+            b * BLOCK + k * SUB_CHUNK
+            + jax.lax.broadcasted_iota(jnp.int32, (SUB_CHUNK,), 0)
+        )
+        rank = jnp.zeros((SUB_CHUNK,), jnp.int32)
+        for r in range(SUB_CW_ROWS):
+            rank = rank + jnp.sum(
+                (oc[r][None, :] <= pid[:, None]).astype(jnp.int32), axis=1
+            )
+        o = jnp.clip(rank - 1, 0, SUB_CW_ROWS * LANE - 1)
+        picked = jnp.zeros((SUB_CHUNK, 12), jnp.float32)
+        for r in range(SUB_CW_ROWS):
+            onehot_r = ((o - r * LANE)[:, None] == iota_l).astype(
+                jnp.int32).astype(jnp.bfloat16)
+            planes_r = jnp.concatenate(
+                [_byte_planes(oc[r]), _byte_planes(lc[r]),
+                 _byte_planes(qc[r])], axis=1
+            )  # (128, 12) bf16
+            picked = picked + jax.lax.dot_general(
+                onehot_r, planes_r, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        oex, lo, qid = _reassemble_multi(picked, 3)
+        sl = pl.ds(k * SUB_CHUNK, SUB_CHUNK)
+        qid_out[sl] = qid
+        sidx_out[sl] = lo + (pid - oex)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pair_cap", "interpret", "subchunk")
+)
+def expand_owners(oexcl, lo, qid, *, pair_cap: int, interpret: bool = False,
+                  subchunk: bool = False):
     """Per-pair (qid, flat postings index) from compacted probe slots.
 
     ``oexcl`` is the exclusive prefix sum of the slot counts (slot s owns
@@ -206,7 +285,9 @@ def expand_owners(oexcl, lo, qid, *, pair_cap: int, interpret: bool = False):
     m = oexcl.shape[0]
     assert pair_cap % BLOCK == 0, pair_cap
     nblocks = pair_cap // BLOCK
-    nchunks = pair_cap // CHUNK
+    chunk = SUB_CHUNK if subchunk else CHUNK
+    cw_rows = SUB_CW_ROWS if subchunk else CW_ROWS
+    nchunks = pair_cap // chunk
 
     # Pad the slot arrays so every window slice is in bounds; padding
     # oexcl with int32-max means padded slots never count into a rank.
@@ -227,13 +308,13 @@ def expand_owners(oexcl, lo, qid, *, pair_cap: int, interpret: bool = False):
     # Chunk/block window starts: the last slot with oexcl <= the chunk's
     # first pair lane (one small host-free searchsorted), clipped so the
     # full window stays inside the padded arrays.
-    firsts = jnp.arange(nchunks, dtype=jnp.int32) * CHUNK
+    firsts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
     cstarts = jnp.clip(
         jnp.searchsorted(oexcl, firsts, side="right").astype(jnp.int32) - 1,
-        0, max((nrows - CW_ROWS) * LANE - 1, 0),
+        0, max((nrows - cw_rows) * LANE - 1, 0),
     )
     starts = jnp.clip(
-        cstarts.reshape(nblocks, BLOCK // CHUNK)[:, 0],
+        cstarts.reshape(nblocks, BLOCK // chunk)[:, 0],
         0, max((nrows - BW_ROWS) * LANE - 1, 0),
     )
 
@@ -257,7 +338,7 @@ def expand_owners(oexcl, lo, qid, *, pair_cap: int, interpret: bool = False):
         ],
     )
     qid_lane, sidx = pl.pallas_call(
-        _kernel,
+        _kernel_sub if subchunk else _kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((pair_cap,), jnp.int32),

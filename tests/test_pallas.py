@@ -418,10 +418,13 @@ def test_kernels_combined_random_workload(seed):
     assert len(mr_a.read_row) > 1000
 
 
-def test_expand_owners_matches_oracle():
+@pytest.mark.parametrize("subchunk", [False, True])
+def test_expand_owners_matches_oracle(subchunk):
     """Windowed-rank pair expansion (ops/pallas_expand.py): per-lane
     (qid, postings index) must equal the searchsorted oracle on every
-    active lane — including one-slot-owns-everything and dead tails."""
+    active lane — including one-slot-owns-everything and dead tails.
+    Covers both rank granularities (1024-lane windows and the
+    MUSCATO_PEXPAND_SUB 128-lane variant)."""
     from muscato_tpu.ops import pallas_expand as pe
 
     rng = np.random.default_rng(1)
@@ -440,7 +443,7 @@ def test_expand_owners_matches_oracle():
         cap = max(8192, 1 << int(np.ceil(np.log2(max(total, 2)))))
         q, sx = pe.expand_owners(
             jnp.asarray(oexcl), jnp.asarray(lo), jnp.asarray(qid),
-            pair_cap=cap, interpret=True,
+            pair_cap=cap, interpret=True, subchunk=subchunk,
         )
         eq, es = pe.expand_owners_np(oexcl, lo, qid, cap)
         np.testing.assert_array_equal(np.asarray(q)[:total], eq[:total])
