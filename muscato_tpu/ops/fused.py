@@ -179,6 +179,12 @@ _MG_GENE = [_flag("MUSCATO_MG_GENE", True)]
 # is proportionally cheap — growth would buy recompiles, not speed.
 _MG_KEYS_WINDOW = 32768
 _MG_KEYS_WINDOW_CAP = 32768
+# Hybrid fix-up budget for the data-dependent monotone streams (spos
+# postings, survivor cap-keys): up to this many span-overflow blocks per
+# dispatch are repaired with a bounded plain gather instead of tripping
+# the overflow ladder (ops/pallas_gather.monotone_gather fixup).  0
+# disables the hybrid.
+_MG_FIXUP = int(_os_mod.environ.get("MUSCATO_MG_FIXUP", "64"))
 
 # Window-overflow events observed by the host ladder this process, per
 # stream — bench provenance records them so a self-disable during an
@@ -808,7 +814,7 @@ def _expand_verify_impl(
 def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
                        mgather=False, mg_window=8192, interpret=False,
                        dorder=False, smax=None, max_read_length=0,
-                       pexpand=False, pexpand_sub=False):
+                       pexpand=False, pexpand_sub=False, fixup=0):
     """Vectorized pair expansion into a (pair_cap,) column buffer, sorted
     by (read, diagonal) with run-start bookkeeping for the diagonal-dedup
     verify.
@@ -871,7 +877,8 @@ def _expand_pairs_impl(counts_m, lo_m, qid_m, q1s, spos, *, nreads, pair_cap,
         from . import pallas_gather as _pg
 
         site, oflow = _pg.monotone_gather(
-            spos, sidx, window=mg_window, interpret=interpret
+            spos, sidx, window=mg_window, interpret=interpret,
+            fixup=fixup,
         )
     else:
         site = spos[sidx]
@@ -970,6 +977,7 @@ def _verify_diagonals_impl(
     *, nreads, width, max_read_length, vchunk, surv_cap, smax, gsteps=0,
     mgather=False, mg_rows=None, mg_rows_window=2048, interpret=False,
     dorder=False, mg_keys=None, mg_keys_window=32768, mg_gene=True,
+    fixup=0,
 ):
     """Chunked heavy verify over the unique (r, d) prefix, verdict map-back
     to the pair lanes, and survivor compaction.  Work in the gather-heavy
@@ -1104,11 +1112,11 @@ def _verify_diagonals_impl(
         key2f_i = lax.bitcast_convert_type(key2f, jnp.int32)
         gr1, of1 = _pg.monotone_gather(
             keyf_i, qc, block=1024, window=mg_keys_window,
-            interpret=interpret,
+            interpret=interpret, fixup=fixup,
         )
         gr2, of2 = _pg.monotone_gather(
             key2f_i, qc, block=1024, window=mg_keys_window,
-            interpret=interpret,
+            interpret=interpret, fixup=fixup,
         )
         oflow_k = jnp.maximum(of1, of2)
     else:
@@ -1597,19 +1605,21 @@ def expand_verify_dedup(
     expand = _tpu_jit(
         _expand_pairs_impl,
         ("nreads", "pair_cap", "mgather", "mg_window", "interpret",
-         "dorder", "smax", "max_read_length", "pexpand", "pexpand_sub"),
+         "dorder", "smax", "max_read_length", "pexpand", "pexpand_sub",
+         "fixup"),
     )
     qid_s, u_idx, ur, ud, nuniq, total, totalf, oflow = expand(
         counts_m, lo_m, qid_m, q1s, spos, nreads=nreads, pair_cap=pair_cap,
         mgather=mg_spos, mg_window=_MG_WINDOW * scale, interpret=interp,
         dorder=dorder, smax=smax, max_read_length=max_read_length,
-        pexpand=pexpand, pexpand_sub=_PEXPAND_SUB[0],
+        pexpand=pexpand, pexpand_sub=_PEXPAND_SUB[0], fixup=_MG_FIXUP,
     )
     verify = _tpu_jit(
         _verify_diagonals_impl,
         ("nreads", "width", "max_read_length", "vchunk", "surv_cap",
          "smax", "gsteps", "mgather", "mg_rows", "mg_rows_window",
-         "interpret", "dorder", "mg_keys", "mg_keys_window", "mg_gene"),
+         "interpret", "dorder", "mg_keys", "mg_keys_window", "mg_gene",
+         "fixup"),
     )
     surv, nsurv, oflow_v, oflow_k = verify(
         qid_s, u_idx, ur, ud, nuniq, keyf, key2f, q1s,
@@ -1621,7 +1631,7 @@ def expand_verify_dedup(
         interpret=interp,
         dorder=dorder, mg_keys=mg_keys,
         mg_keys_window=min(_MG_KEYS_WINDOW * scale, _MG_KEYS_WINDOW_CAP),
-        mg_gene=_MG_GENE[0],
+        mg_gene=_MG_GENE[0], fixup=_MG_FIXUP,
     )
     if mg_spos:
         nsurv = nsurv + oflow * jnp.int32(1 << MG_FLAG_BIT)

@@ -116,7 +116,7 @@ def _kernel(starts_ref, idx_ref, table_ref, out_ref, win_ref, sem,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "window", "interpret")
+    jax.jit, static_argnames=("block", "window", "interpret", "fixup")
 )
 def monotone_gather(
     table: jax.Array,
@@ -125,6 +125,7 @@ def monotone_gather(
     block: int = 1024,
     window: int = 8192,
     interpret: bool = False,
+    fixup: int = 0,
 ):
     """out[j] = table[idx[j]] for a *nondecreasing* int32 ``idx``.
 
@@ -132,7 +133,15 @@ def monotone_gather(
     nonzero iff some block's index span exceeded ``window`` (those lanes
     return 0; the caller must fall back to a plain gather).  ``table`` is
     int32 1-D; ``idx`` values must lie in [0, len(table)).
-    """
+
+    ``fixup`` > 0 enables the HYBRID mode: up to ``fixup`` span-overflow
+    blocks are repaired with a bounded plain-XLA gather over just their
+    lanes (fixup*block lanes — microseconds), and overflow only fires
+    when MORE than ``fixup`` blocks overflow.  A realistic monotone
+    stream has a handful of sparse regions per batch; without the
+    hybrid, ONE such block forfeits the whole kernel (this is exactly
+    what kept MUSCATO_MG_SPOS self-disabling at every window size in
+    rounds 4-5)."""
     n = table.shape[0]
     m = idx.shape[0]
     assert window % LANE == 0 and block % LANE == 0
@@ -183,10 +192,23 @@ def monotone_gather(
     )(starts, idx, table2d)
     # Overflow check in XLA: a lane whose offset leaves its block's window.
     off = idx - jnp.repeat(starts, block)
-    oflow = jnp.max(
-        ((off < 0) | (off >= window_rows * LANE)).astype(jnp.int32)
-    )
-    return out[:m], oflow
+    bad_lane = (off < 0) | (off >= window_rows * LANE)
+    if fixup <= 0:
+        return out[:m], jnp.max(bad_lane.astype(jnp.int32))
+    # Hybrid fix-up: repair up to `fixup` overflow blocks with a plain
+    # gather over their lanes only.  top_k on the bad mask returns bad
+    # blocks first; surplus picks are good blocks, whose rewrite is a
+    # no-op (the kernel value already equals table[idx]).
+    k = min(fixup, nblocks)
+    bad_blk = jnp.max(bad_lane.reshape(nblocks, block), axis=1)
+    nbad = jnp.sum(bad_blk.astype(jnp.int32))
+    _, blk_ids = jax.lax.top_k(bad_blk.astype(jnp.float32), k)
+    lanes = (
+        blk_ids[:, None] * block + jnp.arange(block, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    vals = table[idx[lanes]]  # `table` is the padded flat array here
+    out = out.at[lanes].set(vals)
+    return out[:m], (nbad > k).astype(jnp.int32)
 
 
 def monotone_gather_np(table: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -262,7 +262,7 @@ def _verify_step_dedup(
     gblock, gene_base, budget, q1s, *, width, min_dinuc, max_read_length,
     pair_cap, vchunk, surv_cap, smax, gsteps, mm, mmtol, match_mode,
     mgather, mg_spos, mg_rows, mg_window, mg_rows_window, interpret,
-    dorder, pexpand, mg_keys, mg_keys_window,
+    dorder, pexpand, mg_keys, mg_keys_window, fixup=0,
 ):
     """Stage 2 per-device body (diagonal-dedup engine): the SAME expand +
     verify the single-chip path runs (fused._expand_pairs_impl /
@@ -282,7 +282,7 @@ def _verify_step_dedup(
             counts, lo, qid, q1s, spos, nreads=nreads, pair_cap=pair_cap,
             mgather=mg_spos, mg_window=mg_window, interpret=interpret,
             dorder=dorder, smax=smax, max_read_length=max_read_length,
-            pexpand=pexpand,
+            pexpand=pexpand, fixup=fixup,
         )
     )
     surv, nsurv, oflow_v, oflow_k = fused._verify_diagonals_impl(
@@ -293,6 +293,7 @@ def _verify_step_dedup(
         mgather=mgather, mg_rows=mg_rows,
         mg_rows_window=mg_rows_window, interpret=interpret,
         dorder=dorder, mg_keys=mg_keys, mg_keys_window=mg_keys_window,
+        fixup=fixup,
     )
     # Bit 0: postings-window overflow, bit 1: rows-window overflow,
     # bit 2: survivor cap-key fetch overflow — per-stream so the host
@@ -628,6 +629,7 @@ def sharded_match_arrays(
                 ),
                 dorder=fused.dorder_enabled(),
                 pexpand=fused.pexpand_gate(pair_cap),
+                fixup=fused._MG_FIXUP,
             )
             vkey = ("vdedup", _mesh_key(mesh)) + tuple(sorted(statics.items()))
             step = _verify_step_dedup

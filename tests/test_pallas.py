@@ -448,3 +448,43 @@ def test_expand_owners_matches_oracle(subchunk):
         eq, es = pe.expand_owners_np(oexcl, lo, qid, cap)
         np.testing.assert_array_equal(np.asarray(q)[:total], eq[:total])
         np.testing.assert_array_equal(np.asarray(sx)[:total], es[:total])
+
+
+def test_monotone_gather_hybrid_fixup():
+    """fixup mode: span-overflow blocks are repaired by the bounded
+    plain-gather patch; overflow fires only past the block budget."""
+    from muscato_tpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(5)
+    n = 1 << 16
+    table = jnp.asarray(rng.integers(-2**31, 2**31, n, dtype=np.int64)
+                        .astype(np.int32))
+    # Dense stream with a few violent jumps: 3 blocks overflow a 2048
+    # window at block 1024.
+    idx = np.sort(rng.integers(0, 1200, 8192)).astype(np.int32)
+    for b in (2, 5, 7):
+        idx[b * 1024 : (b + 1) * 1024] = np.sort(
+            rng.integers(0, n, 1024)
+        ).astype(np.int32)
+    idx = np.sort(idx)  # keep globally nondecreasing
+    out, of = pg.monotone_gather(
+        table, jnp.asarray(idx), block=1024, window=2048,
+        interpret=True, fixup=8,
+    )
+    assert int(of) == 0
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(table)[idx]
+    )
+    # Budget exceeded -> overflow flag (every block overflows).
+    idx_bad = np.sort(rng.integers(0, n, 8192)).astype(np.int32)
+    out2, of2 = pg.monotone_gather(
+        table, jnp.asarray(idx_bad), block=1024, window=2048,
+        interpret=True, fixup=2,
+    )
+    assert int(of2) == 1
+    # fixup=0 keeps the strict contract.
+    _, of3 = pg.monotone_gather(
+        table, jnp.asarray(idx), block=1024, window=2048,
+        interpret=True, fixup=0,
+    )
+    assert int(of3) == 1

@@ -195,11 +195,13 @@ def test_index_file_roundtrip(tmp_path):
         assert got == f.read()
 
 
-def test_mgather_overflow_falls_back_identically():
+def test_mgather_overflow_falls_back_identically(monkeypatch):
     """A low-entropy workload whose postings runs exceed the gather window
     must trip the overflow flag, fall back to the XLA gather path, and
     produce identical matches (pipeline re-runs the batch; fused flips the
-    process-wide switch off)."""
+    process-wide switch off).  _MG_FIXUP is pinned to 0: the round-5
+    hybrid otherwise absorbs this workload's overflow blocks without any
+    ladder (covered by test_mgather_hybrid_absorbs_overflow)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -241,6 +243,7 @@ def test_mgather_overflow_falls_back_identically():
     )
 
     assert not fused.mgather_enabled()
+    monkeypatch.setattr(fused, "_MG_FIXUP", 0)
     mr_a = pipeline.run_matching(cfg, rs, ts)
     fused.set_mgather(True)
     try:
@@ -249,6 +252,67 @@ def test_mgather_overflow_falls_back_identically():
         # windows grew (and the retry succeeded on the kernels) or the
         # process fell back to XLA gathers at max scale.
         assert fused.mg_scale() > 1 or not fused.mgather_enabled()
+    finally:
+        fused.set_mgather(False)
+        fused.set_mg_scale(1)
+    for a, b in zip(
+        (mr_a.read_row, mr_a.gene, mr_a.start, mr_a.nmiss),
+        (mr_b.read_row, mr_b.gene, mr_b.start, mr_b.nmiss),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert len(mr_a.read_row) > 0
+
+
+def test_mgather_hybrid_absorbs_overflow(monkeypatch):
+    """With a sufficient fix-up budget a workload whose postings runs
+    overflow every window runs on the kernels with NO ladder trip: the
+    hybrid repairs the overflow blocks and the output is identical.
+    (This low-entropy workload overflows ~every block, so the budget is
+    pinned high; the default 64-block budget targets the sparse
+    overflows of realistic streams — measured on device.)"""
+    import numpy as np
+
+    from muscato_tpu.engine import pipeline
+    from muscato_tpu.io.reads import ReadSet
+    from muscato_tpu.io.targets import TargetSet
+    from muscato_tpu.io import seqcodec
+    from muscato_tpu.ops import fused
+
+    rng = np.random.default_rng(11)
+    genes = []
+    for gi in range(40):
+        g = np.zeros(600, np.uint8)
+        pos = rng.integers(0, 600, 5)
+        g[pos] = rng.integers(1, 4, 5)
+        genes.append(g)
+    tcat = np.concatenate(genes)
+    gene_start = np.arange(41, dtype=np.int64) * 600
+    ts = TargetSet(
+        tcat=tcat, gene_start=gene_start,
+        names=[b"g%d" % i for i in range(40)],
+        lengths=np.diff(gene_start),
+    )
+    reads = [bytes(seqcodec.LETTERS[c] for c in g[:60]) for g in genes[:16]]
+    codes, lengths = seqcodec.encode_rows(reads, 64)
+    rs = ReadSet(
+        codes=codes, lengths=lengths,
+        counts=np.ones(len(reads), np.int32),
+        name_blob=b"", name_off=np.zeros(len(reads) + 1, np.int64),
+        num_total=len(reads),
+    )
+    cfg = config_mod.Config(
+        Windows=[0, 8], WindowWidth=8, PMatch=0.9, MinDinuc=0,
+        MaxReadLength=64, MMTol=2, MaxMatches=10**6, MatchMode="best",
+    )
+    mr_a = pipeline.run_matching(cfg, rs, ts)
+    assert fused._MG_FIXUP > 0
+    monkeypatch.setattr(fused, "_MG_FIXUP", 1 << 17)
+    fused.set_mg_scale(1)  # a prior test's ladder may have grown it
+    fused.set_mgather(True)
+    try:
+        mr_b = pipeline.run_matching(cfg, rs, ts)
+        assert fused.mgather_enabled(), "hybrid must avoid any disable"
+        assert fused.mg_scale() == 1, "hybrid must avoid the regrow ladder"
     finally:
         fused.set_mgather(False)
         fused.set_mg_scale(1)
@@ -301,7 +365,8 @@ def test_mgather_per_stream_fallback(monkeypatch):
     )
     mr_a = pipeline.run_matching(cfg, rs, ts)
     monkeypatch.setattr(fused, "MG_MAX_SCALE", 1)  # no growth: straight to
-    fused.set_mgather(True)                        # the per-stream disable
+    monkeypatch.setattr(fused, "_MG_FIXUP", 0)     # the per-stream disable
+    fused.set_mgather(True)                        # (hybrid pinned off)
     try:
         mr_b = pipeline.run_matching(cfg, rs, ts)
         assert fused.mgather_enabled(), "rows stream must survive"
