@@ -114,6 +114,85 @@ def main():
     best = timeit(cycle(fn_d0), reps=6)
     print(f"const-diag: {best*1e3:.1f}ms", flush=True)
 
+    # ---- TUNED mode: the pipeline's real hot config — lanes sorted by
+    # (d, r) (dorder), mgather rows + gene-block mono, trows windowed.
+    # Variants isolate the READ-row random gather (the one stream that
+    # stays a plain per-lane XLA gather under dorder, packed.py:404).
+    print("--- tuned (dorder + mgather, d-sorted lanes) ---", flush=True)
+
+    def mk_sorted(rep):
+        rr = rng.integers(0, R, n).astype(np.int32)
+        dd = np.sort(rng.integers(0, S - 2 * max_rl, n)).astype(np.int32)
+        return jnp.asarray(rr), jnp.asarray(dd)
+
+    slanes = [mk_sorted(i) for i in range(3)]
+    for a, b in slanes:
+        a.block_until_ready(), b.block_until_ready()
+
+    def cycle_s(f):
+        state = [0]
+
+        def run():
+            r, d = slanes[state[0] % 3]
+            state[0] += 1
+            return f(r, d)
+
+        return run
+
+    def tuned_fn(read_mode):
+        def call(r, d):
+            if read_mode == "const":
+                r = jnp.zeros_like(r)
+            return pops.verify_diagonals_packed(
+                r, d, rpacked, lengths, tpacked, gs, budget, q1s,
+                width, max_rl, S, trows=trows, gblock=gblock,
+                gsteps=steps, mgather=True, dorder=True,
+                mg_rows_window=2048,
+            )
+        return jax.jit(call)
+
+    for mode in ("full", "const"):
+        f = tuned_fn(mode)
+        out = f(*slanes[0])
+        jax.block_until_ready(out)
+        of = int(out[-1])
+        best = timeit(cycle_s(f), reps=6)
+        print(
+            f"tuned read={mode}: {best*1e3:.1f}ms -> "
+            f"{best/n*1e9:.1f} ns/lane (oflow={of})", flush=True
+        )
+
+    # variant: read rows fetched by a plain XLA row gather OUTSIDE the
+    # call (isolates gather cost from the rest): time just rpacked[rc].
+    g = jax.jit(lambda r: rpacked[jnp.clip(r, 0, R - 1)])
+    jax.block_until_ready(g(slanes[0][0]))
+    best = timeit(cycle_s(lambda r, d: g(r)), reps=6)
+    print(f"xla row-gather alone: {best*1e3:.1f}ms -> "
+          f"{best/n*1e9:.1f} ns/row", flush=True)
+
+    # and the same rows through a lane-sorted monotone kernel ride:
+    # sort by r (carrying lane id), windowed-DMA the rows, invert.
+    def sorted_ride(r):
+        rc2 = jnp.clip(r, 0, R - 1)
+        rs, lane = jax.lax.sort(
+            (rc2, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        from ..ops import pallas_gather as pg
+        rows, of = pg.monotone_gather_rows(
+            rpacked, rs, window_rows=8192
+        )
+        inv = jnp.zeros(n, jnp.int32).at[lane].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        return rows[inv], of
+
+    f2 = jax.jit(sorted_ride)
+    out = f2(slanes[0][0])
+    jax.block_until_ready(out)
+    best = timeit(cycle_s(lambda r, d: f2(r)), reps=6)
+    print(f"sort+mono-ride row fetch: {best*1e3:.1f}ms (oflow="
+          f"{int(out[1])})", flush=True)
+
 
 if __name__ == "__main__":
     main()

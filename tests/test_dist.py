@@ -89,15 +89,17 @@ def test_sharded_equals_single(dp, mp, n_reads):
 
 
 @pytest.mark.parametrize(
-    "streams",
+    "streams,fixup",
     [
-        (True, True, True),    # every monotone-gather stream on
-        (False, True, True),   # the TUNED.json production combination
-        (True, False, False),  # postings-only (MG_SPOS riding lo-order
-                               # slots; rows/keys off)
+        ((True, True, True), 0),    # every monotone-gather stream on
+        ((False, True, True), 0),   # the TUNED.json production combination
+        ((True, False, False), 0),  # postings-only (MG_SPOS riding
+                                    # lo-order slots; rows/keys off)
+        ((True, True, True), 64),   # hybrid span-overflow fix-up traced
+                                    # inside shard_map (top_k + patch)
     ],
 )
-def test_sharded_with_kernels_equals_single(streams):
+def test_sharded_with_kernels_equals_single(streams, fixup, monkeypatch):
     """ALL engine kernels/flags inside shard_map (interpret mode on
     CPU) must produce the identical sharded result — the mesh path runs
     the same kernel-flagged engine as the single-chip loop.  The stream
@@ -119,6 +121,7 @@ def test_sharded_with_kernels_equals_single(streams):
     )
     mesh = pmesh.make_mesh(2, 2)
     sidx = pmesh.shard_targets(ts, width, 2)
+    monkeypatch.setattr(fused, "_MG_FIXUP", fixup)
     fused.set_mgather(True)
     fused.set_mg_streams(*streams)
     fused.set_pjoin(True)
