@@ -36,7 +36,7 @@ os.environ.setdefault("MUSCATO_TUNED", "/nonexistent")
 import numpy as np  # noqa: E402
 
 
-def _set_flags(mg=False, pj=False, do=False, px=False, seg=False,
+def _set_flags(mg=False, pj=False, do=False, px=False,
                sub=False, block=1024, fixup=64) -> None:
     from ..ops import fused
 
@@ -44,7 +44,6 @@ def _set_flags(mg=False, pj=False, do=False, px=False, seg=False,
     fused.set_pjoin(pj)
     fused.set_dorder(do)
     fused.set_pexpand(px)
-    fused.set_segscan(seg)
     fused._PEXPAND_SUB[0] = sub
     fused._MG_BLOCK = block
     fused._MG_FIXUP = fixup
@@ -55,19 +54,20 @@ def _set_flags(mg=False, pj=False, do=False, px=False, seg=False,
 
 
 # flag name -> fused setter kwargs; "full" proves flag interaction.
-# The round-5 knob rows (SEGSCAN / MG_BLOCK / PEXPAND_SUB / the hybrid
+# The round-5 knob rows (MG_BLOCK / PEXPAND_SUB / the hybrid
 # span-overflow fixup) exist so tune_finish's engine-check gate covers
 # them: a knob may only default on with an engine-shaped device pass.
+# (MUSCATO_SEGSCAN was deleted: compile-bound DNF on device, see
+# BENCHMARKS.md round-5 phase 3.)
 CONFIGS = [
     ("MUSCATO_MGATHER", dict(mg=True)),
     ("MUSCATO_PJOIN", dict(pj=True)),
     ("MUSCATO_DORDER", dict(do=True)),
     ("MUSCATO_PEXPAND", dict(px=True)),
-    ("MUSCATO_SEGSCAN", dict(seg=True)),
     ("MUSCATO_PEXPAND_SUB", dict(px=True, sub=True)),
     ("MUSCATO_MG_BLOCK", dict(mg=True, do=True, block=4096)),
     ("full", dict(mg=True, pj=True, do=True, px=True)),
-    ("full_knobs", dict(mg=True, pj=True, do=True, px=True, seg=True,
+    ("full_knobs", dict(mg=True, pj=True, do=True, px=True,
                         sub=True, block=4096)),
 ]
 

@@ -1194,7 +1194,7 @@ def _rank_survivors_live_impl(buf, live, mm, mmtol, *, match_mode, full_cols=Tru
 
 def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
                          full_cols=True, pack_bits=None,
-                         mgather=False, interpret=False, segscan=False):
+                         mgather=False, interpret=False):
     """Device-side cap + dedup + best+MMTol over one batch's survivors.
 
     Replicates engine.pipeline._apply_max_matches and _dedup_and_rank
@@ -1210,47 +1210,28 @@ def _rank_survivors_impl(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
     live = jnp.arange(surv_cap, dtype=jnp.int32) < nsurv
     return _rank_core(buf, live, mm, mmtol, match_mode=match_mode,
                       full_cols=full_cols, pack_bits=pack_bits,
-                      mgather=mgather, interpret=interpret, segscan=segscan)
+                      mgather=mgather, interpret=interpret)
 
 
-# Round-5 perf knobs, opt-in pending device A/B (profile r5: the 1-D
-# monotone-gather kernels are grid-step-bound at block 1024 — ~0.47s
-# summed across the verify tail and rank; the rank segment-min scatter
-# is 0.28s).  MUSCATO_MG_BLOCK raises the per-grid-step lane count for
+# Round-5 perf knobs (profile r5: the 1-D monotone-gather kernels are
+# grid-step-bound at block 1024 — ~0.47s summed across the verify tail
+# and rank).  MUSCATO_MG_BLOCK raises the per-grid-step lane count for
 # the STRUCTURALLY monotone streams only (u_idx/seg_id increment <= 1
 # per lane, so a 2x-block window still cannot overflow); data-dependent
-# streams (survivor cap-keys) keep block 1024.  MUSCATO_SEGSCAN=1
-# replaces the rank stage-3 scatter+gather with two segmented
-# associative scans (prefix-min and suffix-min per segment; their
-# elementwise min IS the segment min at every lane — no table, no
-# scatter, no broadcast gather).
+# streams (survivor cap-keys) keep block 1024.  Measured (round-5
+# phase 3): 4096 LOSES — 1,985,566 vs 2,035,506 reads/s at 1024 (the
+# larger window's DMA costs more than the grid steps save); 1024 stays
+# the default.  MUSCATO_SEGSCAN (rank stage-3 as two segmented
+# associative scans, no scatter/table) was DELETED after the same
+# sweep: at 33M lanes the scan pair never finished COMPILING through
+# the relay in 70 min, while the identical config minus segscan ran in
+# 728s (the vt-kernel failure shape; BENCHMARKS.md round-5 phase 3).
 _MG_BLOCK = int(_os_mod.environ.get("MUSCATO_MG_BLOCK", "0")) or int(
     _TUNED.get("MUSCATO_MG_BLOCK", 1024)
 )
-_SEGSCAN = [_flag("MUSCATO_SEGSCAN")]
 
 
-def set_segscan(on: bool) -> None:
-    _SEGSCAN[0] = on
-
-
-def _seg_min_scan(nxm, seg_id):
-    """Segment-min broadcast with no scatter: combine (seg, val) pairs
-    with the standard segmented-min operator (associative: later
-    element's segment wins; values merge only within one segment)."""
-
-    def comb(a, b):
-        sa, va = a
-        sb, vb = b
-        return sb, jnp.where(sa == sb, jnp.minimum(va, vb), vb)
-
-    _, fwd = lax.associative_scan(comb, (seg_id, nxm))
-    _, bwd = lax.associative_scan(comb, (seg_id, nxm), reverse=True)
-    return jnp.minimum(fwd, bwd)
-
-
-def _seg_min_broadcast(nxm, seg_id, n, *, mgather, interpret,
-                      segscan=False):
+def _seg_min_broadcast(nxm, seg_id, n, *, mgather, interpret):
     """Per-segment min of nxm broadcast back to every lane.
 
     seg_id is dense and nondecreasing (increments <= 1), so the
@@ -1258,8 +1239,6 @@ def _seg_min_broadcast(nxm, seg_id, n, *, mgather, interpret,
     rides the windowed kernel (profile r4: the XLA lowering of this
     gather plus the scatter was ~0.5s per 8M-read batch in the rank
     stage; the scatter remains, the gather drops to DMA rate)."""
-    if segscan:
-        return _seg_min_scan(nxm, seg_id)
     inf32 = jnp.int32(0x7FFFFFFF)
     table = jnp.full(n, inf32).at[seg_id].min(nxm, mode="drop")
     if mgather:
@@ -1274,7 +1253,7 @@ def _seg_min_broadcast(nxm, seg_id, n, *, mgather, interpret,
 
 
 def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits,
-                      mgather=False, interpret=False, segscan=False):
+                      mgather=False, interpret=False):
     """_rank_core with the (r, g, s, nx) columns packed into 64-bit
     lo/hi uint32 words through every sort: stage 1 runs on 5 operands
     instead of 8, stages 2 and 4 on 3 instead of 5 (XLA sort throughput
@@ -1346,7 +1325,7 @@ def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits,
     )
     seg_id = jnp.cumsum(new_read.astype(jnp.int32)) - 1
     best = _seg_min_broadcast(nxm, seg_id, n, mgather=mgather,
-                              interpret=interpret, segscan=segscan)
+                              interpret=interpret)
     keep = keep & (nxm <= best + mmtol)
 
     # 4. stable single-key compaction; the packed words ARE the return.
@@ -1362,12 +1341,11 @@ def _rank_core_packed(buf, live, mm, mmtol, *, match_mode, pack_bits,
 
 
 def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
-               pack_bits=None, mgather=False, interpret=False,
-               segscan=False):
+               pack_bits=None, mgather=False, interpret=False):
     if pack_bits is not None and not full_cols:
         return _rank_core_packed(
             buf, live, mm, mmtol, match_mode=match_mode, pack_bits=pack_bits,
-            mgather=mgather, interpret=interpret, segscan=segscan,
+            mgather=mgather, interpret=interpret,
         )
     n = buf.shape[0]
     r, g, s, nx = buf[:, 0], buf[:, 1], buf[:, 2], buf[:, 3]
@@ -1432,7 +1410,7 @@ def _rank_core(buf, live, mm, mmtol, *, match_mode, full_cols=True,
     )
     seg_id = jnp.cumsum(new_read.astype(jnp.int32)) - 1
     best = _seg_min_broadcast(nxm, seg_id, n, mgather=mgather,
-                              interpret=interpret, segscan=segscan)
+                              interpret=interpret)
     # best+mmtol may wrap for all-dead segments (best = int32-max); keep
     # is already false there.
     keep = keep & (nxm <= best + mmtol)
@@ -1464,13 +1442,12 @@ def rank_survivors(buf, nsurv, mm, mmtol, *, match_mode, surv_cap,
     fn = _tpu_jit(
         _rank_survivors_impl,
         ("match_mode", "surv_cap", "full_cols", "pack_bits",
-         "mgather", "interpret", "segscan"),
+         "mgather", "interpret"),
     )
     return fn(
         buf, nsurv, jnp.int32(mm), jnp.int32(mmtol),
         match_mode=match_mode, surv_cap=surv_cap, full_cols=full_cols,
         pack_bits=pack_bits, mgather=mg, interpret=interp,
-        segscan=_SEGSCAN[0],
     )
 
 

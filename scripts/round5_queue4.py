@@ -55,8 +55,16 @@ def main() -> int:
         save()
 
     steps = [
-        ("pexpand_sub", BENCH_BIG, {"MUSCATO_PEXPAND_SUB": "1"}),
-        ("pexpand_sub_off", BENCH_BIG, {"MUSCATO_PEXPAND_SUB": "0"}),
+        # phase-3 measured spos+fixup at 2.34M vs 2.04M base — carry it
+        # into every phase-4 A/B so wins compose with the new default.
+        ("pexpand_sub", BENCH_BIG,
+         {"MUSCATO_PEXPAND_SUB": "1", "MUSCATO_MG_SPOS": "1"}),
+        ("pexpand_sub_off", BENCH_BIG,
+         {"MUSCATO_PEXPAND_SUB": "0", "MUSCATO_MG_SPOS": "1"}),
+        # seg_only was dropped: phase-3's blk4k_seg step never finished
+        # ONE batch in 70 min (compile-bound associative scans at 33M
+        # lanes through the relay) while the same flags minus SEGSCAN
+        # ran in 728s — the SEGSCAN path was deleted with that reason.
     ]
     for name, argv, env in steps:
         rc, log = run_step(name, argv, outdir, env_over=env)

@@ -824,95 +824,3 @@ def test_expand_pairs_packed_minor_key_equals_payload_sort(dorder):
         return sorted(zip(q[act].tolist(), u[act].tolist()))
     assert pairs(base) == pairs(got)
     assert int(base[5]) > 0
-
-
-def test_seg_min_scan_matches_scatter():
-    """The segmented associative-scan min (MUSCATO_SEGSCAN) must equal
-    the scatter+gather broadcast for dense nondecreasing seg_ids."""
-    import numpy as np
-    import jax.numpy as jnp
-
-    from muscato_tpu.ops import fused
-
-    rng = np.random.default_rng(7)
-    for n, nseg in ((1, 1), (17, 3), (1024, 1), (4096, 700)):
-        seg = np.sort(rng.integers(0, nseg, n)).astype(np.int32)
-        # densify: seg ids must increment by <= 1
-        _, seg = np.unique(seg, return_inverse=True)
-        seg = seg.astype(np.int32)
-        v = rng.integers(0, 2**30, n).astype(np.int32)
-        got = np.asarray(fused._seg_min_scan(jnp.asarray(v), jnp.asarray(seg)))
-        want = np.empty(n, np.int32)
-        for s in np.unique(seg):
-            want[seg == s] = v[seg == s].min()
-        np.testing.assert_array_equal(got, want)
-
-
-def test_rank_survivors_segscan_bitequal():
-    """rank_survivors under MUSCATO_SEGSCAN returns bit-equal retained
-    rows on both the packed and unpacked paths."""
-    import numpy as np
-    import jax.numpy as jnp
-
-    from muscato_tpu.ops import fused
-
-    rng = np.random.default_rng(8)
-    n = 2048
-    nsurv = 1500
-    buf = np.zeros((n, fused.NCOL), np.int32)
-    buf[:nsurv, 0] = rng.integers(0, 40, nsurv)    # read
-    buf[:nsurv, 1] = rng.integers(0, 30, nsurv)    # gene
-    buf[:nsurv, 2] = rng.integers(0, 500, nsurv)   # start
-    buf[:nsurv, 3] = rng.integers(0, 6, nsurv)     # nmiss
-    buf[:nsurv, 4] = rng.integers(0, 7, nsurv)     # grp
-    buf[:nsurv, 5] = rng.integers(0, 3, nsurv)     # grp2
-    buf[:nsurv, 6] = rng.integers(0, 2, nsurv)     # window
-    bufj = jnp.asarray(buf)
-    for pack_bits, full_cols in ((None, True), ((8, 8, 10, 4), False)):
-        try:
-            fused.set_segscan(False)
-            a_rows, a_n = fused.rank_survivors(
-                bufj, jnp.int32(nsurv), 3, 1, match_mode="best",
-                surv_cap=n, full_cols=full_cols, pack_bits=pack_bits,
-            )
-            fused.set_segscan(True)
-            b_rows, b_n = fused.rank_survivors(
-                bufj, jnp.int32(nsurv), 3, 1, match_mode="best",
-                surv_cap=n, full_cols=full_cols, pack_bits=pack_bits,
-            )
-        finally:
-            fused.set_segscan(False)
-        assert int(a_n) == int(b_n) > 0
-        np.testing.assert_array_equal(
-            np.asarray(a_rows)[: int(a_n)], np.asarray(b_rows)[: int(b_n)]
-        )
-
-
-def test_gene_of_pos_block_mono_equiv():
-    """The monotone-stream gene lookup (windowed kernel, dorder verify)
-    must equal gene_of_pos_block on sorted position streams, including
-    the (g, gstart, gend) triple and a zero overflow flag at realistic
-    density."""
-    import numpy as np
-    import jax.numpy as jnp
-
-    from muscato_tpu.ops import packed as pops
-
-    rng = np.random.default_rng(3)
-    gene_start = np.cumsum(
-        np.concatenate([[0], rng.integers(50, 400, 64)])
-    ).astype(np.int32)
-    smax = int(gene_start[-1])
-    gb, steps = pops.build_gene_block(gene_start, smax)
-    gs, gbj = jnp.asarray(gene_start), jnp.asarray(gb)
-    for n in (7, 1024, 5000):
-        p = np.sort(rng.integers(0, smax, n)).astype(np.int32)
-        pj = jnp.asarray(p)
-        g0 = np.asarray(pops.gene_of_pos_block(gs, gbj, pj, steps))
-        g1, s1, e1, of = pops.gene_of_pos_block_mono(
-            gs, gbj, pj, steps, interpret=True
-        )
-        np.testing.assert_array_equal(g0, np.asarray(g1))
-        np.testing.assert_array_equal(gene_start[g0], np.asarray(s1))
-        np.testing.assert_array_equal(gene_start[g0 + 1], np.asarray(e1))
-        assert int(of) == 0
