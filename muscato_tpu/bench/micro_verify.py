@@ -7,11 +7,18 @@ caching.  Prints per-rep best and ns/lane, plus a variant sweep that
 drops one input at a time to attribute the cost (target row fetch, read
 row fetch, gene lookup).
 
+Every table is passed as an explicit jit ARGUMENT: a closed-over table
+becomes a constant in the lowered HLO, and this host's remote-compile
+relay rejects request bodies past ~hundreds of MB (HTTP 413) — the
+round-5 phase-4 run died exactly there with the 208MB read matrix
+embedded as a constant.
+
 Run: python -u -m muscato_tpu.bench.micro_verify [n_millions]
 """
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 
@@ -59,60 +66,51 @@ def main():
     gblock = jnp.asarray(gb_np)
     print(f"tables ready: trows {trows.shape} steps {steps}", flush=True)
 
-    def mk(rep):
-        rr = rng.integers(0, R, n).astype(np.int32)
-        dd = rng.integers(0, S - 2 * max_rl, n).astype(np.int32)
-        return jnp.asarray(rr), jnp.asarray(dd)
+    tables = (rpacked, lengths, tpacked, gs, budget, q1s, trows, gblock)
 
-    lanes = [mk(i) for i in range(3)]
-    for a, b in lanes:
-        a.block_until_ready(), b.block_until_ready()
-
-    fn = jax.jit(
-        lambda r, d, tr, gb: pops.verify_diagonals_packed(
-            r, d, rpacked, lengths, tpacked, gs, budget, q1s,
-            width, max_rl, S, trows=tr, gblock=gb, gsteps=steps,
-        ),
-        static_argnames=(),
+    @functools.partial(
+        jax.jit, static_argnames=("mode", "mgather", "dorder")
     )
-    # warm
-    jax.block_until_ready(fn(*lanes[0], trows, gblock))
+    def run(r, d, rp, ln, tp, g, bu, q1, tr, gb, *, mode="full",
+            mgather=False, dorder=False):
+        if mode == "const_read":
+            r = jnp.zeros_like(r)
+        elif mode == "const_diag":
+            d = jnp.zeros_like(d) + 12345
+        return pops.verify_diagonals_packed(
+            r, d, rp, ln, tp, g, bu, q1, width, max_rl, S, trows=tr,
+            gblock=gb, gsteps=steps, mgather=mgather, dorder=dorder,
+            mg_rows_window=2048,
+            interpret=jax.default_backend() == "cpu",
+        )
 
-    def cycle(f):
+    def mk(sort_d):
+        rr = rng.integers(0, R, n).astype(np.int32)
+        dd = rng.integers(0, S - 2 * max_rl, n)
+        if sort_d:
+            dd = np.sort(dd)
+        return jnp.asarray(rr), jnp.asarray(dd.astype(np.int32))
+
+    def cycle(lanes, f):
         state = [0]
 
-        def run():
+        def go():
             r, d = lanes[state[0] % 3]
             state[0] += 1
             return f(r, d)
 
-        return run
+        return go
 
-    best = timeit(cycle(lambda r, d: fn(r, d, trows, gblock)), reps=6)
-    print(f"full: {best*1e3:.1f}ms -> {best/n*1e9:.1f} ns/lane", flush=True)
+    lanes = [mk(False) for _ in range(3)]
+    for a, b in lanes:
+        a.block_until_ready(), b.block_until_ready()
 
-    # variant: constant read row (kills the rpacked row gather)
-    fn_r0 = jax.jit(
-        lambda r, d: pops.verify_diagonals_packed(
-            jnp.zeros_like(r), d, rpacked, lengths, tpacked, gs, budget, q1s,
-            width, max_rl, S, trows=trows, gblock=gblock, gsteps=steps,
-        )
-    )
-    jax.block_until_ready(fn_r0(*lanes[0]))
-    best = timeit(cycle(fn_r0), reps=6)
-    print(f"const-read: {best*1e3:.1f}ms", flush=True)
-
-    # variant: constant diagonal (kills the trows fetch + gene lookup)
-    fn_d0 = jax.jit(
-        lambda r, d: pops.verify_diagonals_packed(
-            r, jnp.zeros_like(d) + 12345, rpacked, lengths, tpacked, gs,
-            budget, q1s, width, max_rl, S, trows=trows, gblock=gblock,
-            gsteps=steps,
-        )
-    )
-    jax.block_until_ready(fn_d0(*lanes[0]))
-    best = timeit(cycle(fn_d0), reps=6)
-    print(f"const-diag: {best*1e3:.1f}ms", flush=True)
+    for mode in ("full", "const_read", "const_diag"):
+        f = lambda r, d, m=mode: run(r, d, *tables, mode=m)
+        jax.block_until_ready(f(*lanes[0]))
+        best = timeit(cycle(lanes, f), reps=6)
+        print(f"{mode}: {best*1e3:.1f}ms -> {best/n*1e9:.1f} ns/lane",
+              flush=True)
 
     # ---- TUNED mode: the pipeline's real hot config — lanes sorted by
     # (d, r) (dorder), mgather rows + gene-block mono, trows windowed.
@@ -120,43 +118,17 @@ def main():
     # stays a plain per-lane XLA gather under dorder, packed.py:404).
     print("--- tuned (dorder + mgather, d-sorted lanes) ---", flush=True)
 
-    def mk_sorted(rep):
-        rr = rng.integers(0, R, n).astype(np.int32)
-        dd = np.sort(rng.integers(0, S - 2 * max_rl, n)).astype(np.int32)
-        return jnp.asarray(rr), jnp.asarray(dd)
-
-    slanes = [mk_sorted(i) for i in range(3)]
+    slanes = [mk(True) for _ in range(3)]
     for a, b in slanes:
         a.block_until_ready(), b.block_until_ready()
 
-    def cycle_s(f):
-        state = [0]
-
-        def run():
-            r, d = slanes[state[0] % 3]
-            state[0] += 1
-            return f(r, d)
-
-        return run
-
-    def tuned_fn(read_mode):
-        def call(r, d):
-            if read_mode == "const":
-                r = jnp.zeros_like(r)
-            return pops.verify_diagonals_packed(
-                r, d, rpacked, lengths, tpacked, gs, budget, q1s,
-                width, max_rl, S, trows=trows, gblock=gblock,
-                gsteps=steps, mgather=True, dorder=True,
-                mg_rows_window=2048,
-            )
-        return jax.jit(call)
-
-    for mode in ("full", "const"):
-        f = tuned_fn(mode)
+    for mode in ("full", "const_read"):
+        f = lambda r, d, m=mode: run(r, d, *tables, mode=m, mgather=True,
+                                     dorder=True)
         out = f(*slanes[0])
         jax.block_until_ready(out)
         of = int(out[-1])
-        best = timeit(cycle_s(f), reps=6)
+        best = timeit(cycle(slanes, f), reps=6)
         print(
             f"tuned read={mode}: {best*1e3:.1f}ms -> "
             f"{best/n*1e9:.1f} ns/lane (oflow={of})", flush=True
@@ -164,32 +136,33 @@ def main():
 
     # variant: read rows fetched by a plain XLA row gather OUTSIDE the
     # call (isolates gather cost from the rest): time just rpacked[rc].
-    g = jax.jit(lambda r: rpacked[jnp.clip(r, 0, R - 1)])
-    jax.block_until_ready(g(slanes[0][0]))
-    best = timeit(cycle_s(lambda r, d: g(r)), reps=6)
+    g = jax.jit(lambda rp, r: rp[jnp.clip(r, 0, R - 1)])
+    jax.block_until_ready(g(rpacked, slanes[0][0]))
+    best = timeit(cycle(slanes, lambda r, d: g(rpacked, r)), reps=6)
     print(f"xla row-gather alone: {best*1e3:.1f}ms -> "
           f"{best/n*1e9:.1f} ns/row", flush=True)
 
     # and the same rows through a lane-sorted monotone kernel ride:
     # sort by r (carrying lane id), windowed-DMA the rows, invert.
-    def sorted_ride(r):
+    @jax.jit
+    def sorted_ride(rp, r):
         rc2 = jnp.clip(r, 0, R - 1)
         rs, lane = jax.lax.sort(
             (rc2, jnp.arange(n, dtype=jnp.int32)), num_keys=1
         )
         from ..ops import pallas_gather as pg
         rows, of = pg.monotone_gather_rows(
-            rpacked, rs, window_rows=8192
+            rp, rs, window_rows=8192,
+            interpret=jax.default_backend() == "cpu",
         )
         inv = jnp.zeros(n, jnp.int32).at[lane].set(
             jnp.arange(n, dtype=jnp.int32)
         )
         return rows[inv], of
 
-    f2 = jax.jit(sorted_ride)
-    out = f2(slanes[0][0])
+    out = sorted_ride(rpacked, slanes[0][0])
     jax.block_until_ready(out)
-    best = timeit(cycle_s(lambda r, d: f2(r)), reps=6)
+    best = timeit(cycle(slanes, lambda r, d: sorted_ride(rpacked, r)), reps=6)
     print(f"sort+mono-ride row fetch: {best*1e3:.1f}ms (oflow="
           f"{int(out[1])})", flush=True)
 
