@@ -151,8 +151,10 @@ def main():
             (rc2, jnp.arange(n, dtype=jnp.int32)), num_keys=1
         )
         from ..ops import pallas_gather as pg
+        # 2048 is the device-proven rows-window cap (fused._MG_ROWS_WINDOW_CAP):
+        # 8192 blew Mosaic's 16M vmem stack in the phase-4 run.
         rows, of = pg.monotone_gather_rows(
-            rp, rs, window_rows=8192,
+            rp, rs, window_rows=2048,
             interpret=jax.default_backend() == "cpu",
         )
         inv = jnp.zeros(n, jnp.int32).at[lane].set(
