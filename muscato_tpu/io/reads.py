@@ -962,35 +962,45 @@ def _merge_runs_streaming(runs: _RunWriter, max_read_length: int) -> ReadSet:
     return rs
 
 
-def write_reads_sorted(rs: ReadSet, path: str) -> None:
+def write_reads_sorted(rs: ReadSet, path: str,
+                       rows_per_slice: int = 4_000_000) -> None:
     """Persist the reads_sorted.txt.sz equivalent (seq \\t count \\t names),
-    assembled with vectorized ranged copies (no per-read Python loop)."""
+    assembled with vectorized ranged copies (no per-read Python loop).
+
+    Streams `rows_per_slice` rows at a time through sz.StreamWriter —
+    the one-shot blob at 100M reads was ~12GB plus tobytes/S20 copies
+    (the measured ~50GB anon-RSS spike of the round-5 100M run); the
+    sliced emission is byte-identical and O(slice) memory."""
     n = rs.num_unique
     if n == 0:
         sz.write_bytes(path, b"")
         return
-    counts_b = rs.counts.astype("S20")
-    clen = np.char.str_len(counts_b).astype(np.int64)
-    slen = rs.lengths.astype(np.int64)
-    nlen = np.diff(rs.name_off)
-    row_len = slen + 1 + clen + 1 + nlen + 1
-    out_end = np.cumsum(row_len)
-    out_start = out_end - row_len
-    blob = np.zeros(int(out_end[-1]), np.uint8)
+    with sz.StreamWriter(path) as w:
+        for lo in range(0, n, rows_per_slice):
+            hi = min(lo + rows_per_slice, n)
+            m = hi - lo
+            counts_b = rs.counts[lo:hi].astype("S20")
+            clen = np.char.str_len(counts_b).astype(np.int64)
+            slen = rs.lengths[lo:hi].astype(np.int64)
+            nlen = np.diff(rs.name_off[lo:hi + 1])
+            row_len = slen + 1 + clen + 1 + nlen + 1
+            out_end = np.cumsum(row_len)
+            out_start = out_end - row_len
+            blob = np.zeros(int(out_end[-1]), np.uint8)
 
-    # sequence bytes (decode codes straight into the output blob)
-    decode_rows_blob(
-        blob, out_start, rs.codes, rs.codes.shape[1],
-        np.arange(n, dtype=np.int64), slen, seqcodec._C2B,
-    )
-    blob[out_start + slen] = ord("\t")
-    # counts (fixed-width S20 buffer, actual decimal length clen)
-    cbuf = np.frombuffer(counts_b.tobytes(), np.uint8)
-    ranged_copy(blob, out_start + slen + 1, cbuf,
-                np.arange(n, dtype=np.int64) * 20, clen)
-    blob[out_start + slen + 1 + clen] = ord("\t")
-    # names
-    ranged_copy(blob, out_start + slen + 2 + clen,
-                rs.name_blob, rs.name_off[:-1], nlen)
-    blob[out_end - 1] = ord("\n")
-    sz.write_bytes(path, blob.tobytes())
+            # sequence bytes (decode codes straight into the output blob)
+            decode_rows_blob(
+                blob, out_start, rs.codes, rs.codes.shape[1],
+                np.arange(lo, hi, dtype=np.int64), slen, seqcodec._C2B,
+            )
+            blob[out_start + slen] = ord("\t")
+            # counts (fixed-width S20 buffer, actual decimal length clen)
+            cbuf = np.frombuffer(counts_b.tobytes(), np.uint8)
+            ranged_copy(blob, out_start + slen + 1, cbuf,
+                        np.arange(m, dtype=np.int64) * 20, clen)
+            blob[out_start + slen + 1 + clen] = ord("\t")
+            # names
+            ranged_copy(blob, out_start + slen + 2 + clen,
+                        rs.name_blob, rs.name_off[lo:hi], nlen)
+            blob[out_end - 1] = ord("\n")
+            w.write(blob)

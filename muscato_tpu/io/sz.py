@@ -301,3 +301,48 @@ def write_bytes(path: str, data: bytes) -> None:
         data = compress(data)
     with open(path, "wb") as f:
         f.write(data)
+
+
+class StreamWriter:
+    """Incremental framed-.sz file writer.
+
+    Frames are independent (IDENT header + self-contained 64KB chunks),
+    so re-blocking the input to _MAX_CHUNK boundaries makes the output
+    BYTE-IDENTICAL to `write_bytes(path, whole)` regardless of how the
+    caller slices its writes — which lets large emitters (the 100M-read
+    reads_sorted.txt.sz writer materialized a ~12GB blob plus copies)
+    stream in bounded memory.  Non-.sz paths pass bytes through.
+    """
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+        self._sz = path.lower().endswith(".sz")
+        self._carry = b""
+        self._first = True
+
+    def write(self, data) -> None:
+        data = bytes(data)
+        if not self._sz:
+            self._f.write(data)
+            return
+        buf = self._carry + data if self._carry else data
+        aligned = len(buf) - (len(buf) % _MAX_CHUNK)
+        if aligned:
+            out = compress(buf[:aligned])
+            self._f.write(out if self._first else out[len(_IDENT):])
+            self._first = False
+        self._carry = buf[aligned:]
+
+    def close(self) -> None:
+        if self._sz and (self._carry or self._first):
+            out = compress(self._carry)
+            self._f.write(out if self._first else out[len(_IDENT):])
+            self._carry = b""
+            self._first = False
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

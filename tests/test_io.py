@@ -290,3 +290,56 @@ def test_generate_big_matches_generate_layout(tmp_path):
     cat = b"".join(genes)
     hits = sum(1 for _nm, seq, _p, _q in recs if seq in cat)
     assert hits > 10  # 50% sampled at 5% sub rate -> plenty of exact hits
+
+
+def test_stream_writer_byte_identity(tmp_path):
+    """StreamWriter output == write_bytes for every slicing of the input
+    (frames re-block to 64KB internally), including empty and sub-frame
+    writes, so large emitters can stream in bounded memory."""
+    rng = random.Random(11)
+    data = bytes(rng.randrange(4) for _ in range(200_000))  # compressible
+    data += os.urandom(150_000)                              # incompressible
+    ref = tmp_path / "ref.sz"
+    sz.write_bytes(str(ref), data)
+    for slicing in ([len(data)], [1, 65535, 65536, 131072],
+                    [100] * 5, [0, 3, 70000]):
+        p = tmp_path / "s.sz"
+        with sz.StreamWriter(str(p)) as w:
+            pos = 0
+            for k in slicing:
+                w.write(data[pos:pos + k])
+                pos += k
+            w.write(data[pos:])
+        assert p.read_bytes() == ref.read_bytes()
+        assert sz.read_bytes(str(p)) == data
+    # empty stream matches write_bytes(b"")
+    e1, e2 = tmp_path / "e1.sz", tmp_path / "e2.sz"
+    sz.write_bytes(str(e1), b"")
+    with sz.StreamWriter(str(e2)) as w:
+        pass
+    assert e1.read_bytes() == e2.read_bytes()
+    # non-.sz passthrough
+    t = tmp_path / "plain.txt"
+    with sz.StreamWriter(str(t)) as w:
+        w.write(b"ab")
+        w.write(b"cd")
+    assert t.read_bytes() == b"abcd"
+
+
+def test_write_reads_sorted_sliced_identity(tmp_path):
+    """The sliced reads_sorted writer is byte-identical to the one-shot
+    emission at every slice size (1-row slices cross every boundary)."""
+    recs = [(b">r%d" % i, bytes(random.Random(i).choices(b"ACGT", k=20)))
+            for i in range(97)]
+    recs += recs[:13]  # duplicates exercise counts/joined names
+    p = tmp_path / "reads.fastq"
+    p.write_bytes(_fastq(recs))
+    rs = reads.build_readset(str(p), min_read_length=3, max_read_length=32)
+    outs = []
+    for slc in (10**9, 7, 1):
+        q = tmp_path / f"rs_{slc}.txt.sz"
+        reads.write_reads_sorted(rs, str(q), rows_per_slice=slc)
+        outs.append(q.read_bytes())
+    assert outs[0] == outs[1] == outs[2]
+    text = sz.decompress(outs[0])
+    assert text.count(b"\n") == rs.num_unique
